@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md).
+  * All reads go through here so filters/projections written on top of
+  * these DataFrames are pushed into the parquet scan by Catalyst.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** One verifiable operator: a Spark implementation plus (when the
+  * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle
+  * query over the same parquet tables. Column names/types must match
+  * between the two — the driver sorts columns by name and hash-compares
+  * values.
+  */
+final case class QueryDef(
+    name: String,
+    impl: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    bench: Boolean = false)

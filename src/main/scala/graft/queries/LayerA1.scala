@@ -1,0 +1,289 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY.md §2A Layer-A relational operators, A1–A21.
+  *
+  * Each query is written with the declarative DataFrame API so Catalyst
+  * gets full freedom (pushdown, pruning, join strategy, AQE). Double
+  * aggregates are rounded on BOTH sides (Spark impl and DuckDB oracle)
+  * because summation order differs between engines — see SURVEY §7.5
+  * item 6 (dialect/float canonicalization).
+  */
+object LayerA1 {
+  private def r2(c: Column): Column = round(c, 2)
+  private def r4(c: Column): Column = round(c, 4)
+
+  val queries: Seq[QueryDef] = Seq(
+    // A1: parquet scan + global agg (scan feeds partial agg, no shuffle of raw rows)
+    QueryDef(
+      "a01_parquet_scan",
+      (s, d) =>
+        Tables.lineitem(s, d).agg(
+          count(lit(1)).as("n"),
+          r2(sum(col("l_extendedprice"))).as("sum_price")),
+      Some("SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price FROM lineitem"),
+      bench = true),
+
+    // A4: filter pushdown — BETWEEN/IN/AND reach the parquet reader as PushedFilters
+    QueryDef(
+      "a04_filter",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 24
+            && col("l_returnflag").isin("A", "R"))
+          .select("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             | WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |   AND l_returnflag IN ('A','R')""".stripMargin),
+      bench = true),
+
+    // A5: projection + CASE WHEN
+    QueryDef(
+      "a05_case_projection",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 150000, "big").otherwise("small").as("bucket")),
+      Some("""SELECT o_orderkey,
+             |       CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END AS bucket
+             |  FROM orders""".stripMargin)),
+
+    // A6: 3-way equi-join + agg (TPC-H Q3 shape). customer is small →
+    // Catalyst auto-broadcasts it; lineitem⋈orders shuffles on the join key
+    // which is also the grouping key, so the agg reuses the exchange.
+    QueryDef(
+      "a06_join_agg",
+      (s, d) => {
+        val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, d)
+        val l = Tables.lineitem(s, d)
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+      },
+      Some("""SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS rev
+             |  FROM customer JOIN orders ON c_custkey=o_custkey
+             |       JOIN lineitem ON l_orderkey=o_orderkey
+             | WHERE c_mktsegment = 'BUILDING'
+             | GROUP BY o_orderkey""".stripMargin),
+      bench = true),
+
+    // A7: join USING-style (single key equality)
+    QueryDef(
+      "a07_join_using",
+      (s, d) =>
+        Tables.nation(s, d)
+          .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+          .select("n_name", "r_name"),
+      Some("SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")),
+
+    // A8: self-join (pairs of lineitems within an order)
+    QueryDef(
+      "a08_self_join",
+      (s, d) => {
+        val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
+        l.as("a").join(l.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_linenumber") < col("b.l_linenumber"))
+          .select(col("a.l_orderkey").as("l_orderkey"),
+            col("a.l_linenumber").as("ln_a"),
+            col("b.l_linenumber").as("ln_b"))
+      },
+      Some("""SELECT a.l_orderkey AS l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber""".stripMargin),
+      bench = true),
+
+    // A9: CROSS JOIN
+    QueryDef(
+      "a09_cross_join",
+      (s, d) => {
+        val r = Tables.region(s, d)
+        r.select(col("r_name").as("r_name1"))
+          .crossJoin(r.select(col("r_name").as("r_name2")))
+      },
+      Some("""SELECT r1.r_name AS r_name1, r2.r_name AS r_name2
+             |  FROM region r1 CROSS JOIN region r2""".stripMargin)),
+
+    // A10: anti / semi / full-outer joins
+    QueryDef(
+      "a10_anti_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey"),
+      Some("""SELECT c_custkey FROM customer
+             | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+    QueryDef(
+      "a10_semi_join",
+      (s, d) =>
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d).filter(col("o_totalprice") > 250000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             | WHERE EXISTS (SELECT 1 FROM orders
+             |                WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin)),
+    QueryDef(
+      "a10_full_outer_join",
+      (s, d) => {
+        val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk2"))
+          .agg(count(lit(1)).as("n_supp"))
+        cn.join(sn, col("nk") === col("nk2"), "full_outer")
+          .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+      },
+      Some("""SELECT COALESCE(c.nk, s.nk2) AS nationkey, c.n_cust, s.n_supp
+             |  FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) c
+             |  FULL OUTER JOIN
+             |       (SELECT s_nationkey AS nk2, COUNT(*) AS n_supp FROM supplier GROUP BY 1) s
+             |    ON c.nk = s.nk2""".stripMargin)),
+
+    // A11+A35: TPC-H Q1 — multi-key hash agg with partial (map-side) aggregation
+    QueryDef(
+      "a11_groupby_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            r2(sum(col("l_quantity"))).as("sum_qty"),
+            r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+            r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+            r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+            r4(avg(col("l_quantity"))).as("avg_qty"),
+            r4(avg(col("l_extendedprice"))).as("avg_price"),
+            r4(avg(col("l_discount"))).as("avg_disc"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       ROUND(SUM(l_quantity),2) AS sum_qty,
+             |       ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+             |       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |       ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+             |       ROUND(AVG(l_quantity),4) AS avg_qty,
+             |       ROUND(AVG(l_extendedprice),4) AS avg_price,
+             |       ROUND(AVG(l_discount),4) AS avg_disc,
+             |       COUNT(*) AS count_order
+             |  FROM lineitem
+             | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             | GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // A12: COUNT(DISTINCT) per group
+    QueryDef(
+      "a12_count_distinct",
+      (s, d) =>
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(countDistinct(col("o_orderpriority")).as("n_prio")),
+      Some("""SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_prio
+             |  FROM orders GROUP BY o_custkey""".stripMargin)),
+
+    // A13: SELECT DISTINCT
+    QueryDef(
+      "a13_distinct",
+      (s, d) => Tables.lineitem(s, d).select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")),
+
+    // A14: aggregate FILTER (WHERE ...)
+    QueryDef(
+      "a14_agg_filter",
+      (s, d) =>
+        Tables.orders(s, d).agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(lit(1)).as("n")),
+      Some("""SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, COUNT(*) AS n
+             |  FROM orders""".stripMargin)),
+
+    // A15: HAVING (filter over the rounded aggregate so both engines agree
+    // on boundary groups)
+    QueryDef(
+      "a15_having",
+      (s, d) =>
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(r2(sum(col("o_totalprice"))).as("s"))
+          .filter(col("s") > 300000),
+      Some("""SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS s FROM orders
+             | GROUP BY o_custkey HAVING ROUND(SUM(o_totalprice),2) > 300000""".stripMargin)),
+
+    // A16: COUNT(*) OVER (PARTITION BY) — the Woltka core step
+    QueryDef(
+      "a16_window_count",
+      (s, d) =>
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          count(lit(1)).over(Window.partitionBy(col("l_orderkey"))).as("cnt")),
+      Some("""SELECT l_orderkey, l_linenumber, COUNT(*) OVER (PARTITION BY l_orderkey) AS cnt
+             |  FROM lineitem""".stripMargin),
+      bench = true),
+
+    // A17: global ROW_NUMBER. A single-partition sort is inherent to a
+    // global ordering — only sane on pre-aggregated/small data at scale.
+    QueryDef(
+      "a17_row_number",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          row_number().over(Window.orderBy(col("o_orderkey"))).cast("long").as("rn")),
+      Some("SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders")),
+
+    // A18: LEAD over partition (tie-broken by l_linenumber for determinism)
+    QueryDef(
+      "a18_lead",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_shipdate"), col("l_linenumber"))
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          lead(col("l_shipdate"), 1).over(w).as("next_ship"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate,
+             |       LEAD(l_shipdate) OVER (PARTITION BY l_orderkey
+             |                              ORDER BY l_shipdate, l_linenumber) AS next_ship
+             |  FROM lineitem""".stripMargin)),
+
+    // A19: RANK + sliding-frame SUM (frame order tie-broken by o_orderkey)
+    QueryDef(
+      "a19_rank_frame",
+      (s, d) => {
+        val wRank = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc)
+        val wSum = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey")).rowsBetween(-2, 0)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(wRank).cast("long").as("rnk"),
+          r2(sum(col("o_totalprice")).over(wSum)).as("run_sum"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+             |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             |             ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) AS run_sum
+             |  FROM orders""".stripMargin),
+      bench = true),
+
+    // A20: multi-key mixed-direction sort
+    QueryDef(
+      "a20_sort",
+      (s, d) =>
+        Tables.nation(s, d).orderBy(col("n_regionkey").desc, col("n_name").asc),
+      Some("SELECT * FROM nation ORDER BY n_regionkey DESC, n_name ASC")),
+
+    // A21: top-k (TakeOrderedAndProject — no global sort materialization)
+    QueryDef(
+      "a21_topk",
+      (s, d) =>
+        Tables.part(s, d).select("p_partkey", "p_retailprice")
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+          .limit(10),
+      Some("""SELECT p_partkey, p_retailprice FROM part
+             | ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10""".stripMargin))
+  )
+}
