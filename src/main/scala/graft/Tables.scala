@@ -17,7 +17,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark reads as
+    * LongType only under spark.sql.legacy.parquet.nanosAsLong (set in all
+    * our session builders). Expose a usable microsecond timestamp column
+    * `ts` (DuckDB reads the same file natively as TIMESTAMP_NS; truncating
+    * to micros keeps both engines' values comparable).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

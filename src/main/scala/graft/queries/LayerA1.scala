@@ -14,8 +14,13 @@ import org.apache.spark.sql.expressions.Window
   * item 6 (dialect/float canonicalization).
   */
 object LayerA1 {
-  private def r2(c: Column): Column = round(c, 2)
-  private def r4(c: Column): Column = round(c, 4)
+  /** Exact-decimal casts: every money/rate column in the testdata is an
+    * exact 2-dp value, so summing as DECIMAL is exact and order-independent
+    * — the only way a distributed sum hash-matches a single-node oracle
+    * bit-for-bit (SURVEY §7.5 item 6). Final results cast back to DOUBLE.
+    */
+  private[queries] def dec2(name: String): Column = col(name).cast("decimal(18,2)")
+  private[queries] def dec2s(name: String): Column = col(name).cast("decimal(3,2)")
 
   val queries: Seq[QueryDef] = Seq(
     // A1: parquet scan + global agg (scan feeds partial agg, no shuffle of raw rows)
@@ -24,8 +29,10 @@ object LayerA1 {
       (s, d) =>
         Tables.lineitem(s, d).agg(
           count(lit(1)).as("n"),
-          r2(sum(col("l_extendedprice"))).as("sum_price")),
-      Some("SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice),2) AS sum_price FROM lineitem"),
+          sum(dec2("l_extendedprice")).cast("double").as("sum_price")),
+      Some("""SELECT COUNT(*) AS n,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |  FROM lineitem""".stripMargin),
       bench = true),
 
     // A4: filter pushdown — BETWEEN/IN/AND reach the parquet reader as PushedFilters
@@ -65,9 +72,13 @@ object LayerA1 {
         c.join(o, col("c_custkey") === col("o_custkey"))
           .join(l, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"))
-          .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev"))
+          .agg(sum(dec2("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec2s("l_discount")))
+            .cast("double").as("rev"))
       },
-      Some("""SELECT o_orderkey, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS rev
+      Some("""SELECT o_orderkey,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+             |            AS DOUBLE) AS rev
              |  FROM customer JOIN orders ON c_custkey=o_custkey
              |       JOIN lineitem ON l_orderkey=o_orderkey
              | WHERE c_mktsegment = 'BUILDING'
@@ -155,22 +166,29 @@ object LayerA1 {
           .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            r2(sum(col("l_quantity"))).as("sum_qty"),
-            r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-            r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-            r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-            r4(avg(col("l_quantity"))).as("avg_qty"),
-            r4(avg(col("l_extendedprice"))).as("avg_price"),
-            r4(avg(col("l_discount"))).as("avg_disc"),
+            sum(dec2("l_quantity")).cast("double").as("sum_qty"),
+            sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec2("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec2s("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec2("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec2s("l_discount"))
+              * (lit(1).cast("decimal(3,2)") + dec2s("l_tax"))).cast("double").as("sum_charge"),
+            (sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+            (sum(dec2s("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
             count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       ROUND(SUM(l_quantity),2) AS sum_qty,
-             |       ROUND(SUM(l_extendedprice),2) AS sum_base_price,
-             |       ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-             |       ROUND(SUM(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-             |       ROUND(AVG(l_quantity),4) AS avg_qty,
-             |       ROUND(AVG(l_extendedprice),4) AS avg_price,
-             |       ROUND(AVG(l_discount),4) AS avg_disc,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             |         AS sum_disc_price,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+             |                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+             |         AS sum_charge,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |       CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
              |       COUNT(*) AS count_order
              |  FROM lineitem
              | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -202,16 +220,17 @@ object LayerA1 {
       Some("""SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f, COUNT(*) AS n
              |  FROM orders""".stripMargin)),
 
-    // A15: HAVING (filter over the rounded aggregate so both engines agree
-    // on boundary groups)
+    // A15: HAVING (exact-decimal aggregate so boundary groups agree)
     QueryDef(
       "a15_having",
       (s, d) =>
         Tables.orders(s, d).groupBy("o_custkey")
-          .agg(r2(sum(col("o_totalprice"))).as("s"))
-          .filter(col("s") > 300000),
-      Some("""SELECT o_custkey, ROUND(SUM(o_totalprice),2) AS s FROM orders
-             | GROUP BY o_custkey HAVING ROUND(SUM(o_totalprice),2) > 300000""".stripMargin)),
+          .agg(sum(dec2("o_totalprice")).as("sdec"))
+          .filter(col("sdec") > 300000)
+          .select(col("o_custkey"), col("sdec").cast("double").as("s")),
+      Some("""SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+             |  FROM orders GROUP BY o_custkey
+             | HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 300000""".stripMargin)),
 
     // A16: COUNT(*) OVER (PARTITION BY) — the Woltka core step
     QueryDef(
@@ -259,13 +278,13 @@ object LayerA1 {
         Tables.orders(s, d).select(
           col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           rank().over(wRank).cast("long").as("rnk"),
-          r2(sum(col("o_totalprice")).over(wSum)).as("run_sum"))
+          sum(dec2("o_totalprice")).over(wSum).cast("double").as("run_sum"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
              |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
-             |       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
              |             ORDER BY o_orderdate, o_orderkey
-             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),2) AS run_sum
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
              |  FROM orders""".stripMargin),
       bench = true),
 

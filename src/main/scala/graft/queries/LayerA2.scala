@@ -1,0 +1,337 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2A Layer-A relational operators, A2–A3 and A22–A40:
+  * scans, set ops, explode, string/list/map/struct/JSON functions,
+  * casts, date functions, ROLLUP/CUBE, VALUES, views, COPY-to-CSV.
+  * All thin declarative wrappers over Spark built-ins so Catalyst keeps
+  * full pushdown/pruning freedom; oracle SQL is canonicalized to the
+  * DuckDB dialect (SURVEY §7.5 item 6).
+  */
+object LayerA2 {
+  import LayerA1.dec2
+
+  val queries: Seq[QueryDef] = Seq(
+    // A22: UNION ALL (no dedup — pure concat, no shuffle)
+    QueryDef(
+      "a22_union_all",
+      (s, d) =>
+        Tables.customer(s, d).select(col("c_nationkey").as("k"))
+          .unionAll(Tables.supplier(s, d).select(col("s_nationkey").as("k"))),
+      Some("""SELECT c_nationkey AS k FROM customer
+             | UNION ALL SELECT s_nationkey AS k FROM supplier""".stripMargin)),
+
+    // A23: INTERSECT / EXCEPT (dedup set ops — one shuffle each on the key)
+    QueryDef(
+      "a23_intersect",
+      (s, d) =>
+        Tables.customer(s, d).select(col("c_nationkey").as("k"))
+          .intersect(Tables.supplier(s, d).select(col("s_nationkey").as("k"))),
+      Some("""SELECT c_nationkey AS k FROM customer
+             | INTERSECT SELECT s_nationkey AS k FROM supplier""".stripMargin)),
+    QueryDef(
+      "a23_except",
+      (s, d) =>
+        Tables.customer(s, d).select(col("c_nationkey").as("k"))
+          .except(Tables.supplier(s, d).select(col("s_nationkey").as("k"))),
+      Some("""SELECT c_nationkey AS k FROM customer
+             | EXCEPT SELECT s_nationkey AS k FROM supplier""".stripMargin)),
+
+    // A24: CTE composition (WITH → join) expressed via spark.sql on temp views
+    QueryDef(
+      "a24_cte",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("a24_orders")
+        Tables.customer(s, d).createOrReplaceTempView("a24_customer")
+        s.sql("""WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM a24_orders
+                |             WHERE o_totalprice > 200000 GROUP BY o_custkey)
+                |SELECT c.c_custkey, b.n_big
+                |  FROM a24_customer c JOIN big b ON c.c_custkey = b.o_custkey""".stripMargin)
+      },
+      Some("""WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+             |             WHERE o_totalprice > 200000 GROUP BY o_custkey)
+             |SELECT c.c_custkey, b.n_big
+             |  FROM customer c JOIN big b ON c.c_custkey = b.o_custkey""".stripMargin)),
+
+    // A25: recursive CTE (tree depth). Spark lacks WITH RECURSIVE; the
+    // idiomatic equivalent is an iterative breadth-first join loop on the
+    // driver (each iteration is one distributed self-join — bounded by
+    // tree depth, same asymptotics as DuckDB's recursive operator).
+    // Tree: nation→region parent edges give a 2-level hierarchy; we build
+    // a synthetic parent table (region roots, nations as children).
+    QueryDef(
+      "a25_recursive_depth",
+      (s, d) => {
+        val edges = Tables.nation(s, d)
+          .select(col("n_nationkey").as("id"), (col("n_regionkey") + 100).as("parent"))
+          .unionAll(Tables.region(s, d)
+            .select((col("r_regionkey") + 100).as("id"), lit(null).cast("long").as("parent")))
+        // iterate: depth(root)=0; child depth = parent depth + 1
+        var frontier = edges.filter(col("parent").isNull)
+          .select(col("id"), lit(0L).as("depth"))
+        var result = frontier
+        var continue = true
+        while (continue) {
+          val next = edges.join(frontier.select(col("id").as("pid"), col("depth")),
+              col("parent") === col("pid"))
+            .select(col("id"), (col("depth") + 1).as("depth"))
+          if (next.isEmpty) continue = false
+          else { result = result.unionAll(next); frontier = next }
+        }
+        result
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT id, CAST(0 AS BIGINT) AS depth FROM (
+             |    SELECT n_nationkey AS id, n_regionkey + 100 AS parent FROM nation
+             |    UNION ALL
+             |    SELECT r_regionkey + 100 AS id, NULL AS parent FROM region) e
+             |  WHERE parent IS NULL
+             |  UNION ALL
+             |  SELECT e.id, t.depth + 1 FROM (
+             |    SELECT n_nationkey AS id, n_regionkey + 100 AS parent FROM nation
+             |    UNION ALL
+             |    SELECT r_regionkey + 100 AS id, NULL AS parent FROM region) e
+             |  JOIN t ON e.parent = t.id)
+             |SELECT id, depth FROM t""".stripMargin)),
+
+    // A26: UNNEST/explode of a generated list (sequence(1, l_linenumber))
+    QueryDef(
+      "a26_explode",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            explode(sequence(lit(1L), col("l_linenumber").cast("long"))).as("i")),
+      Some("""SELECT l_orderkey, l_linenumber, UNNEST(generate_series(1, l_linenumber)) AS i
+             |  FROM lineitem WHERE l_orderkey <= 100""".stripMargin)),
+
+    // A27: derived-table subquery in FROM
+    QueryDef(
+      "a27_derived_table",
+      (s, d) =>
+        Tables.orders(s, d).groupBy("o_custkey")
+          .agg(sum(dec2("o_totalprice")).as("sdec"), count(lit(1)).as("n"))
+          .filter(col("sdec") > col("n") * 150000)
+          .select(col("o_custkey"), (col("sdec").cast("double") / col("n")).as("avg_price")),
+      Some("""SELECT o_custkey, avg_price FROM
+             |  (SELECT o_custkey,
+             |          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+             |          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sdec, COUNT(*) AS n
+             |     FROM orders GROUP BY o_custkey) t
+             | WHERE sdec > n * 150000""".stripMargin)),
+
+    // A28: string fns — regexp_extract, length, LIKE, split, upper, substr.
+    // DuckDB list indexing is 1-based, Spark's element_at is also 1-based →
+    // split(p_type,' ')[1] in DuckDB == element_at(split(...), 1) in Spark.
+    QueryDef(
+      "a28_string_fns",
+      (s, d) =>
+        Tables.part(s, d)
+          .filter(col("p_name").like("%red%"))
+          .select(
+            col("p_partkey"),
+            regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+            length(col("p_name")).as("name_len"),
+            element_at(split(col("p_type"), " "), 1).as("type_word1"),
+            upper(col("p_brand")).as("brand_uc"),
+            substring(col("p_name"), 1, 5).as("name_pfx")),
+      Some("""SELECT p_partkey,
+             |       regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+             |       length(p_name) AS name_len,
+             |       string_split(p_type, ' ')[1] AS type_word1,
+             |       upper(p_brand) AS brand_uc,
+             |       substr(p_name, 1, 5) AS name_pfx
+             |  FROM part WHERE p_name LIKE '%red%'""".stripMargin)),
+
+    // A29: list/higher-order fns — transform, filter, aggregate, size,
+    // array_intersect. Built over a generated sequence so both engines see
+    // identical list inputs.
+    QueryDef(
+      "a29_list_fns",
+      (s, d) =>
+        Tables.nation(s, d).select(
+          col("n_nationkey"),
+          size(sequence(lit(1), col("n_nationkey") + 1)).cast("long").as("n"),
+          aggregate(sequence(lit(1), col("n_nationkey") + 1), lit(0L),
+            (acc, x) => acc + x).as("list_sum"),
+          // scaled must be ARRAY<BIGINT> to match duckdb generate_series
+          size(array_intersect(
+            sequence(lit(1), col("n_nationkey") + 1),
+            sequence(lit(3), lit(12)))).cast("long").as("n_common"),
+          transform(sequence(lit(1L), lit(3L)), x => x * col("n_nationkey")).as("scaled")),
+      Some("""SELECT n_nationkey,
+             |       len(generate_series(1, n_nationkey + 1)) AS n,
+             |       CAST(list_sum(generate_series(1, n_nationkey + 1)) AS BIGINT) AS list_sum,
+             |       len(list_intersect(generate_series(1, n_nationkey + 1),
+             |                          generate_series(3, 12))) AS n_common,
+             |       list_transform(generate_series(1, 3), x -> x * n_nationkey) AS scaled
+             |  FROM nation""".stripMargin)),
+
+    // A30: map fns — map_from_entries + map['key'] lookup
+    QueryDef(
+      "a30_map_fns",
+      (s, d) =>
+        Tables.nation(s, d).select(
+          col("n_nationkey"),
+          map_from_entries(array(
+            struct(lit("name").as("k"), col("n_name").as("v")),
+            struct(lit("region").as("k"), col("n_regionkey").cast("string").as("v"))))
+            .getItem("name").as("name_from_map")),
+      Some("""SELECT n_nationkey,
+             |       map_from_entries([struct_pack(k := 'name', v := n_name),
+             |                         struct_pack(k := 'region', v := CAST(n_regionkey AS VARCHAR))])['name'][1]
+             |         AS name_from_map
+             |  FROM nation""".stripMargin)),
+
+    // A31: struct pack + field access
+    QueryDef(
+      "a31_struct_access",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          struct(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+            .getField("p").as("price_via_struct")),
+      Some("""SELECT o_orderkey,
+             |       struct_pack(k := o_orderkey, p := o_totalprice).p AS price_via_struct
+             |  FROM orders""".stripMargin)),
+
+    // A32: JSON extraction from the events.props string column
+    QueryDef(
+      "a32_json_fns",
+      (s, d) =>
+        Tables.events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val")),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+             |  FROM events""".stripMargin)),
+
+    // A33: casts — double→int (Spark truncates toward zero; DuckDB rounds,
+    // so the oracle uses trunc to pin identical semantics), timestamp→date,
+    // int→string
+    QueryDef(
+      "a33_casts",
+      (s, d) =>
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_shipdate").cast("date").as("ship_day"),
+          col("l_suppkey").cast("string").as("supp_str")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
+             |       CAST(l_shipdate AS DATE) AS ship_day,
+             |       CAST(l_suppkey AS VARCHAR) AS supp_str
+             |  FROM lineitem""".stripMargin)),
+
+    // A34: date/time fns — year/month/day extraction + date_add + datediff
+    QueryDef(
+      "a34_date_fns",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("y").cast("long"), col("m").cast("long"), col("n")),
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             |       CAST(month(o_orderdate) AS BIGINT) AS m, COUNT(*) AS n
+             |  FROM orders GROUP BY 1, 2""".stripMargin)),
+
+    // A36: COALESCE / NULLIF
+    QueryDef(
+      "a36_coalesce",
+      (s, d) =>
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status")),
+      Some("""SELECT o_orderkey, COALESCE(NULLIF(o_orderstatus,'O'),'open') AS status
+             |  FROM orders""".stripMargin)),
+
+    // A37: ROLLUP — grouping-set aggregate. NULL group markers compare
+    // equal across engines after the hash canonicalization.
+    QueryDef(
+      "a37_rollup",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(dec2("l_quantity")).cast("double").as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |  FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // A38: VALUES inline table joined against real data
+    QueryDef(
+      "a38_values",
+      (s, d) => {
+        import s.implicits._
+        val flags = Seq(("A", "returned"), ("N", "none"), ("R", "refused"))
+          .toDF("flag", "meaning")
+        Tables.lineitem(s, d).groupBy(col("l_returnflag").as("flag"))
+          .agg(count(lit(1)).as("n"))
+          .join(flags, "flag")
+      },
+      Some("""SELECT l.flag, l.n, v.meaning
+             |  FROM (SELECT l_returnflag AS flag, COUNT(*) AS n FROM lineitem GROUP BY 1) l
+             |  JOIN (VALUES ('A','returned'),('N','none'),('R','refused')) AS v(flag, meaning)
+             |  USING (flag)""".stripMargin)),
+
+    // A39: temp view + spark.sql over it (CREATE VIEW equivalent)
+    QueryDef(
+      "a39_view",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("a39_supplier")
+        s.sql("""SELECT s_nationkey, COUNT(*) AS n_supp
+                |  FROM a39_supplier GROUP BY s_nationkey""".stripMargin)
+      },
+      Some("SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey")),
+
+    // A40: COPY TO csv round-trip — write csv, read it back, return the
+    // re-read relation (oracle = the same projection straight off parquet).
+    QueryDef(
+      "a40_copy_csv",
+      (s, d) => {
+        val out = s"/tmp/graft_a40_csv"
+        Tables.region(s, d).select("r_regionkey", "r_name")
+          .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("r_regionkey INT, r_name STRING").csv(out)
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    // A2: CSV scan with explicit schema, comment-skip, null padding —
+    // write a GFF-shaped fixture inline, read with the A2 options.
+    QueryDef(
+      "a02_csv_scan",
+      (s, d) => {
+        val out = "/tmp/graft_a02_fixture.csv"
+        val pw = new java.io.PrintWriter(out)
+        try pw.write("# comment line to skip\n1,alpha,10\n2,beta,\n3,gamma,30\n")
+        finally pw.close()
+        s.read.option("comment", "#").option("header", "false")
+          .schema("id LONG, name STRING, score LONG").csv(out)
+      },
+      // The driver's DuckDB predates read_csv's `comment` param; the
+      // fixture's only comment is line 1, so skip=1 is oracle-equivalent.
+      Some("""SELECT * FROM read_csv('/tmp/graft_a02_fixture.csv',
+             |  columns = {'id':'BIGINT','name':'VARCHAR','score':'BIGINT'},
+             |  skip = 1, header = false, null_padding = true)""".stripMargin)),
+
+    // A3: JSON scan. Spark's schema'd json reader over an NDJSON fixture;
+    // oracle reads the same file with DuckDB read_json.
+    QueryDef(
+      "a03_json_scan",
+      (s, d) => {
+        val out = "/tmp/graft_a03_fixture.json"
+        val pw = new java.io.PrintWriter(out)
+        try pw.write(
+          """{"id": 1, "tag": "x", "score": 1.5}
+            |{"id": 2, "tag": "y", "score": 2.5}
+            |{"id": 3, "tag": null, "score": 3.5}
+            |""".stripMargin)
+        finally pw.close()
+        s.read.schema("id LONG, tag STRING, score DOUBLE").json(out)
+      },
+      Some("""SELECT id, tag, score FROM read_json('/tmp/graft_a03_fixture.json',
+             |  columns = {'id':'BIGINT','tag':'VARCHAR','score':'DOUBLE'})""".stripMargin))
+  )
+}
