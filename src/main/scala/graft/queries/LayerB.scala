@@ -1,8 +1,355 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions._
+import graft.ops.{GenomeCoverage, Gff, Jplace, Woltka}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** SURVEY.md §2B–2G MIINT domain surface queries (filled incrementally). */
+/** SURVEY.md §2B–2G MIINT domain surface, oracle-checked.
+  *
+  * DuckDB has none of our domain functions, so each oracle re-expresses
+  * the semantics in plain SQL over the same synthetic columns (derived
+  * deterministically from the TPC-H tables) — an independent
+  * re-derivation, which is a stronger check than calling the same code
+  * twice. Golden fixture tests against the reference's committed
+  * expectations live in the ScalaTest suites.
+  */
 object LayerB {
-  val queries: Seq[QueryDef] = Seq()
+
+  /** Synthetic SAM flag word: 12 meaningful bits from o_orderkey. */
+  private def withFlags(df: DataFrame): DataFrame =
+    df.withColumn("flags", (col("o_orderkey") % 4096).cast("int"))
+
+  val queries: Seq[QueryDef] = Seq(
+    // 2D: 13 SAM-flag predicates (native bit-test column expressions) —
+    // exercised through the SQL-registered names to prove registration.
+    QueryDef(
+      "b01_flag_predicates",
+      (s, d) => {
+        MiintRegistry.registerAll(s)
+        withFlags(Tables.orders(s, d)).createOrReplaceTempView("b01_flags")
+        s.sql("""SELECT o_orderkey, flags,
+                |       alignment_is_paired(flags) AS is_paired,
+                |       alignment_is_proper_pair(flags) AS is_proper_pair,
+                |       alignment_is_unmapped(flags) AS is_unmapped,
+                |       is_munmap(flags) AS is_mate_unmapped,
+                |       alignment_is_reverse(flags) AS is_rev,
+                |       is_mreverse(flags) AS is_mate_rev,
+                |       alignment_is_read1(flags) AS is_r1,
+                |       is_read2(flags) AS is_r2,
+                |       alignment_is_secondary(flags) AS is_sec,
+                |       is_qcfail(flags) AS is_qcf,
+                |       is_dup(flags) AS is_duplicate,
+                |       alignment_is_supplementary(flags) AS is_supp,
+                |       alignment_is_primary(flags) AS is_prim
+                |  FROM b01_flags""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, CAST(o_orderkey % 4096 AS INTEGER) AS flags,
+             |       (o_orderkey % 4096 & 1) != 0 AS is_paired,
+             |       (o_orderkey % 4096 & 2) != 0 AS is_proper_pair,
+             |       (o_orderkey % 4096 & 4) != 0 AS is_unmapped,
+             |       (o_orderkey % 4096 & 8) != 0 AS is_mate_unmapped,
+             |       (o_orderkey % 4096 & 16) != 0 AS is_rev,
+             |       (o_orderkey % 4096 & 32) != 0 AS is_mate_rev,
+             |       (o_orderkey % 4096 & 64) != 0 AS is_r1,
+             |       (o_orderkey % 4096 & 128) != 0 AS is_r2,
+             |       (o_orderkey % 4096 & 256) != 0 AS is_sec,
+             |       (o_orderkey % 4096 & 512) != 0 AS is_qcf,
+             |       (o_orderkey % 4096 & 1024) != 0 AS is_duplicate,
+             |       (o_orderkey % 4096 & 2048) != 0 AS is_supp,
+             |       ((o_orderkey % 4096 & 256) = 0 AND (o_orderkey % 4096 & 2048) = 0) AS is_prim
+             |  FROM orders""".stripMargin)),
+
+    // 2D: CIGAR kernels — identity/qlen/coverage over synthesized CIGARs.
+    // Oracle re-derives each formula arithmetically (never parses).
+    QueryDef(
+      "b02_cigar_kernels",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .withColumn("m", col("l_quantity").cast("long"))
+          .withColumn("i", round(col("l_discount") * 100, 0).cast("long") + 1)
+          .withColumn("dd", round(col("l_tax") * 100, 0).cast("long") + 1)
+          .withColumn("sc", (col("l_suppkey") % 5) * 10 + 5)
+          .withColumn("nm", col("l_linenumber").cast("long"))
+          .withColumn("cigar",
+            concat(col("sc"), lit("S"), col("m"), lit("M"),
+              col("i"), lit("I"), col("dd"), lit("D")))
+        li.select(
+          col("l_orderkey"), col("l_linenumber"), col("cigar"),
+          AlignmentFunctions.alignmentSeqIdentity(
+            col("cigar"), col("nm"), lit(null).cast("string"), "gap_compressed").as("ident_gc"),
+          AlignmentFunctions.alignmentSeqIdentity(
+            col("cigar"), col("nm"), lit(null).cast("string"), "blast").as("ident_blast"),
+          AlignmentFunctions.alignmentQueryLength(col("cigar")).as("qlen"),
+          AlignmentFunctions.alignmentQueryCoverage(col("cigar")).as("cov_aligned"),
+          AlignmentFunctions.alignmentQueryCoverage(col("cigar"), "mapped").as("cov_mapped"))
+      },
+      Some("""WITH t AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CAST(l_quantity AS BIGINT) AS m,
+             |         CAST(ROUND(l_discount*100,0) AS BIGINT) + 1 AS i,
+             |         CAST(ROUND(l_tax*100,0) AS BIGINT) + 1 AS dd,
+             |         (l_suppkey % 5) * 10 + 5 AS sc,
+             |         CAST(l_linenumber AS BIGINT) AS nm
+             |    FROM lineitem)
+             |SELECT l_orderkey, l_linenumber,
+             |       sc || 'S' || m || 'M' || i || 'I' || dd || 'D' AS cigar,
+             |       CASE WHEN nm > m + i + dd THEN NULL
+             |            ELSE CAST(m - nm + i + dd AS DOUBLE) / (m + 2) END AS ident_gc,
+             |       CASE WHEN nm > m + i + dd THEN NULL
+             |            ELSE CAST(m + i + dd - nm AS DOUBLE) / (m + i + dd) END AS ident_blast,
+             |       sc + m + i AS qlen,
+             |       CAST(m AS DOUBLE) / (sc + m + i) AS cov_aligned,
+             |       CAST(m + i AS DOUBLE) / (sc + m + i) AS cov_mapped
+             |  FROM t""".stripMargin)),
+
+    // 2D: DNA reverse complement. Oracle: independent reverse+translate.
+    QueryDef(
+      "b03_revcomp",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .withColumn("seq", expr("substring('ACGTACGTACGTACGT', 1, 4 + CAST(p_partkey % 8 AS INT))"))
+        p.select(
+          col("p_partkey"), col("seq"),
+          SequenceFunctions.sequenceDnaReverseComplement(col("seq")).as("revcomp"))
+      },
+      Some("""SELECT p_partkey,
+             |       substr('ACGTACGTACGTACGT', 1, CAST(4 + p_partkey % 8 AS INTEGER)) AS seq,
+             |       reverse(translate(substr('ACGTACGTACGTACGT', 1, CAST(4 + p_partkey % 8 AS INTEGER)),
+             |                         'ACGT', 'TGCA')) AS revcomp
+             |  FROM part""".stripMargin)),
+
+    // 2D: IUPAC→regex expansion. Oracle: independent replace().
+    QueryDef(
+      "b04_as_regexp",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .withColumn("seq", concat(
+            expr("substring('ACGT', 1 + CAST(p_partkey % 4 AS INT), 1)"),
+            lit("N"),
+            expr("substring('ACGT', 1 + CAST(p_size % 4 AS INT), 1)")))
+        p.select(
+          col("p_partkey"), col("seq"),
+          SequenceFunctions.sequenceDnaAsRegexp(col("seq")).as("re"))
+      },
+      Some("""SELECT p_partkey,
+             |       substr('ACGT', CAST(1 + p_partkey % 4 AS INTEGER), 1) || 'N' ||
+             |         substr('ACGT', CAST(1 + p_size % 4 AS INTEGER), 1) AS seq,
+             |       replace(substr('ACGT', CAST(1 + p_partkey % 4 AS INTEGER), 1) || 'N' ||
+             |         substr('ACGT', CAST(1 + p_size % 4 AS INTEGER), 1), 'N', '[ACGT]') AS re
+             |  FROM part""".stripMargin)),
+
+    // 2E: compress_intervals UDAF. Oracle: classic gaps-and-islands SQL
+    // (merge when next.start <= running max stop — touching merges).
+    QueryDef(
+      "b05_compress_intervals",
+      (s, d) => {
+        val iv = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("grp"),
+          (col("l_orderkey") % 1000).as("s"),
+          (col("l_orderkey") % 1000 + col("l_quantity").cast("long")).as("e"))
+        iv.groupBy(col("grp"))
+          .agg(CompressIntervals.compressIntervals(col("s"), col("e")).as("intervals"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT l_returnflag AS grp, (l_orderkey % 1000) AS s,
+             |         (l_orderkey % 1000) + CAST(l_quantity AS BIGINT) AS e
+             |    FROM lineitem),
+             |ivd AS (SELECT DISTINCT grp, s, e FROM iv),
+             |flagd AS (
+             |  SELECT grp, s, e,
+             |         CASE WHEN s <= MAX(e) OVER (PARTITION BY grp ORDER BY s, e
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |              THEN 0 ELSE 1 END AS is_new
+             |    FROM ivd),
+             |isl AS (
+             |  SELECT grp, s, e,
+             |         SUM(is_new) OVER (PARTITION BY grp ORDER BY s, e
+             |             ROWS UNBOUNDED PRECEDING) AS island
+             |    FROM flagd),
+             |m AS (SELECT grp, island, MIN(s) AS start, MAX(e) AS stop
+             |        FROM isl GROUP BY grp, island)
+             |SELECT grp, list(struct_pack(start := start, stop := stop) ORDER BY start) AS intervals
+             |  FROM m GROUP BY grp""".stripMargin)),
+
+    // 2F: woltka_ogu — fractional multi-mapping feature counts.
+    QueryDef(
+      "b06_woltka_ogu",
+      (s, d) => {
+        val rel = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("read_id"),
+          concat(lit("r"), (col("l_suppkey") % 20)).as("reference"),
+          (lit(64) * (col("l_linenumber") % 2)).cast("int").as("flags"))
+        Woltka.woltkaOgu(rel, "read_id")
+          .select(col("feature_id"), round(col("value"), 6).as("value"))
+      },
+      Some("""WITH rel AS (
+             |  SELECT l_orderkey AS read_id,
+             |         'r' || CAST(l_suppkey % 20 AS VARCHAR) AS reference,
+             |         64 * (l_linenumber % 2) AS flags
+             |    FROM lineitem),
+             |base AS (
+             |  SELECT DISTINCT read_id AS qid, reference AS feature_id,
+             |         (flags & 64) != 0 AS is_fwd
+             |    FROM rel),
+             |wc AS (
+             |  SELECT feature_id,
+             |         1.0 / COUNT(*) OVER (PARTITION BY qid, is_fwd) AS lv
+             |    FROM base)
+             |SELECT feature_id, ROUND(SUM(lv), 6) AS value
+             |  FROM wc GROUP BY feature_id""".stripMargin)),
+
+    // 2F: woltka_ogu_per_sample — per-sample variant.
+    QueryDef(
+      "b07_woltka_per_sample",
+      (s, d) => {
+        val rel = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("read_id"),
+          col("l_returnflag").as("sample"),
+          concat(lit("r"), (col("l_suppkey") % 20)).as("reference"),
+          (lit(64) * (col("l_linenumber") % 2)).cast("int").as("flags"))
+        Woltka.woltkaOguPerSample(rel, "sample", "read_id")
+          .select(col("sample_id"), col("feature_id"), round(col("value"), 6).as("value"))
+      },
+      Some("""WITH rel AS (
+             |  SELECT l_orderkey AS read_id, l_returnflag AS sample,
+             |         'r' || CAST(l_suppkey % 20 AS VARCHAR) AS reference,
+             |         64 * (l_linenumber % 2) AS flags
+             |    FROM lineitem),
+             |base AS (
+             |  SELECT DISTINCT read_id AS qid, sample AS sample_id,
+             |         reference AS feature_id, (flags & 64) != 0 AS is_fwd
+             |    FROM rel),
+             |wc AS (
+             |  SELECT sample_id, feature_id,
+             |         1.0 / COUNT(*) OVER (PARTITION BY qid, is_fwd) AS lv
+             |    FROM base)
+             |SELECT sample_id, feature_id, ROUND(SUM(lv), 6) AS value
+             |  FROM wc GROUP BY sample_id, feature_id""".stripMargin)),
+
+    // 2F: genome_coverage — compress_intervals + explode + 2 joins,
+    // half-open arithmetic.
+    QueryDef(
+      "b08_genome_coverage",
+      (s, d) => {
+        val aln = Tables.lineitem(s, d).select(
+          concat(lit("c"), (col("l_suppkey") % 40)).as("reference"),
+          (col("l_orderkey") % 5000).as("position"),
+          (col("l_orderkey") % 5000 + col("l_quantity").cast("long")).as("stop_position"))
+        val sg = Tables.lineitem(s, d).select(
+          concat(lit("c"), (col("l_suppkey") % 40)).as("contig_id"),
+          concat(lit("g"), (col("l_suppkey") % 5)).as("genome_id")).distinct()
+        val tl = Tables.lineitem(s, d).select(
+          concat(lit("g"), (col("l_suppkey") % 5)).as("genome_id"),
+          lit(1000000L).as("total_length")).distinct()
+        GenomeCoverage.genomeCoverage(aln, tl, sg)
+      },
+      Some("""WITH aln AS (
+             |  SELECT 'c' || CAST(l_suppkey % 40 AS VARCHAR) AS reference,
+             |         (l_orderkey % 5000) AS s,
+             |         (l_orderkey % 5000) + CAST(l_quantity AS BIGINT) AS e
+             |    FROM lineitem),
+             |alnd AS (SELECT DISTINCT reference, s, e FROM aln),
+             |flagd AS (
+             |  SELECT reference, s, e,
+             |         CASE WHEN s <= MAX(e) OVER (PARTITION BY reference ORDER BY s, e
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |              THEN 0 ELSE 1 END AS is_new
+             |    FROM alnd),
+             |isl AS (
+             |  SELECT reference, s, e,
+             |         SUM(is_new) OVER (PARTITION BY reference ORDER BY s, e
+             |             ROWS UNBOUNDED PRECEDING) AS island
+             |    FROM flagd),
+             |ci AS (SELECT reference, island, MIN(s) AS start, MAX(e) AS stop
+             |         FROM isl GROUP BY reference, island),
+             |sg AS (SELECT DISTINCT 'c' || CAST(l_suppkey % 40 AS VARCHAR) AS contig_id,
+             |              'g' || CAST(l_suppkey % 5 AS VARCHAR) AS genome_id FROM lineitem),
+             |tl AS (SELECT DISTINCT 'g' || CAST(l_suppkey % 5 AS VARCHAR) AS genome_id,
+             |              CAST(1000000 AS BIGINT) AS total_length FROM lineitem),
+             |internal AS (
+             |  SELECT sg.genome_id, ci.reference, CAST(SUM(ci.stop - ci.start) AS BIGINT) AS covered_internal
+             |    FROM ci JOIN sg ON ci.reference = sg.contig_id
+             |   GROUP BY sg.genome_id, ci.reference),
+             |tc AS (SELECT genome_id, CAST(SUM(covered_internal) AS BIGINT) AS covered
+             |         FROM internal GROUP BY genome_id)
+             |SELECT tc.genome_id, tc.covered,
+             |       CAST(tc.covered AS DOUBLE) / tl.total_length AS proportion_covered
+             |  FROM tc JOIN tl USING (genome_id)""".stripMargin)),
+
+    // 2B: read_gff + parse_gff_attributes over a GFF3 fixture.
+    QueryDef(
+      "b09_read_gff",
+      (s, d) => {
+        val path = "/tmp/graft_b09.gff"
+        val pw = new java.io.PrintWriter(path)
+        try pw.write(
+          "##gff-version 3\n" +
+            "#!annotation-source test\n" +
+            "chr1\tsrcA\tgene\t100\t200\t0.5\t+\t0\tID=gene1;Name=foo\n" +
+            "chr1\tsrcA\texon\t120\t180\t.\t-\t1\tID=exon1;Parent=gene1\n" +
+            "chr2\tsrcB\tCDS\t5\t50\t1.5\t.\t2\tID=cds1\n")
+        finally pw.close()
+        Gff.readGff(s, path)
+          .withColumn("attributes", array_sort(map_entries(col("attributes"))))
+      },
+      Some("""SELECT column0 AS seqid, column1 AS source, column2 AS type,
+             |       column3::INTEGER AS position, column4::INTEGER AS stop_position,
+             |       CASE WHEN column5 = '.' THEN NULL ELSE column5::DOUBLE END AS score,
+             |       CASE WHEN column6 = '.' THEN NULL ELSE column6 END AS strand,
+             |       CASE WHEN column7 = '.' THEN NULL ELSE column7::INTEGER END AS phase,
+             |       list_sort(list_transform(string_split(column8, ';'),
+             |         x -> struct_pack(key := string_split(x,'=')[1],
+             |                          value := string_split(x,'=')[2]))) AS attributes
+             |  FROM read_csv('/tmp/graft_b09.gff', delim='\t', header=false, skip=2,
+             |       columns={'column0':'VARCHAR','column1':'VARCHAR','column2':'VARCHAR',
+             |                'column3':'VARCHAR','column4':'VARCHAR','column5':'VARCHAR',
+             |                'column6':'VARCHAR','column7':'VARCHAR','column8':'VARCHAR'},
+             |       auto_detect=false, null_padding=true)
+             | WHERE column0 NOT LIKE '##%'""".stripMargin)),
+
+    // 2B: read_jplace over a jplace fixture (best placement only,
+    // nm-name fallback to n-name). filepath reduced to basename so both
+    // engines' path schemes compare equal.
+    QueryDef(
+      "b10_read_jplace",
+      (s, d) => {
+        val path = "/tmp/graft_b10.jplace"
+        val pw = new java.io.PrintWriter(path)
+        try pw.write(
+          """{"version": 3,
+            | "tree": "((A:0.1{0},B:0.2{1}):0.3{2});",
+            | "placements": [
+            |   {"p": [[0, -100.5, 0.9, 0.1, 0.05]], "n": ["frag1"]},
+            |   {"p": [[2, -50.25, 0.8, 0.2, 0.15], [1, -60.0, 0.2, 0.1, 0.1]],
+            |    "nm": [["frag2", 2]]}
+            | ],
+            | "fields": ["edge_num", "likelihood", "like_weight_ratio",
+            |            "distal_length", "pendant_length"],
+            | "metadata": {"software": "test"}}""".stripMargin)
+        finally pw.close()
+        Jplace.readJplace(s, path)
+          .withColumn("filepath", regexp_extract(col("filepath"), "[^/]+$", 0))
+      },
+      Some("""SELECT COALESCE(json_extract_string(pj, '$.nm[0][0]'),
+             |                json_extract_string(pj, '$.n[0]')) AS fragment,
+             |       json_extract(pj, '$.p[0][0]')::INTEGER AS edge_num,
+             |       json_extract(pj, '$.p[0][1]')::DOUBLE AS likelihood,
+             |       json_extract(pj, '$.p[0][2]')::DOUBLE AS like_weight_ratio,
+             |       json_extract(pj, '$.p[0][3]')::DOUBLE AS distal_length,
+             |       json_extract(pj, '$.p[0][4]')::DOUBLE AS pendant_length,
+             |       'graft_b10.jplace' AS filepath
+             |  FROM (SELECT to_json(unnest(placements)) AS pj
+             |          FROM read_json('/tmp/graft_b10.jplace'))""".stripMargin)),
+
+    // 2D: miint_version + bowtie2_available (registered SQL surface).
+    QueryDef(
+      "b11_version",
+      (s, d) => {
+        MiintRegistry.registerAll(s)
+        s.sql("SELECT miint_version() AS v, bowtie2_available() AS b2")
+      },
+      Some(s"SELECT '${MiintRegistry.version}' AS v, false AS b2"))
+  )
 }
