@@ -1,0 +1,143 @@
+package graft.kernel
+
+import scala.collection.mutable
+
+/** Pure text-hashing kernels for the training-data pipeline operators —
+  * no Spark dependencies, no JVM-hash dependence (all hashes are
+  * explicit arithmetic so results are stable across platforms/runs).
+  */
+object TextKernel {
+
+  /** FNV-1a 64-bit over UTF-16 code units. */
+  def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 finalizer — cheap independent-ish rehash family. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Distinct character n-gram (shingle) hash set of a string. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    if (text.length < n) return Array.empty
+    val set = new mutable.HashSet[Long]
+    var i = 0
+    while (i + n <= text.length) {
+      set += hash64(text.substring(i, i + n))
+      i += 1
+    }
+    set.toArray
+  }
+
+  /** MinHash signature: numHashes independent minima over the shingle
+    * set (hash family = splitmix64 of shingle-hash XOR per-row seed).
+    * Empty shingle set → all Long.MaxValue.
+    */
+  def minhashSignature(shingles: Array[Long], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val h = shingles(i)
+      var j = 0
+      while (j < numHashes) {
+        val v = mix64(h ^ (j.toLong * 0x9e3779b97f4a7c15L))
+        if (java.lang.Long.compareUnsigned(v, sig(j)) < 0) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over token hashes (bit-majority vote). */
+  def simhash64(tokens: Iterable[String]): Long = {
+    val votes = new Array[Int](64)
+    for (t <- tokens) {
+      val h = hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Winnowing document fingerprints (Schleimer et al. MOSS scheme):
+    * rolling k-gram hashes, per-window-of-w minimum (rightmost on
+    * ties), returned as a sorted distinct set. Robust to local edits —
+    * two documents sharing a long run share fingerprints.
+    */
+  def winnowFingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    if (text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) { grams(i) = mix64(hash64(text.substring(i, i + k))); i += 1 }
+    if (n <= w) return grams.distinct.sorted
+    val out = new mutable.HashSet[Long]
+    var win = 0
+    while (win + w <= n) {
+      var minIdx = win
+      var j = win + 1
+      while (j < win + w) {
+        if (java.lang.Long.compareUnsigned(grams(j), grams(minIdx)) <= 0) minIdx = j
+        j += 1
+      }
+      out += grams(minIdx)
+      win += 1
+    }
+    out.toArray.sorted
+  }
+
+  /** Whitespace tokens, lowercased. */
+  def tokens(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+
+  private val stopwordProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "with"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "los", "se", "del", "las", "por"),
+    "de" -> Set("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im", "ein", "nicht"),
+    "fr" -> Set("le", "la", "de", "et", "les", "des", "en", "un", "du", "que", "est", "pour"))
+
+  /** n-gram/stopword language-ID heuristic. CJK-dominant text → "zh";
+    * otherwise the profile with the highest stopword hit-count wins
+    * (ties broken lexicographically); no hits → "und".
+    */
+  def langId(text: String): String = {
+    if (text.isEmpty) return "und"
+    var cjk = 0
+    var total = 0
+    for (c <- text) {
+      if (!c.isWhitespace) {
+        total += 1
+        if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) cjk += 1
+      }
+    }
+    if (total > 0 && cjk * 10 >= total * 3) return "zh"
+    val toks = tokens(text)
+    val scores = stopwordProfiles.view
+      .mapValues(profile => toks.count(profile.contains)).toMap
+    val best = scores.toSeq.sortBy { case (lang, score) => (-score, lang) }.head
+    if (best._2 == 0) "und" else best._1
+  }
+}

@@ -1,10 +1,176 @@
 package graft.queries
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.functions._
 
-/** Large-scale training-data pipeline operators (dedup, similarity
-  * search, text analysis, multimodal) — filled incrementally.
+/** Training-data pipeline operators over documents/embeddings.
+  *
+  * Oracle-checkable variants are registered with DuckDB SQL that
+  * re-derives the semantics independently (list/regex functions);
+  * probabilistic variants (LSH candidate generation) are registered
+  * rows-only and validated by planted-duplicate ScalaTest suites.
   */
 object LlmPipeline {
-  val queries: Seq[QueryDef] = Seq()
+
+  /** DuckDB 5-gram shingle set of column t (1-based substr, distinct). */
+  private def duckShingles(t: String): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(length($t) - 4, 0)), i -> substr($t, i, 5)))"
+
+  /** DuckDB left-fold double dot product of two float lists (matches
+    * Spark aggregate+zip_with evaluation order bit-for-bit).
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  val queries: Seq[QueryDef] = Seq(
+    // Exact dedup by content hash (hash-partitioned aggregation — the
+    // 100 TB-safe baseline dedup).
+    QueryDef(
+      "l01_exact_dedup",
+      (s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+             |  FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // Exact character-5-gram Jaccard over a deterministic pair set
+    // (consecutive doc ids) — the verification kernel LSH relies on.
+    QueryDef(
+      "l02_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = docs.select((col("doc_id") - 1).as("id_a"), col("text").as("text_b"),
+          col("doc_id").as("id_b"))
+        a.join(b, "id_a")
+          .select(col("id_a"), col("id_b"),
+            round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5), 6).as("jaccard"))
+      },
+      Some(s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |       ROUND(CAST(len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")})) AS DOUBLE)
+              |         / (len(${duckShingles("a.text")}) + len(${duckShingles("b.text")})
+              |            - len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")}))), 6) AS jaccard
+              |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+
+    // MinHash + banded LSH near-dup pairs (candidates only within band
+    // buckets, exact-Jaccard verified). Probabilistic candidate set →
+    // rows-only check here; recall validated in LlmOpsSpec.
+    QueryDef(
+      "l03_minhash_lsh",
+      (s, d) =>
+        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4),
+      None),
+
+    // SimHash near-dup pairs (16-bit band buckets, Hamming-verified).
+    QueryDef(
+      "l04_simhash",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10),
+      None),
+
+    // Brute-force cosine top-k (correctness baseline for ANN): 10 query
+    // vectors broadcast against the corpus, top-5 each.
+    QueryDef(
+      "l05_ann_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 5)
+          .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+      },
+      Some(s"""WITH pairs AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+              |         ${duckDot("c.embedding", "q.embedding")} /
+              |           (sqrt(${duckDot("c.embedding", "c.embedding")}) *
+              |            sqrt(${duckDot("q.embedding", "q.embedding")})) AS cos
+              |    FROM embeddings c, embeddings q
+              |   WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+              |ranked AS (
+              |  SELECT query_id, vec_id, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              |    FROM pairs)
+              |SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank
+              |  FROM ranked WHERE rank <= 5""".stripMargin)),
+
+    // Text-quality stats (token counts, punctuation/stopword ratios,
+    // mean word length) — pure column expressions, oracle-re-derived.
+    QueryDef(
+      "l06_text_stats",
+      (s, d) =>
+        TextStats.qualityReport(Tables.documents(s, d), "doc_id", "text")
+          .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_bpeish"),
+            round(col("punct_ratio"), 6).as("punct_ratio"),
+            round(col("stopword_ratio"), 6).as("stopword_ratio"),
+            round(col("mean_word_len"), 6).as("mean_word_len")),
+      Some("""WITH t AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+             |    FROM documents)
+             |SELECT doc_id,
+             |       length(text) AS n_chars,
+             |       CAST(len(toks) AS BIGINT) AS n_tokens,
+             |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish,
+             |       ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+             |             / length(text), 6) AS punct_ratio,
+             |       ROUND(CAST(len(list_filter(toks, x -> list_contains(
+             |               ['the','and','of','to','in','is','that','it','was','for','a','with'],
+             |               lower(x)))) AS DOUBLE) / len(toks), 6) AS stopword_ratio,
+             |       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             |             / len(toks), 6) AS mean_word_len
+             |  FROM t""".stripMargin)),
+
+    // Winnowing fingerprints + language-ID (kernel-validated; heuristic
+    // output has no SQL equivalent → rows-only).
+    QueryDef(
+      "l07_fingerprint_langid",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+          .join(docs.select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred")), "doc_id")
+          .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"), col("lang_pred"))
+      },
+      None),
+
+    // Multimodal plumbing: binary payloads + partition-batched feature
+    // extraction (decode step stubbed — see Multimodal.fakeDecode).
+    QueryDef(
+      "l08_multimodal",
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+        Multimodal.extractFeatures(media).select("media_id", "kind", "n_bytes")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+             |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+             |  FROM documents""".stripMargin)),
+
+    // Embedding cosine near-dup, exact within a blocking key (label) —
+    // deterministic, oracle-checkable; the LSH variant (scale path) is
+    // l10.
+    QueryDef(
+      "l09_cosine_neardup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).withColumn("label", col("label").cast("int"))
+        Similarity.blockedNearDupPairs(emb, "label", 0.8)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      },
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |       ROUND(${duckDot("a.embedding", "b.embedding")} /
+              |         (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+              |          sqrt(${duckDot("b.embedding", "b.embedding")})), 6) AS cos
+              |  FROM embeddings a JOIN embeddings b
+              |    ON a.label = b.label AND a.vec_id < b.vec_id
+              | WHERE ${duckDot("a.embedding", "b.embedding")} /
+              |       (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+              |        sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.8""".stripMargin)),
+
+    // LSH-bucketed ANN near-dup (the 100 TB path: shuffle on bucket key
+    // only) — probabilistic → rows-only; recall vs brute force asserted
+    // in LlmOpsSpec.
+    QueryDef(
+      "l10_lsh_neardup",
+      (s, d) =>
+        Similarity.lshNearDupPairs(Tables.embeddings(s, d), dim = 64,
+          nBits = 10, nTables = 4, threshold = 0.8),
+      None)
+  )
 }

@@ -1,0 +1,67 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextKernelSpec extends AnyFunSuite {
+  import TextKernel._
+
+  test("hash64 is deterministic and spreads") {
+    assert(hash64("abc") == hash64("abc"))
+    assert(hash64("abc") != hash64("abd"))
+    assert(hash64("") == 0xcbf29ce484222325L)
+  }
+
+  test("shingleHashes: distinct n-grams, short-input empty") {
+    assert(shingleHashes("ab", 5).isEmpty)
+    assert(shingleHashes("aaaaaa", 5).length == 1) // "aaaaa" twice, deduped
+    assert(shingleHashes("abcdef", 5).length == 2)
+  }
+
+  test("minhash similarity approximates Jaccard") {
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home"
+    val b = "the quick brown fox jumps over the lazy cat and runs far away home"
+    val c = "completely different content with nothing shared at all whatsoever here"
+    val sa = minhashSignature(shingleHashes(a, 5), 128)
+    val sb = minhashSignature(shingleHashes(b, 5), 128)
+    val sc = minhashSignature(shingleHashes(c, 5), 128)
+    def est(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / x.length
+    def exact(x: String, y: String) = {
+      val (hx, hy) = (shingleHashes(x, 5).toSet, shingleHashes(y, 5).toSet)
+      hx.intersect(hy).size.toDouble / hx.union(hy).size
+    }
+    assert(math.abs(est(sa, sb) - exact(a, b)) < 0.15)
+    assert(est(sa, sc) < 0.2)
+    assert(est(sa, sa) == 1.0)
+  }
+
+  test("simhash: similar token multisets land within small Hamming distance") {
+    val a = simhash64("the quick brown fox jumps over the lazy dog tonight".split(" "))
+    val b = simhash64("the quick brown fox jumps over the lazy cat tonight".split(" "))
+    val c = simhash64("entirely unrelated words describing other various topics instead".split(" "))
+    assert(hammingDistance(a, a) == 0)
+    assert(hammingDistance(a, b) < hammingDistance(a, c))
+    assert(hammingDistance(a, b) <= 16)
+  }
+
+  test("winnowing: shared runs share fingerprints, robust to local edit") {
+    val base = "spark catalyst optimizer rewrites logical plans into physical plans efficiently"
+    val edited = base.replace("rewrites", "rewrote")
+    val fa = winnowFingerprints(base, 8, 4).toSet
+    val fb = winnowFingerprints(edited, 8, 4).toSet
+    val fc = winnowFingerprints("zzz totally disjoint text qqq", 8, 4).toSet
+    assert(fa.intersect(fb).size.toDouble / fa.size > 0.5)
+    assert(fa.intersect(fc).isEmpty)
+    assert(winnowFingerprints("short", 8, 4).isEmpty)
+  }
+
+  test("langId: stopword profiles + CJK detection") {
+    assert(langId("the cat sat on the mat and it was happy for a while") == "en")
+    assert(langId("el perro corre en la casa y los gatos se van del lugar") == "es")
+    assert(langId("der Hund und die Katze sind mit dem Ball im Garten") == "de")
+    assert(langId("le chat et les chiens sont dans un jardin du village") == "fr")
+    assert(langId("今天天气很好我们去公园散步吧") == "zh")
+    assert(langId("xyzzy plugh qwerty") == "und")
+    assert(langId("") == "und")
+  }
+}
