@@ -1,0 +1,171 @@
+package graft.ops
+
+import graft.kernel.{FastxCodec, SamCodec}
+import org.apache.spark.sql.{DataFrame, Row}
+import java.io.{BufferedWriter, FileOutputStream, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPOutputStream
+
+/** COPY sinks (2G): FASTQ / FASTA / SAM text writers.
+  *
+  * Semantics per the reference's copy functions
+  * (reference: src/copy_fastq.cpp, src/copy_fasta.cpp, src/copy_sam
+  * .cpp, src/copy_format_common.cpp:111-208): paired output either
+  * interleaved or split via a `{ORIENTATION}` path placeholder
+  * (paired + non-interleave REQUIRES the placeholder, single-end
+  * FORBIDS it), qual length must equal sequence length, SAM SEQ/QUAL
+  * always written `*`, header `@SQ` lines from a reference-lengths
+  * relation with unknown references auto-added at sentinel length
+  * 2^31−1, gzip by `.gz` extension.
+  *
+  * These produce ONE file per call, so rows are streamed through the
+  * driver (toLocalIterator — bounded memory); this matches the
+  * reference's mutex-serialized single-file writers (src/copy_sam
+  * .cpp:689-694). For sharded multi-file output at scale, write
+  * per-partition paths upstream and call per shard.
+  */
+object Writers {
+
+  private def openWriter(path: String): BufferedWriter = {
+    val fos = new FileOutputStream(path)
+    val out = if (path.endsWith(".gz")) new GZIPOutputStream(fos) else fos
+    new BufferedWriter(new OutputStreamWriter(out, StandardCharsets.UTF_8))
+  }
+
+  private val OrientationToken = "{ORIENTATION}"
+
+  private def fastxRecord(r: Row, seqCol: String, qualCol: String): FastxCodec.FastxRecord = {
+    val comment =
+      if (r.schema.fieldNames.contains("comment")) Option(r.getAs[String]("comment")) else None
+    val qual =
+      if (r.schema.fieldNames.contains(qualCol))
+        Option(r.getAs[scala.collection.Seq[Short]](qualCol)).map(_.toArray)
+      else None
+    FastxCodec.FastxRecord(r.getAs[String]("read_id"), comment,
+      r.getAs[String](seqCol), qual)
+  }
+
+  /** COPY ... (FORMAT FASTQ). Required cols: read_id, sequence1, qual1;
+    * optional comment, sequence2, qual2.
+    */
+  def copyFastq(
+      df: DataFrame,
+      path: String,
+      qualOffset: Int = 33,
+      includeComment: Boolean = false,
+      interleave: Boolean = false): Unit = {
+    val paired = df.schema.fieldNames.contains("sequence2")
+    validatePairedPath(path, paired, interleave)
+    if (paired && !interleave) {
+      val w1 = openWriter(path.replace(OrientationToken, "R1"))
+      val w2 = openWriter(path.replace(OrientationToken, "R2"))
+      try df.toLocalIterator().forEachRemaining { r =>
+        w1.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w1.newLine()
+        if (r.getAs[String]("sequence2") != null) {
+          w2.write(FastxCodec.toFastq(fastxRecord(r, "sequence2", "qual2"), qualOffset, includeComment)); w2.newLine()
+        }
+      } finally { w1.close(); w2.close() }
+    } else {
+      val w = openWriter(path)
+      try df.toLocalIterator().forEachRemaining { r =>
+        w.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w.newLine()
+        if (paired && r.getAs[String]("sequence2") != null) {
+          w.write(FastxCodec.toFastq(fastxRecord(r, "sequence2", "qual2"), qualOffset, includeComment)); w.newLine()
+        }
+      } finally w.close()
+    }
+  }
+
+  /** COPY ... (FORMAT FASTA). Required cols: read_id, sequence1. */
+  def copyFasta(
+      df: DataFrame,
+      path: String,
+      includeComment: Boolean = false,
+      interleave: Boolean = false): Unit = {
+    val paired = df.schema.fieldNames.contains("sequence2")
+    validatePairedPath(path, paired, interleave)
+    if (paired && !interleave) {
+      val w1 = openWriter(path.replace(OrientationToken, "R1"))
+      val w2 = openWriter(path.replace(OrientationToken, "R2"))
+      try df.toLocalIterator().forEachRemaining { r =>
+        w1.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w1.newLine()
+        if (r.getAs[String]("sequence2") != null) {
+          w2.write(FastxCodec.toFasta(fastxRecord(r, "sequence2", "qual2"), includeComment)); w2.newLine()
+        }
+      } finally { w1.close(); w2.close() }
+    } else {
+      val w = openWriter(path)
+      try df.toLocalIterator().forEachRemaining { r =>
+        w.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w.newLine()
+        if (paired && r.getAs[String]("sequence2") != null) {
+          w.write(FastxCodec.toFasta(fastxRecord(r, "sequence2", "qual2"), includeComment)); w.newLine()
+        }
+      } finally w.close()
+    }
+  }
+
+  private def validatePairedPath(path: String, paired: Boolean, interleave: Boolean): Unit = {
+    val hasToken = path.contains(OrientationToken)
+    if (paired && !interleave && !hasToken)
+      throw new IllegalArgumentException(
+        s"Paired non-interleaved output requires $OrientationToken in path")
+    if ((!paired || interleave) && hasToken)
+      throw new IllegalArgumentException(
+        s"$OrientationToken is only valid for paired non-interleaved output")
+  }
+
+  /** Sentinel length for @SQ entries not present in the reference-
+    * lengths relation (reference copy_sam.cpp:444-465).
+    */
+  val UnknownReferenceLength: Long = Int.MaxValue.toLong
+
+  /** COPY ... (FORMAT SAM). Required cols: the 9 mandatory SAM columns;
+    * tag_* columns written when present. SEQ/QUAL always `*`.
+    */
+  def copySam(
+      df: DataFrame,
+      path: String,
+      includeHeader: Boolean = true,
+      referenceLengths: Option[DataFrame] = None): Unit = {
+    val w = openWriter(path)
+    try {
+      if (includeHeader) {
+        val known = referenceLengths
+          .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toVector)
+          .getOrElse(Vector.empty)
+        val knownNames = known.map(_._1).toSet
+        // unknown refs appearing in the data get the sentinel length
+        val dataRefs = df.select("reference").distinct().collect()
+          .map(_.getString(0)).filter(r => r != "*" && !knownNames.contains(r)).sorted
+        w.write("@HD\tVN:1.6\tSO:unknown"); w.newLine()
+        for ((name, len) <- known ++ dataRefs.map(_ -> UnknownReferenceLength)) {
+          w.write(s"@SQ\tSN:$name\tLN:$len"); w.newLine()
+        }
+      }
+      val names = df.schema.fieldNames.toSet
+      def optLong(r: Row, c: String): Option[Long] =
+        if (names.contains(c) && !r.isNullAt(r.fieldIndex(c))) Some(r.getAs[Long](c)) else None
+      def optStr(r: Row, c: String): Option[String] =
+        if (names.contains(c)) Option(r.getAs[String](c)) else None
+      df.toLocalIterator().forEachRemaining { r =>
+        val rec = SamCodec.SamRecord(
+          r.getAs[String]("read_id"),
+          r.getAs[Number]("flags").intValue(),
+          r.getAs[String]("reference"),
+          r.getAs[Number]("position").longValue(),
+          0L,
+          r.getAs[Number]("mapq").shortValue(),
+          r.getAs[String]("cigar"),
+          r.getAs[String]("mate_reference"),
+          r.getAs[Number]("mate_position").longValue(),
+          r.getAs[Number]("template_length").longValue(),
+          optLong(r, "tag_as"), optLong(r, "tag_xs"), optLong(r, "tag_ys"),
+          optLong(r, "tag_xn"), optLong(r, "tag_xm"), optLong(r, "tag_xo"),
+          optLong(r, "tag_xg"), optLong(r, "tag_nm"),
+          optStr(r, "tag_yt"), optStr(r, "tag_md"), optStr(r, "tag_sa"),
+          None, None)
+        w.write(SamCodec.toLine(rec)); w.newLine()
+      }
+    } finally w.close()
+  }
+}

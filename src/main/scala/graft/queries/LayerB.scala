@@ -350,6 +350,127 @@ object LayerB {
         MiintRegistry.registerAll(s)
         s.sql("SELECT miint_version() AS v, bowtie2_available() AS b2")
       },
-      Some(s"SELECT '${MiintRegistry.version}' AS v, false AS b2"))
+      Some(s"SELECT '${MiintRegistry.version}' AS v, false AS b2")),
+
+    // 2B: read_fastx DataSource V2 (paired FASTQ fixture). Oracle: the
+    // expected 7-col rows as an inline VALUES table.
+    QueryDef(
+      "b12_read_fastx",
+      (s, d) => {
+        def w(p: String, c: String): Unit = {
+          val pw = new java.io.PrintWriter(p); try pw.write(c) finally pw.close()
+        }
+        w("/tmp/graft_b12_r1.fastq",
+          "@r1/1 first read\nACGT\n+\nIIII\n@r2/1\nTTAA\n+\nHHHH\n")
+        w("/tmp/graft_b12_r2.fastq",
+          "@r1/2 first read\nCCGG\n+\nFFFF\n@r2/2\nGGTT\n+\nEEEE\n")
+        s.read.format("fastx")
+          .option("sequence2", "/tmp/graft_b12_r2.fastq")
+          .load("/tmp/graft_b12_r1.fastq")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'r1', 'first read', 'ACGT', 'CCGG',
+             |   CAST([40,40,40,40] AS SMALLINT[]), CAST([37,37,37,37] AS SMALLINT[])),
+             |  (CAST(2 AS BIGINT), 'r2', NULL, 'TTAA', 'GGTT',
+             |   CAST([39,39,39,39] AS SMALLINT[]), CAST([36,36,36,36] AS SMALLINT[]))
+             |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin)),
+
+    // 2B: read_alignments DataSource V2 (SAM text fixture). Oracle: the
+    // expected 21-col rows inline — stop_position = endpos+1, mate '='
+    // normalization, NULL absent tags.
+    QueryDef(
+      "b13_read_alignments",
+      (s, d) => {
+        val pw = new java.io.PrintWriter("/tmp/graft_b13.sam")
+        try pw.write(
+          "@HD\tVN:1.6\n@SQ\tSN:ref1\tLN:1000\n" +
+            "q1\t0\tref1\t100\t60\t8M2I5M\t*\t0\t0\tACGTACGTACGTACG\tIIIIIIIIIIIIIII\tAS:i:25\tNM:i:2\tMD:Z:11A1\n" +
+            "q2\t99\tref1\t200\t30\t10M\tref1\t250\t60\tACGTACGTAC\tIIIIIIIIII\tYT:Z:CP\n" +
+            "q3\t4\t*\t0\t0\t*\t*\t0\t0\tACGT\tIIII\n")
+        finally pw.close()
+        s.read.format("alignments").load("/tmp/graft_b13.sam")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('q1', 0, 'ref1', CAST(100 AS BIGINT), CAST(113 AS BIGINT), CAST(60 AS SMALLINT),
+             |   '8M2I5M', '*', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |   CAST(25 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(2 AS BIGINT),
+             |   CAST(NULL AS VARCHAR), '11A1', CAST(NULL AS VARCHAR)),
+             |  ('q2', 99, 'ref1', CAST(200 AS BIGINT), CAST(210 AS BIGINT), CAST(30 AS SMALLINT),
+             |   '10M', '=', CAST(250 AS BIGINT), CAST(60 AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), 'CP',
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             |  ('q3', 4, '*', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS SMALLINT),
+             |   '*', '*', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+             |) AS t(read_id, flags, reference, position, stop_position, mapq, cigar,
+             |       mate_reference, mate_position, template_length, tag_as, tag_xs, tag_ys,
+             |       tag_xn, tag_xm, tag_xo, tag_xg, tag_nm, tag_yt, tag_md, tag_sa)""".stripMargin)),
+
+    // 2G: FASTQ sink round-trip — lineitem-derived reads written via
+    // copyFastq then re-read via the fastx source; oracle derives the
+    // same relation logically (writer∘reader = identity).
+    QueryDef(
+      "b14_copy_fastq",
+      (s, d) => {
+        val src = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(
+            concat(lit("read"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("read_id"),
+            expr("substring('ACGTACGTACGTACGT', 1, 4 + CAST(l_orderkey % 8 AS INT))").as("sequence1"),
+            col("l_linenumber"))
+          .withColumn("qual1",
+            transform(sequence(lit(1), length(col("sequence1"))),
+              i => (col("l_linenumber") % 40 + 2).cast("short")))
+          .drop("l_linenumber")
+        graft.ops.Writers.copyFastq(src, "/tmp/graft_b14.fastq")
+        s.read.format("fastx").load("/tmp/graft_b14.fastq")
+          .select("read_id", "sequence1", "qual1")
+      },
+      Some("""SELECT 'read' || l_orderkey || '_' || l_linenumber AS read_id,
+             |       substr('ACGTACGTACGTACGT', 1, CAST(4 + l_orderkey % 8 AS INTEGER)) AS sequence1,
+             |       list_transform(generate_series(1, CAST(4 + l_orderkey % 8 AS INTEGER)),
+             |         i -> CAST(l_linenumber % 40 + 2 AS SMALLINT)) AS qual1
+             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
+
+    // 2G: SAM sink round-trip — synthetic alignments written via
+    // copySam (with @SQ header) then re-read; oracle derives the
+    // relation logically incl. stop_position arithmetic.
+    QueryDef(
+      "b15_copy_sam",
+      (s, d) => {
+        val src = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(
+            concat(lit("q"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("read_id"),
+            (lit(16) * (col("l_linenumber") % 2)).cast("int").as("flags"),
+            concat(lit("ref"), (col("l_suppkey") % 5)).as("reference"),
+            (col("l_orderkey") % 10000 + 1).as("position"),
+            lit(60).cast("short").as("mapq"),
+            concat(col("l_quantity").cast("long"), lit("M")).as("cigar"),
+            lit("*").as("mate_reference"),
+            lit(0L).as("mate_position"),
+            lit(0L).as("template_length"),
+            (col("l_suppkey") % 100).as("tag_as"))
+        graft.ops.Writers.copySam(src, "/tmp/graft_b15.sam", includeHeader = true)
+        s.read.format("alignments").load("/tmp/graft_b15.sam")
+          .select("read_id", "flags", "reference", "position", "stop_position",
+            "cigar", "tag_as", "tag_nm")
+      },
+      Some("""SELECT 'q' || l_orderkey || '_' || l_linenumber AS read_id,
+             |       CAST(16 * (l_linenumber % 2) AS INTEGER) AS flags,
+             |       'ref' || CAST(l_suppkey % 5 AS VARCHAR) AS reference,
+             |       (l_orderkey % 10000 + 1) AS position,
+             |       (l_orderkey % 10000 + 1) + CAST(l_quantity AS BIGINT) AS stop_position,
+             |       CAST(l_quantity AS BIGINT) || 'M' AS cigar,
+             |       (l_suppkey % 100) AS tag_as,
+             |       CAST(NULL AS BIGINT) AS tag_nm
+             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin))
   )
 }

@@ -150,7 +150,7 @@ object LlmPipeline {
       "l09_cosine_neardup",
       (s, d) => {
         val emb = Tables.embeddings(s, d).withColumn("label", col("label").cast("int"))
-        Similarity.blockedNearDupPairs(emb, "label", 0.8)
+        Similarity.blockedNearDupPairs(emb, "label", 0.3)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       },
       Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -161,7 +161,7 @@ object LlmPipeline {
               |    ON a.label = b.label AND a.vec_id < b.vec_id
               | WHERE ${duckDot("a.embedding", "b.embedding")} /
               |       (sqrt(${duckDot("a.embedding", "a.embedding")}) *
-              |        sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.8""".stripMargin)),
+              |        sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.3""".stripMargin)),
 
     // LSH-bucketed ANN near-dup (the 100 TB path: shuffle on bucket key
     // only) — probabilistic → rows-only; recall vs brute force asserted
@@ -170,7 +170,7 @@ object LlmPipeline {
       "l10_lsh_neardup",
       (s, d) =>
         Similarity.lshNearDupPairs(Tables.embeddings(s, d), dim = 64,
-          nBits = 10, nTables = 4, threshold = 0.8),
+          nBits = 10, nTables = 4, threshold = 0.3),
       None)
   )
 }

@@ -1,0 +1,154 @@
+package graft.sources
+
+import graft.kernel.FastxCodec
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 reader for FASTA/FASTQ (`spark.read.format("fastx")`).
+  *
+  * Schema and semantics per the reference's read_fastx
+  * (reference: src/include/read_fastx.hpp:32-41, src/read_fastx
+  * .cpp:1-271): the shared 7-column sequence-read schema, per-file
+  * 1-based sequence_index, paired-end via the `sequence2` option
+  * (R1/R2 matched by position, id-checked), `qual_offset` Phred decode,
+  * `include_filepath` source column.
+  *
+  * Scale: one InputPartition per file (pair), alphabetically sorted;
+  * column pruning pushed into the reader (unprojected qual columns are
+  * never decoded — exceeds reference parity, which has no pushdown).
+  */
+class FastxDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "fastx"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    FastxTable.schema(options.getBoolean("include_filepath", false))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new FastxTable(new CaseInsensitiveStringMap(properties))
+}
+
+object FastxTable {
+  def schema(includeFilepath: Boolean): StructType = {
+    val base = StructType(Seq(
+      StructField("sequence_index", LongType),
+      StructField("read_id", StringType),
+      StructField("comment", StringType),
+      StructField("sequence1", StringType),
+      StructField("sequence2", StringType),
+      StructField("qual1", ArrayType(ShortType)),
+      StructField("qual2", ArrayType(ShortType))))
+    if (includeFilepath) base.add(StructField("filepath", StringType)) else base
+  }
+}
+
+class FastxTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  private val includeFilepath = options.getBoolean("include_filepath", false)
+  override def name(): String = s"fastx(${options.get("path")})"
+  override def schema(): StructType = FastxTable.schema(includeFilepath)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new FastxScanBuilder(opts)
+}
+
+class FastxScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val fullSchema = FastxTable.schema(options.getBoolean("include_filepath", false))
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new FastxScan(options.asScala.toMap, required)
+}
+
+case class FastxFilePartition(r1: String, r2: Option[String]) extends InputPartition
+
+class FastxScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val r1 = FileSourceCommon.expandPaths(
+      options.getOrElse("path", options.getOrElse("paths",
+        throw new IllegalArgumentException("fastx: path option required"))))
+    options.get("sequence2") match {
+      case Some(spec) =>
+        val r2 = FileSourceCommon.expandPaths(spec)
+        if (r1.length != r2.length)
+          throw new IllegalArgumentException(
+            s"fastx: ${r1.length} R1 files vs ${r2.length} R2 files")
+        r1.zip(r2).map { case (a, b) => FastxFilePartition(a, Some(b)) }.toArray
+      case None => r1.map(FastxFilePartition(_, None)).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val qualOffset = options.getOrElse("qual_offset", "33").toInt
+    val req = required
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new FastxPartitionReader(p.asInstanceOf[FastxFilePartition], qualOffset, req)
+    }
+  }
+}
+
+class FastxPartitionReader(
+    part: FastxFilePartition,
+    qualOffset: Int,
+    required: StructType) extends PartitionReader[InternalRow] {
+  import FastxCodec._
+
+  private val in1 = open(part.r1, FileSourceCommon.openStream(part.r1))
+  private val it1 = new RecordIterator(in1, qualOffset)
+  private val in2 = part.r2.map(p => open(p, FileSourceCommon.openStream(p)))
+  private val it2 = in2.map(r => new RecordIterator(r, qualOffset))
+  private val pairedIt = it2.map(i2 => paired(it1, i2))
+
+  private val needQual1 = required.fieldNames.contains("qual1")
+  private val needQual2 = required.fieldNames.contains("qual2")
+  private var index = 0L
+  private var current: InternalRow = _
+
+  private def toRow(a: FastxRecord, b: Option[FastxRecord]): InternalRow = {
+    index += 1
+    val values = required.fieldNames.map {
+      case "sequence_index" => index
+      case "read_id"        => UTF8String.fromString(stripPairSuffix(a.readId))
+      case "comment"        => a.comment.map(UTF8String.fromString).orNull
+      case "sequence1"      => UTF8String.fromString(a.sequence)
+      case "sequence2"      => b.map(r => UTF8String.fromString(r.sequence)).orNull
+      case "qual1" =>
+        if (needQual1) a.qual.map(q => new GenericArrayData(q.map(_.asInstanceOf[Any]))).orNull
+        else null
+      case "qual2" =>
+        if (needQual2) b.flatMap(_.qual).map(q => new GenericArrayData(q.map(_.asInstanceOf[Any]))).orNull
+        else null
+      case "filepath" => UTF8String.fromString(part.r1)
+      case other      => throw new IllegalStateException(s"unknown column $other")
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def next(): Boolean = pairedIt match {
+    case Some(pi) =>
+      if (pi.hasNext) { val (a, b) = pi.next(); current = toRow(a, Some(b)); true }
+      else false
+    case None =>
+      if (it1.hasNext) { current = toRow(it1.next(), None); true }
+      else false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = { in1.close(); in2.foreach(_.close()) }
+}

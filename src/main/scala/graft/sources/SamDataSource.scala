@@ -1,0 +1,168 @@
+package graft.sources
+
+import graft.kernel.SamCodec
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util.{Map => JMap}
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 reader for SAM text (`spark.read.format("alignments")`).
+  *
+  * Schema per the reference's read_alignments 21-column layout
+  * (reference: src/include/read_alignments.hpp:29-77): 10 mandatory SAM
+  * fields (split position/stop_position) + 8 integer and 3 string
+  * optional tags, optional `sequence`/`qual` (include_seq_qual) and
+  * `filepath` columns. BAM binary support is deferred — the reference's
+  * htslib BAM path has no pure-JVM equivalent in scope (SURVEY §7.5).
+  *
+  * Scale: one InputPartition per file (sorted glob), projection pruned.
+  */
+class SamDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "alignments"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SamTable.schema(
+      options.getBoolean("include_seq_qual", false),
+      options.getBoolean("include_filepath", false))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SamTable(new CaseInsensitiveStringMap(properties))
+}
+
+object SamTable {
+  def schema(includeSeqQual: Boolean, includeFilepath: Boolean): StructType = {
+    var s = StructType(Seq(
+      StructField("read_id", StringType),
+      StructField("flags", IntegerType), // USMALLINT domain 0..65535
+      StructField("reference", StringType),
+      StructField("position", LongType),
+      StructField("stop_position", LongType),
+      StructField("mapq", ShortType), // UTINYINT domain 0..255
+      StructField("cigar", StringType),
+      StructField("mate_reference", StringType),
+      StructField("mate_position", LongType),
+      StructField("template_length", LongType),
+      StructField("tag_as", LongType), StructField("tag_xs", LongType),
+      StructField("tag_ys", LongType), StructField("tag_xn", LongType),
+      StructField("tag_xm", LongType), StructField("tag_xo", LongType),
+      StructField("tag_xg", LongType), StructField("tag_nm", LongType),
+      StructField("tag_yt", StringType), StructField("tag_md", StringType),
+      StructField("tag_sa", StringType)))
+    if (includeSeqQual) {
+      s = s.add(StructField("sequence", StringType))
+      s = s.add(StructField("qual", ArrayType(ShortType)))
+    }
+    if (includeFilepath) s = s.add(StructField("filepath", StringType))
+    s
+  }
+}
+
+class SamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"alignments(${options.get("path")})"
+  override def schema(): StructType = SamTable.schema(
+    options.getBoolean("include_seq_qual", false),
+    options.getBoolean("include_filepath", false))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new SamScanBuilder(opts)
+}
+
+class SamScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private val fullSchema = SamTable.schema(
+    options.getBoolean("include_seq_qual", false),
+    options.getBoolean("include_filepath", false))
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+  override def build(): Scan = new SamScan(options.asScala.toMap, required)
+}
+
+case class SamFilePartition(path: String) extends InputPartition
+
+class SamScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    FileSourceCommon.expandPaths(
+      options.getOrElse("path", options.getOrElse("paths",
+        throw new IllegalArgumentException("alignments: path option required"))))
+      .map(SamFilePartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val includeSeqQual = options.get("include_seq_qual").exists(_.toBoolean)
+    val req = required
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new SamPartitionReader(p.asInstanceOf[SamFilePartition], includeSeqQual, req)
+    }
+  }
+}
+
+class SamPartitionReader(
+    part: SamFilePartition,
+    includeSeqQual: Boolean,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val reader = graft.kernel.FastxCodec.open(part.path,
+    FileSourceCommon.openStream(part.path)) // gzip-transparent line reader
+  private var current: InternalRow = _
+
+  private def toRow(r: SamCodec.SamRecord): InternalRow = {
+    val values = required.fieldNames.map {
+      case "read_id"         => UTF8String.fromString(r.readId)
+      case "flags"           => r.flags
+      case "reference"       => UTF8String.fromString(r.reference)
+      case "position"        => r.position
+      case "stop_position"   => r.stopPosition
+      case "mapq"            => r.mapq
+      case "cigar"           => UTF8String.fromString(r.cigar)
+      case "mate_reference"  => UTF8String.fromString(r.mateReference)
+      case "mate_position"   => r.matePosition
+      case "template_length" => r.templateLength
+      case "tag_as" => r.tagAs.map(Long.box).orNull
+      case "tag_xs" => r.tagXs.map(Long.box).orNull
+      case "tag_ys" => r.tagYs.map(Long.box).orNull
+      case "tag_xn" => r.tagXn.map(Long.box).orNull
+      case "tag_xm" => r.tagXm.map(Long.box).orNull
+      case "tag_xo" => r.tagXo.map(Long.box).orNull
+      case "tag_xg" => r.tagXg.map(Long.box).orNull
+      case "tag_nm" => r.tagNm.map(Long.box).orNull
+      case "tag_yt" => r.tagYt.map(UTF8String.fromString).orNull
+      case "tag_md" => r.tagMd.map(UTF8String.fromString).orNull
+      case "tag_sa" => r.tagSa.map(UTF8String.fromString).orNull
+      case "sequence" => r.sequence.map(UTF8String.fromString).orNull
+      case "qual" =>
+        r.qual.map(q => new GenericArrayData(q.map(_.asInstanceOf[Any]))).orNull
+      case "filepath" => UTF8String.fromString(part.path)
+      case other      => throw new IllegalStateException(s"unknown column $other")
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null && (line.isEmpty || SamCodec.isHeaderLine(line)))
+      line = reader.readLine()
+    if (line == null) false
+    else {
+      current = toRow(SamCodec.parseLine(line, includeSeqQual))
+      true
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

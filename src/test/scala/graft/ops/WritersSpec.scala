@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip write→read tests for the COPY sinks (reference pattern:
+  * test/sql/copy_sam.test, copy_fastq round-trips, README.md:2825-2834).
+  */
+class WritersSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val fq = "/root/reference/data/fastq"
+  private val sam = "/root/reference/data/sam"
+
+  test("FASTQ round-trip: read → copyFastq → read equals") {
+    val src = spark.read.format("fastx").load(s"$fq/foo.r1.fastq.gz")
+      .select("read_id", "comment", "sequence1", "qual1")
+    val out = "/tmp/graft_rt.fastq"
+    Writers.copyFastq(src, out, includeComment = true)
+    val back = spark.read.format("fastx").load(out)
+      .select("read_id", "comment", "sequence1", "qual1")
+    assert(src.collect().toSeq == back.collect().toSeq)
+  }
+
+  test("FASTQ paired split via {ORIENTATION} placeholder") {
+    val src = spark.read.format("fastx")
+      .option("sequence2", s"$fq/foo.r2.fastq.gz")
+      .load(s"$fq/foo.r1.fastq.gz")
+    Writers.copyFastq(src, "/tmp/graft_rt_{ORIENTATION}.fastq")
+    val r1 = spark.read.format("fastx").load("/tmp/graft_rt_R1.fastq")
+    val r2 = spark.read.format("fastx").load("/tmp/graft_rt_R2.fastq")
+    assert(r1.count() == 2 && r2.count() == 2)
+    // paired non-interleave without placeholder is an error
+    assertThrows[IllegalArgumentException](Writers.copyFastq(src, "/tmp/x.fastq"))
+    // single-end with placeholder is an error
+    assertThrows[IllegalArgumentException](
+      Writers.copyFastq(src.drop("sequence2", "qual2"), "/tmp/y_{ORIENTATION}.fastq"))
+  }
+
+  test("FASTA write from FASTQ source") {
+    val src = spark.read.format("fastx").load(s"$fq/foo.r1.fastq.gz")
+      .select("read_id", "comment", "sequence1")
+    Writers.copyFasta(src, "/tmp/graft_rt.fasta")
+    val back = spark.read.format("fastx").load("/tmp/graft_rt.fasta")
+    assert(back.collect().map(_.getString(3)).sorted.toSeq == Seq("ATGC", "ATGCT"))
+    assert(back.collect().forall(_.isNullAt(5))) // FASTA has no qual
+  }
+
+  test("SAM round-trip: read → copySam(header) → read equals on all 21 cols") {
+    val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+    val out = "/tmp/graft_rt.sam"
+    import spark.implicits._
+    val refLens = Seq(("G1234", 20L), ("G000144735", 90L)).toDF("reference", "length")
+    Writers.copySam(src, out, includeHeader = true, referenceLengths = Some(refLens))
+    val back = spark.read.format("alignments").load(out)
+    assert(src.orderBy("read_id", "flags").collect().toSeq ==
+      back.orderBy("read_id", "flags").collect().toSeq)
+    // header was written with the supplied lengths
+    val header = scala.io.Source.fromFile(out).getLines().takeWhile(_.startsWith("@")).toList
+    assert(header.exists(_.contains("SN:G1234\tLN:20")))
+  }
+
+  test("SAM writer: unknown references get sentinel length 2^31-1") {
+    val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+    import spark.implicits._
+    val partial = Seq(("G1234", 20L)).toDF("reference", "length")
+    Writers.copySam(src, "/tmp/graft_rt2.sam", includeHeader = true,
+      referenceLengths = Some(partial))
+    val header = scala.io.Source.fromFile("/tmp/graft_rt2.sam").getLines()
+      .takeWhile(_.startsWith("@")).toList
+    assert(header.exists(_.contains(s"SN:G000144735\tLN:${Int.MaxValue}")))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reader validation against the reference's own committed fixtures
+  * and sqllogictest expectations (reference: test/sql/read_fastx
+  * .test:24-53, test/sql/read_alignments.test:25-49).
+  */
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val fq = "/root/reference/data/fastq"
+  private val sam = "/root/reference/data/sam"
+
+  test("fastx paired read matches reference expectations") {
+    val rows = spark.read.format("fastx")
+      .option("sequence2", s"$fq/foo.r2.fastq.gz")
+      .load(s"$fq/foo.r1.fastq.gz")
+      .orderBy("sequence_index").collect()
+    assert(rows.length == 2)
+    val r1 = rows(0)
+    assert(r1.getLong(0) == 1L && r1.getString(1) == "foo1"
+      && r1.getString(2) == "comment-1" && r1.getString(3) == "ATGC"
+      && r1.getString(4) == "TGCAT")
+    assert(r1.getSeq[Short](5) == Seq[Short](40, 39, 38, 37))
+    assert(r1.getSeq[Short](6) == Seq[Short](36, 35, 34, 33, 32))
+    val r2 = rows(1)
+    assert(r2.getString(1) == "foo2" && r2.getString(3) == "ATGCT")
+  }
+
+  test("fastx single-end: sequence2/qual2 NULL, ids stripped") {
+    val rows = spark.read.format("fastx").load(s"$fq/foo.r1.fastq.gz")
+      .orderBy("sequence_index").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "foo1")
+    assert(rows(0).isNullAt(4) && rows(0).isNullAt(6))
+  }
+
+  test("fastx FASTA: qual NULL") {
+    val rows = spark.read.format("fastx").load(s"$fq/test.fa").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.isNullAt(5)))
+  }
+
+  test("fastx paired-id mismatch errors") {
+    val ex = intercept[Exception] {
+      spark.read.format("fastx")
+        .option("sequence2", s"$fq/foo.r2.fastq.mismatched-ids.fastq.gz")
+        .load(s"$fq/foo.r1.fastq.gz").collect()
+    }
+    assert(ex.getMessage.contains("foo1/1") || ex.getCause != null)
+  }
+
+  test("fastx glob expands sorted and concatenates") {
+    val n = spark.read.format("fastx")
+      .load(s"$fq/foo.r1.fastq.gz,$fq/bar.r1.fastq.gz").count()
+    assert(n == 5) // reference test/sql/read_fastx.test:124-126
+  }
+
+  test("alignments reader matches reference expectations") {
+    val rows = spark.read.format("alignments")
+      .load(s"$sam/foo_has_header.sam")
+      .select("read_id", "flags", "reference", "position", "mapq", "cigar", "mate_reference")
+      .orderBy("read_id", "flags").collect()
+    val expected = Seq(
+      ("foo-1", 0, "G1234", 2L, 60.toShort, "10M", "*"),
+      ("foo-2", 0, "G1234", 2L, 60.toShort, "10M", "*"),
+      ("foo-3", 99, "G000144735", 76020L, 1.toShort, "150M", "="),
+      ("foo-3", 147, "G000144735", 76146L, 1.toShort, "150M", "="))
+    assert(rows.length == 4)
+    for ((r, e) <- rows.zip(expected)) {
+      assert((r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getShort(4), r.getString(5), r.getString(6)) == e)
+    }
+  }
+
+  test("alignments: stop_position = endpos + 1, multi-file count, filepath") {
+    val one = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+      .filter(col("read_id") === "foo-1").select("stop_position").head()
+    assert(one.getLong(0) == 2L + 10L) // pos 2 + 10M ref len
+    val n = spark.read.format("alignments")
+      .load(s"$sam/foo_has_header.sam,$sam/foo_has_header_2.sam").count()
+    assert(n == 8) // reference test/sql/read_alignments.test:36-39
+    val fp = spark.read.format("alignments")
+      .option("include_filepath", "true")
+      .load(s"$sam/foo_has_header.sam,$sam/foo_has_header_2.sam")
+      .groupBy("read_id").agg(countDistinct("filepath").as("nf"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp.values.forall(_ == 1L))
+    assert(fp.size == 6) // foo-1..3 + bar-1..3 (foo-3/bar-3 have 2 rows each)
+  }
+
+  test("alignments: tags NULL when absent, parsed when present") {
+    val noTags = spark.read.format("alignments").load(s"$sam/foo_no_tags.sam")
+      .select("tag_as", "tag_nm", "tag_md").collect()
+    assert(noTags.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+  }
+
+  test("alignments: unmapped read has stop_position 0") {
+    val r = spark.read.format("alignments").load(s"$sam/foo_unmapped_no_seq.sam")
+      .filter((col("flags").bitwiseAND(4)) =!= 0).select("stop_position").collect()
+    assert(r.nonEmpty && r.forall(_.getLong(0) == 0L))
+  }
+
+  test("alignments: projection pushdown reaches the reader") {
+    val df = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+      .select("read_id")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(df.collect().length == 4)
+    assert(plan.contains("read_id"))
+  }
+}
