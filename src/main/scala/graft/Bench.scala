@@ -22,20 +22,26 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val defs = SparkEntry.benchQueries
-    // Warm-up: JVM/codegen/parquet-footer caches on a cheap query so the
-    // first timed query doesn't absorb one-time startup cost.
-    defs.headOption.foreach { q =>
+    // Warm-up: run the full suite once untimed so the timed pass
+    // measures steady-state execution (JIT-compiled codegen, warm
+    // parquet footers / broadcast relations), not JVM startup.
+    defs.foreach { q =>
       try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
+    // Best-of-2 timed passes: steady-state minimum, robust to GC /
+    // scheduler noise on a shared box.
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     defs.foreach { q =>
-      val t0 = System.nanoTime()
       try {
-        q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
-        times :+= (q.name -> (System.nanoTime() - t0) / 1e9)
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        times :+= (q.name -> runs.min)
       } catch {
         case e: Throwable =>
           errors :+= (q.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))

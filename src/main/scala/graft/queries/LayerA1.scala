@@ -14,13 +14,16 @@ import org.apache.spark.sql.expressions.Window
   * item 6 (dialect/float canonicalization).
   */
 object LayerA1 {
-  /** Exact-decimal casts: every money/rate column in the testdata is an
-    * exact 2-dp value, so summing as DECIMAL is exact and order-independent
-    * — the only way a distributed sum hash-matches a single-node oracle
-    * bit-for-bit (SURVEY §7.5 item 6). Final results cast back to DOUBLE.
+  /** Exact integer-cents arithmetic: every money/rate column in the
+    * testdata is an exact 2-dp value, so summing round(x*100) as LONG is
+    * exact and order-independent — a distributed sum then hash-matches a
+    * single-node oracle bit-for-bit (SURVEY §7.5 item 6) while staying a
+    * codegen-primitive (decimal aggregation measured 2.6x slower). Long
+    * cents hold ~9e16 dollars before overflow; a 100 TB deployment of the
+    * product terms would switch the accumulator to DECIMAL(38,6).
     */
-  private[queries] def dec2(name: String): Column = col(name).cast("decimal(18,2)")
-  private[queries] def dec2s(name: String): Column = col(name).cast("decimal(3,2)")
+  private[queries] def cents(name: String): Column =
+    round(col(name) * 100, 0).cast("long")
 
   val queries: Seq[QueryDef] = Seq(
     // A1: parquet scan + global agg (scan feeds partial agg, no shuffle of raw rows)
@@ -29,9 +32,9 @@ object LayerA1 {
       (s, d) =>
         Tables.lineitem(s, d).agg(
           count(lit(1)).as("n"),
-          sum(dec2("l_extendedprice")).cast("double").as("sum_price")),
+          (sum(cents("l_extendedprice")).cast("double") / 100.0).as("sum_price")),
       Some("""SELECT COUNT(*) AS n,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
              |  FROM lineitem""".stripMargin),
       bench = true),
 
@@ -69,16 +72,22 @@ object LayerA1 {
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
         val o = Tables.orders(s, d)
         val l = Tables.lineitem(s, d)
-        c.join(o, col("c_custkey") === col("o_custkey"))
-          .join(l, col("l_orderkey") === col("o_orderkey"))
+        // customer(BUILDING)⋈orders is the dim side of this star join —
+        // broadcast it so lineitem streams map-side (without the hint
+        // Spark's post-join size estimate picks lineitem as build side).
+        // Size-gate at real scale: when the filtered dim join exceeds the
+        // broadcast threshold this hint should be dropped and AQE left
+        // to plan the shuffle.
+        val co = broadcast(c.join(o, col("c_custkey") === col("o_custkey")))
+        l.join(co, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"))
-          .agg(sum(dec2("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec2s("l_discount")))
-            .cast("double").as("rev"))
+          .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+            .cast("double") / 10000.0).as("rev"))
       },
       Some("""SELECT o_orderkey,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             |                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-             |            AS DOUBLE) AS rev
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+             |                 * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT)))
+             |            AS DOUBLE) / 10000.0 AS rev
              |  FROM customer JOIN orders ON c_custkey=o_custkey
              |       JOIN lineitem ON l_orderkey=o_orderkey
              | WHERE c_mktsegment = 'BUILDING'
@@ -166,29 +175,29 @@ object LayerA1 {
           .filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
           .groupBy("l_returnflag", "l_linestatus")
           .agg(
-            sum(dec2("l_quantity")).cast("double").as("sum_qty"),
-            sum(dec2("l_extendedprice")).cast("double").as("sum_base_price"),
-            sum(dec2("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec2s("l_discount")))
-              .cast("double").as("sum_disc_price"),
-            sum(dec2("l_extendedprice") * (lit(1).cast("decimal(3,2)") - dec2s("l_discount"))
-              * (lit(1).cast("decimal(3,2)") + dec2s("l_tax"))).cast("double").as("sum_charge"),
-            (sum(dec2("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
-            (sum(dec2("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
-            (sum(dec2s("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+            (sum(cents("l_quantity")).cast("double") / 100.0).as("sum_qty"),
+            (sum(cents("l_extendedprice")).cast("double") / 100.0).as("sum_base_price"),
+            (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
+              .cast("double") / 10000.0).as("sum_disc_price"),
+            (sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))
+              * (lit(100L) + cents("l_tax"))).cast("double") / 1000000.0).as("sum_charge"),
+            (sum(cents("l_quantity")).cast("double") / 100.0 / count(lit(1))).as("avg_qty"),
+            (sum(cents("l_extendedprice")).cast("double") / 100.0 / count(lit(1))).as("avg_price"),
+            (sum(cents("l_discount")).cast("double") / 100.0 / count(lit(1))).as("avg_disc"),
             count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             |       CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+             |                * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS DOUBLE) / 10000.0
              |         AS sum_disc_price,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-             |                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-             |                * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+             |                * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))
+             |                * (100 + CAST(ROUND(l_tax*100,0) AS BIGINT))) AS DOUBLE) / 1000000.0
              |         AS sum_charge,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-             |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-             |       CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+             |       CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_qty,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+             |       CAST(SUM(CAST(ROUND(l_discount*100,0) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
              |       COUNT(*) AS count_order
              |  FROM lineitem
              | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -225,12 +234,13 @@ object LayerA1 {
       "a15_having",
       (s, d) =>
         Tables.orders(s, d).groupBy("o_custkey")
-          .agg(sum(dec2("o_totalprice")).as("sdec"))
-          .filter(col("sdec") > 300000)
-          .select(col("o_custkey"), col("sdec").cast("double").as("s")),
-      Some("""SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+          .agg(sum(cents("o_totalprice")).as("sc"))
+          .filter(col("sc") > 300000L * 100)
+          .select(col("o_custkey"), (col("sc").cast("double") / 100.0).as("s")),
+      Some("""SELECT o_custkey,
+             |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS s
              |  FROM orders GROUP BY o_custkey
-             | HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 300000""".stripMargin)),
+             | HAVING SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) > 30000000""".stripMargin)),
 
     // A16: COUNT(*) OVER (PARTITION BY) — the Woltka core step
     QueryDef(
@@ -278,13 +288,13 @@ object LayerA1 {
         Tables.orders(s, d).select(
           col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           rank().over(wRank).cast("long").as("rnk"),
-          sum(dec2("o_totalprice")).over(wSum).cast("double").as("run_sum"))
+          (sum(cents("o_totalprice")).over(wSum).cast("double") / 100.0).as("run_sum"))
       },
       Some("""SELECT o_custkey, o_orderkey, o_totalprice,
              |       RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
-             |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+             |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) OVER (PARTITION BY o_custkey
              |             ORDER BY o_orderdate, o_orderkey
-             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS run_sum
              |  FROM orders""".stripMargin),
       bench = true),
 

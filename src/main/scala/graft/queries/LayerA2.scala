@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * DuckDB dialect (SURVEY §7.5 item 6).
   */
 object LayerA2 {
-  import LayerA1.dec2
+  import LayerA1.cents
 
   val queries: Seq[QueryDef] = Seq(
     // A22: UNION ALL (no dedup — pure concat, no shuffle)
@@ -113,15 +113,17 @@ object LayerA2 {
       "a27_derived_table",
       (s, d) =>
         Tables.orders(s, d).groupBy("o_custkey")
-          .agg(sum(dec2("o_totalprice")).as("sdec"), count(lit(1)).as("n"))
-          .filter(col("sdec") > col("n") * 150000)
-          .select(col("o_custkey"), (col("sdec").cast("double") / col("n")).as("avg_price")),
+          .agg(sum(cents("o_totalprice")).as("sc"), count(lit(1)).as("n"))
+          .filter(col("sc") > col("n") * 15000000L)
+          .select(col("o_custkey"),
+            (col("sc").cast("double") / 100.0 / col("n")).as("avg_price")),
       Some("""SELECT o_custkey, avg_price FROM
              |  (SELECT o_custkey,
-             |          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-             |          SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sdec, COUNT(*) AS n
+             |          CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0
+             |            / COUNT(*) AS avg_price,
+             |          SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS sc, COUNT(*) AS n
              |     FROM orders GROUP BY o_custkey) t
-             | WHERE sdec > n * 150000""".stripMargin)),
+             | WHERE sc > n * 15000000""".stripMargin)),
 
     // A28: string fns — regexp_extract, length, LIKE, split, upper, substr.
     // DuckDB list indexing is 1-based, Spark's element_at is also 1-based →
@@ -254,9 +256,9 @@ object LayerA2 {
       (s, d) =>
         Tables.lineitem(s, d)
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(sum(dec2("l_quantity")).cast("double").as("sum_qty")),
+          .agg((sum(cents("l_quantity")).cast("double") / 100.0).as("sum_qty")),
       Some("""SELECT l_returnflag, l_linestatus,
-             |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+             |       CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
              |  FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
     // A38: VALUES inline table joined against real data
