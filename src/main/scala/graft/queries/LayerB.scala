@@ -471,6 +471,110 @@ object LayerB {
              |       CAST(l_quantity AS BIGINT) || 'M' AS cigar,
              |       (l_suppkey % 100) AS tag_as,
              |       CAST(NULL AS BIGINT) AS tag_nm
-             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin))
+             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
+
+    // 2B: read_newick — tree-as-table (one row per node, parent
+    // pointers). Oracle: the expected node table inline.
+    QueryDef(
+      "b16_read_newick",
+      (s, d) => {
+        val pw = new java.io.PrintWriter("/tmp/graft_b16.nwk")
+        try pw.write("((A:0.1,B:0.2):0.3,C:0.4);\n") finally pw.close()
+        graft.ops.NewickOps.readNewick(s, "/tmp/graft_b16.nwk")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(0 AS BIGINT), '', CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), false),
+             |  (CAST(1 AS BIGINT), '', 0.3, CAST(NULL AS BIGINT), CAST(0 AS BIGINT), false),
+             |  (CAST(2 AS BIGINT), 'A', 0.1, CAST(NULL AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(3 AS BIGINT), 'B', 0.2, CAST(NULL AS BIGINT), CAST(1 AS BIGINT), true),
+             |  (CAST(4 AS BIGINT), 'C', 0.4, CAST(NULL AS BIGINT), CAST(0 AS BIGINT), true)
+             |) AS t(node_index, name, branch_length, edge_id, parent_index, is_tip)""".stripMargin)),
+
+    // 2G: COPY NEWICK round-trip with jplace placement grafting
+    // (insert_fully_resolved): build node table → graft fragment F on
+    // edge 0 → serialize → re-read → compare topology-independent
+    // projection. Oracle re-derives the grafted tree by hand; computed
+    // branch lengths use IEEE expressions (1.0-0.3), not literals.
+    QueryDef(
+      "b17_copy_newick",
+      (s, d) => {
+        import s.implicits._
+        val nodes = Seq(
+          (0L, None: Option[Long], "", Some(0.0), Some(4L)),
+          (1L, Some(0L), "", Some(0.5), Some(2L)),
+          (2L, Some(1L), "A", Some(1.0), Some(0L)),
+          (3L, Some(1L), "B", Some(2.0), Some(1L)),
+          (4L, Some(0L), "C", Some(3.0), Some(3L)))
+          .toDF("node_index", "parent_index", "name", "branch_length", "edge_id")
+        val placements = Seq(("F", 0L, -100.5, 0.9, 0.3, 0.1))
+          .toDF("fragment", "edge_num", "likelihood", "like_weight_ratio",
+            "distal_length", "pendant_length")
+        graft.ops.NewickOps.copyNewick(nodes, "/tmp/graft_b17.nwk", Some(placements))
+        graft.ops.NewickOps.readNewick(s, "/tmp/graft_b17.nwk")
+          .select(col("name"), col("branch_length"), col("is_tip"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('', CAST(0.0 AS DOUBLE), false),
+             |  ('', CAST(0.5 AS DOUBLE), false),
+             |  ('', CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE), false),
+             |  ('A', CAST(0.3 AS DOUBLE), true),
+             |  ('B', CAST(2.0 AS DOUBLE), true),
+             |  ('C', CAST(3.0 AS DOUBLE), true),
+             |  ('F', CAST(0.1 AS DOUBLE), true)
+             |) AS t(name, branch_length, is_tip)""".stripMargin)),
+
+    // 2B: read_sequences_sam — SEQ/QUAL extraction into the 7-col
+    // sequence schema (comment/sequence2/qual2 always NULL).
+    QueryDef(
+      "b18_read_sequences_sam",
+      (s, d) => {
+        val pw = new java.io.PrintWriter("/tmp/graft_b18.sam")
+        try pw.write(
+          "@HD\tVN:1.6\n" +
+            "read1\t4\t*\t0\t0\t*\t*\t0\t0\tACGTACGT\tIIIIHHHH\n" +
+            "read2\t4\t*\t0\t0\t*\t*\t0\t0\tTGCA\t!!!!\n" +
+            "read3\t4\t*\t0\t0\t*\t*\t0\t0\tNNNN\t*\n")
+        finally pw.close()
+        s.read.format("sam_sequences").load("/tmp/graft_b18.sam")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'read1', CAST(NULL AS VARCHAR), 'ACGTACGT',
+             |   CAST(NULL AS VARCHAR), CAST([40,40,40,40,39,39,39,39] AS SMALLINT[]),
+             |   CAST(NULL AS SMALLINT[])),
+             |  (CAST(2 AS BIGINT), 'read2', CAST(NULL AS VARCHAR), 'TGCA',
+             |   CAST(NULL AS VARCHAR), CAST([0,0,0,0] AS SMALLINT[]), CAST(NULL AS SMALLINT[])),
+             |  (CAST(3 AS BIGINT), 'read3', CAST(NULL AS VARCHAR), 'NNNN',
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS SMALLINT[]), CAST(NULL AS SMALLINT[]))
+             |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin)),
+
+    // 2D: align_pairwise_* — score/cigar over pairs with 0 or exactly 1
+    // substitution (optimum provably gap-free ⇒ score = 4·mismatches).
+    QueryDef(
+      "b19_align_pairwise",
+      (s, d) => {
+        val p = Tables.part(s, d)
+          .withColumn("seq", expr("substring('ACGTACGTACGTACGT', 1, 8 + CAST(p_partkey % 6 AS INT))"))
+          .withColumn("seq2", when(col("p_partkey") % 3 === 0, col("seq"))
+            .otherwise(concat(substring(col("seq"), 1, 1), lit("Z"),
+              expr("substring(seq, 3)"))))
+        p.select(
+          col("p_partkey"), col("seq"), col("seq2"),
+          PairwiseFunctions.alignPairwiseScore(col("seq"), col("seq2")).as("score"),
+          PairwiseFunctions.alignPairwiseCigar(col("seq"), col("seq2"))
+            .getField("cigar").as("cigar"))
+      },
+      Some("""SELECT p_partkey,
+             |       substr('ACGTACGTACGTACGT', 1, CAST(8 + p_partkey % 6 AS INTEGER)) AS seq,
+             |       CASE WHEN p_partkey % 3 = 0
+             |            THEN substr('ACGTACGTACGTACGT', 1, CAST(8 + p_partkey % 6 AS INTEGER))
+             |            ELSE substr('ACGTACGTACGTACGT', 1, 1) || 'Z' ||
+             |                 substr(substr('ACGTACGTACGTACGT', 1, CAST(8 + p_partkey % 6 AS INTEGER)), 3)
+             |       END AS seq2,
+             |       CASE WHEN p_partkey % 3 = 0 THEN 0 ELSE 4 END AS score,
+             |       CASE WHEN p_partkey % 3 = 0
+             |            THEN CAST(8 + p_partkey % 6 AS VARCHAR) || '='
+             |            ELSE '1=1X' || CAST(6 + p_partkey % 6 AS VARCHAR) || '='
+             |       END AS cigar
+             |  FROM part""".stripMargin))
   )
 }

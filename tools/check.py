@@ -48,6 +48,10 @@ def canon(df: pd.DataFrame):
             s = s.apply(cv)
         out[c] = s
     df = pd.DataFrame(out)
+    # all-null columns: canonicalize to object-None regardless of dtype
+    for c in df.columns:
+        if df[c].isna().all():
+            df[c] = pd.Series([None] * len(df), dtype=object)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True), dtypes
 
