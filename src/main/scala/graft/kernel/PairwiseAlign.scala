@@ -66,13 +66,16 @@ object PairwiseAlign {
         i += 1
       }
 
-      // traceback from the best terminal layer (prefer M, then I, then D)
+      // traceback from the best terminal layer. Gap layers take priority
+      // on ties so trailing subject/query overhang serializes as one
+      // contiguous terminal D/I run (e.g. "69=27D", never "68=27D1=") —
+      // callers strip terminal deletions when aligning into a window.
       val score = math.min(mL(n)(m), math.min(iL(n)(m), dL(n)(m)))
       val ops = new StringBuilder // reversed op chars
       var ci = n
       var cj = m
       var layer: Char =
-        if (mL(n)(m) == score) 'M' else if (iL(n)(m) == score) 'I' else 'D'
+        if (dL(n)(m) == score) 'D' else if (iL(n)(m) == score) 'I' else 'M'
       while (ci > 0 || cj > 0) {
         layer match {
           case 'M' =>

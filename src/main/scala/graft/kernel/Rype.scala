@@ -1,0 +1,133 @@
+package graft.kernel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** RYpe minimizer kernel — no Spark dependencies.
+  *
+  * Reimplements the documented RYpe semantics (reference: README.md:
+  * 1823-1960, src/rype_extract.cpp:68-82, RYPE.md; the upstream Rust
+  * core is an empty submodule, so this is a from-spec implementation,
+  * SURVEY §2C): RY-space 1-bit encoding (purine A/G → 0, pyrimidine
+  * C/T/U → 1), k-mers of k ∈ {16,32,64} bits packed in a u64, salted
+  * hash (default salt 6148914691236517205), window-of-w minimizer
+  * selection, unsigned-sorted deduplicated sets, 0-based positions in
+  * the strand variant. Ambiguous bases (N etc.) break the k-mer run —
+  * no k-mer containing them is emitted.
+  */
+object Rype {
+
+  val DefaultSalt: Long = 6148914691236517205L
+
+  def validateK(k: Int): Unit =
+    require(k == 16 || k == 32 || k == 64, s"k must be 16, 32, or 64 (got $k)")
+  def validateW(w: Int): Unit = require(w > 0, "w must be > 0")
+
+  /** RY encode: 0 = purine (A/G), 1 = pyrimidine (C/T/U), -1 = invalid. */
+  def ryBit(c: Char): Int = c match {
+    case 'A' | 'a' | 'G' | 'g'                         => 0
+    case 'C' | 'c' | 'T' | 't' | 'U' | 'u'             => 1
+    case _                                             => -1
+  }
+
+  /** Lenient DNA complement for strand handling (unknown → N). */
+  private def complement(c: Char): Char = c match {
+    case 'A' => 'T'; case 'T' => 'A'; case 'G' => 'C'; case 'C' => 'G'
+    case 'a' => 't'; case 't' => 'a'; case 'g' => 'c'; case 'c' => 'g'
+    case 'U' => 'A'; case 'u' => 'a'
+    case _   => 'N'
+  }
+
+  def reverseComplementLenient(seq: String): String = {
+    val out = new Array[Char](seq.length)
+    var i = 0
+    while (i < seq.length) {
+      out(i) = complement(seq.charAt(seq.length - 1 - i))
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** (hash, position) minimizers of one strand; positions are 0-based
+    * k-mer start offsets; consecutive duplicate window selections are
+    * emitted once (standard minimizer sampling).
+    */
+  def strandMinimizers(seq: String, k: Int, w: Int, salt: Long): (Array[Long], Array[Long]) = {
+    validateK(k); validateW(w)
+    if (seq == null || seq.length < k) return (Array.empty, Array.empty)
+    val n = seq.length
+    val mask = if (k == 64) -1L else (1L << k) - 1
+    // rolling RY k-mer hashes per start position (NaN-marked invalid)
+    val kmerHash = new Array[Long](n - k + 1)
+    val kmerValid = new Array[Boolean](n - k + 1)
+    var kmer = 0L
+    var validRun = 0 // consecutive valid bases ending at i
+    var i = 0
+    while (i < n) {
+      val b = ryBit(seq.charAt(i))
+      if (b < 0) { validRun = 0; kmer = 0L }
+      else {
+        kmer = ((kmer << 1) | b) & mask
+        validRun += 1
+      }
+      val start = i - k + 1
+      if (start >= 0) {
+        if (validRun >= k) {
+          kmerHash(start) = TextKernel.mix64(kmer ^ salt)
+          kmerValid(start) = true
+        }
+      }
+      i += 1
+    }
+    val hashes = new ArrayBuffer[Long]()
+    val positions = new ArrayBuffer[Long]()
+    val numKmers = n - k + 1
+    var lastEmitted = -1
+    var win = 0
+    while (win + w <= numKmers || (win == 0 && numKmers > 0 && numKmers < w)) {
+      val end = math.min(win + w, numKmers)
+      var minIdx = -1
+      var j = win
+      while (j < end) {
+        if (kmerValid(j) && (minIdx < 0 ||
+          java.lang.Long.compareUnsigned(kmerHash(j), kmerHash(minIdx)) < 0)) minIdx = j
+        j += 1
+      }
+      if (minIdx >= 0 && minIdx != lastEmitted) {
+        hashes += kmerHash(minIdx)
+        positions += minIdx.toLong
+        lastEmitted = minIdx
+      }
+      if (numKmers < w) win = numKmers // single short window
+      else win += 1
+    }
+    (hashes.toArray, positions.toArray)
+  }
+
+  /** Unsigned-sorted distinct minimizer set of one strand. */
+  def minimizerSet(seq: String, k: Int, w: Int, salt: Long): Array[Long] = {
+    val (hashes, _) = strandMinimizers(seq, k, w, salt)
+    val distinct = hashes.distinct
+    java.util.Arrays.sort(distinct)
+    // java sort is signed; rotate to unsigned order
+    unsignedSort(distinct)
+  }
+
+  private def unsignedSort(a: Array[Long]): Array[Long] = {
+    val boxed = a.map(Long.box)
+    java.util.Arrays.sort(boxed, (x: java.lang.Long, y: java.lang.Long) =>
+      java.lang.Long.compareUnsigned(x, y))
+    boxed.map(_.longValue())
+  }
+
+  /** Both strands, deduped+sorted (rype_extract_minimizer_set shape). */
+  def extractMinimizerSet(seq: String, k: Int, w: Int, salt: Long): (Array[Long], Array[Long]) =
+    (minimizerSet(seq, k, w, salt),
+      minimizerSet(reverseComplementLenient(seq), k, w, salt))
+
+  /** Classification score of a query set against a bucket set:
+    * |query ∩ bucket| / |query| (0 when the query set is empty).
+    */
+  def score(querySet: Array[Long], bucketSet: Set[Long]): Double =
+    if (querySet.isEmpty) 0.0
+    else querySet.count(bucketSet.contains).toDouble / querySet.length
+}

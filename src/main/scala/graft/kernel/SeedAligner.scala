@@ -1,0 +1,132 @@
+package graft.kernel
+
+import scala.collection.mutable
+
+/** Minimizer seed-and-extend aligner — no Spark dependencies.
+  *
+  * Semantic (not score-exact) reimplementation of the reference's
+  * in-process minimap2 usage (reference: src/align_minimap2.cpp,
+  * src/Minimap2Aligner.cpp, src/include/align_common.hpp): index the
+  * subjects' position-preserving minimizers, seed query minimizers
+  * against the index, vote on (subject, strand, diagonal), then run a
+  * global gap-affine alignment of the query against the implied
+  * subject window. Output follows SAM conventions: 1-based positions,
+  * flag 0x10 for reverse strand, 0x4 unmapped, 0x100 secondary,
+  * CIGAR with soft clips for out-of-window overhang, NM/AS tags.
+  * Exact minimap2 score parity is out of scope (SURVEY §2C) — schema
+  * and flag/CIGAR conventions are in scope.
+  */
+object SeedAligner {
+
+  final case class Subject(name: String, sequence: String)
+
+  final case class Hit(
+      subjectName: String,
+      position: Long, // 1-based
+      flags: Int,
+      cigar: String,
+      nm: Long,
+      score: Long,
+      mapq: Short)
+
+  /** Inverted minimizer index over subjects (driver-built, broadcast-
+    * sized — the reference materializes subjects in RAM the same way).
+    */
+  final class Index(val subjects: Vector[Subject], val k: Int, val w: Int,
+      val salt: Long) extends Serializable {
+    // minimizer hash -> Seq[(subject idx, kmer start)]
+    val postings: Map[Long, Vector[(Int, Int)]] = {
+      val m = new mutable.HashMap[Long, mutable.ArrayBuffer[(Int, Int)]]()
+      for ((s, si) <- subjects.zipWithIndex) {
+        val (hs, ps) = Rype.strandMinimizers(s.sequence, k, w, salt)
+        for (i <- hs.indices)
+          m.getOrElseUpdate(hs(i), new mutable.ArrayBuffer) += ((si, ps(i).toInt))
+      }
+      m.view.mapValues(_.toVector).toMap
+    }
+  }
+
+  def buildIndex(subjects: Seq[(String, String)], k: Int = 16, w: Int = 5,
+      salt: Long = Rype.DefaultSalt): Index =
+    new Index(subjects.map { case (n, s) => Subject(n, s) }.toVector, k, w, salt)
+
+  private val pairAligner = new PairwiseAlign.Aligner() // defaults 4/6/2
+
+  /** Align one query; returns hits best-first (primary first, then
+    * secondaries up to maxSecondary). Empty when no seeds.
+    */
+  def align(index: Index, query: String, maxSecondary: Int = 5): Seq[Hit] = {
+    if (query == null || query.length < index.k) return Seq.empty
+    val candidates = new mutable.HashMap[(Int, Boolean, Int), Int]() // (subj, rc, diag) -> votes
+    def seed(seq: String, rc: Boolean): Unit = {
+      val (hs, ps) = Rype.strandMinimizers(seq, index.k, index.w, index.salt)
+      for (i <- hs.indices; (si, spos) <- index.postings.getOrElse(hs(i), Vector.empty)) {
+        val diag = spos - ps(i).toInt
+        val key = (si, rc, diag & ~15) // bucket diagonals by 16 to absorb indels
+        candidates(key) = candidates.getOrElse(key, 0) + 1
+      }
+    }
+    seed(query, rc = false)
+    seed(Rype.reverseComplementLenient(query), rc = true)
+    if (candidates.isEmpty) return Seq.empty
+
+    val ranked = candidates.toSeq.sortBy { case ((si, _, diag), votes) => (-votes, si, diag) }
+      .take(1 + maxSecondary)
+    val hits = ranked.flatMap { case ((si, rc, diagBucket), _) =>
+      val subject = index.subjects(si)
+      val q = if (rc) Rype.reverseComplementLenient(query) else query
+      // subject window implied by the diagonal, padded for indels
+      val pad = 16 + q.length / 8
+      val start0 = math.max(0, diagBucket - pad)
+      val end0 = math.min(subject.sequence.length, diagBucket + q.length + pad)
+      if (end0 <= start0) None
+      else {
+        val window = subject.sequence.substring(start0, end0)
+        val f = pairAligner.alignFull(q, window)
+        // convert leading/trailing D runs into position offset / trim
+        val (cigar, posInWindow, nm, matched, penalty) = normalizeCigar(f.cigar)
+        if (matched == 0) None
+        else Some(Hit(subject.name, (start0 + posInWindow + 1).toLong,
+          if (rc) 0x10 else 0, cigar, nm, matched - penalty, 0))
+      }
+    }
+    val sorted = hits.sortBy(h => (-h.score, h.subjectName, h.position)).distinct
+    sorted.zipWithIndex.map { case (h, i) =>
+      val mapq: Short =
+        if (sorted.length == 1) 60
+        else if (i == 0) math.min(60, 10 + (sorted(0).score - sorted(1).score)).toShort
+        else 0
+      h.copy(
+        flags = h.flags | (if (i > 0) 0x100 else 0),
+        mapq = mapq)
+    }
+  }
+
+  /** Strip leading/trailing deletions (they are subject-only overhang,
+    * not part of the alignment span) → (cigar, 0-based offset in
+    * window, NM edit distance, matched columns, remaining gap-affine
+    * penalty at default 4/6/2 weights).
+    */
+  private[kernel] def normalizeCigar(cigar: String): (String, Int, Long, Long, Long) = {
+    // parse runs
+    val runs = new mutable.ArrayBuffer[(Int, Char)]()
+    var n = 0
+    for (c <- cigar) {
+      if (c.isDigit) n = n * 10 + (c - '0')
+      else { runs += ((n, c)); n = 0 }
+    }
+    var offset = 0
+    if (runs.nonEmpty && runs.head._2 == 'D') { offset = runs.head._1; runs.remove(0) }
+    if (runs.nonEmpty && runs.last._2 == 'D') runs.remove(runs.length - 1)
+    var nm = 0L
+    var matched = 0L
+    var penalty = 0L
+    for ((len, op) <- runs) op match {
+      case 'X'       => nm += len; matched += len; penalty += 4L * len
+      case 'I' | 'D' => nm += len; penalty += 6L + 2L * len
+      case '='       => matched += len
+      case _         =>
+    }
+    (runs.map { case (len, op) => s"$len$op" }.mkString, offset, nm, matched, penalty)
+  }
+}

@@ -575,6 +575,101 @@ object LayerB {
              |            THEN CAST(8 + p_partkey % 6 AS VARCHAR) || '='
              |            ELSE '1=1X' || CAST(6 + p_partkey % 6 AS VARCHAR) || '='
              |       END AS cigar
-             |  FROM part""".stripMargin))
+             |  FROM part""".stripMargin)),
+
+    // 2C: rype minimizer extraction — hash internals aren't SQL-
+    // expressible; rows-only here, invariants in RypeSpec (rc/fwd
+    // symmetry, unsigned sort, salt sensitivity).
+    QueryDef(
+      "b20_rype_extract",
+      (s, d) => {
+        import s.implicits._
+        val seqs = graft.queries.LayerB.syntheticGenomes(3, 400)
+          .zipWithIndex.map { case (g, i) => (s"seq$i", g) }.toDF("read_id", "sequence1")
+        graft.ops.RypeOps.rypeExtractMinimizerSet(seqs, k = 16, w = 5)
+          .select(col("read_id"), size(col("fwd_set")).as("n_fwd"),
+            size(col("rc_set")).as("n_rc"))
+      },
+      None),
+
+    // 2C: rype classify — distributed inverted-index join; planted
+    // reads classify to their source bucket (asserted in RypeOpsSpec);
+    // rows-only here.
+    QueryDef(
+      "b21_rype_classify",
+      (s, d) => {
+        import s.implicits._
+        val genomes = graft.queries.LayerB.syntheticGenomes(3, 800)
+        val subjects = genomes.zipWithIndex
+          .map { case (g, i) => (s"bucket$i", g) }.toDF("bucket_name", "sequence1")
+        val index = graft.ops.RypeOps.buildIndex(subjects, k = 16, w = 5)
+        val reads = genomes.zipWithIndex.flatMap { case (g, i) =>
+          (0 until 3).map(j => (s"b${i}_r$j", g.substring(j * 120, j * 120 + 150)))
+        }.toDF("read_id", "sequence1")
+        graft.ops.RypeOps.rypeClassify(index, reads, k = 16, w = 5, threshold = 0.5)
+          .select("read_id", "bucket_name")
+      },
+      None),
+
+    // 2C: align_minimap2 — exact substrings of deterministic genomes
+    // must align at their source offset with an all-match CIGAR.
+    // Oracle: the expected primary alignments inline.
+    QueryDef(
+      "b22_align_minimap2",
+      (s, d) => {
+        import s.implicits._
+        val genomes = graft.queries.LayerB.syntheticGenomes(2, 600)
+        val subjects = genomes.zipWithIndex
+          .map { case (g, i) => (s"ref$i", g) }.toDF("read_id", "sequence1")
+        val queries = Seq(
+          ("q0", genomes(0).substring(100, 220)),
+          ("q1", genomes(1).substring(250, 370)))
+          .toDF("read_id", "sequence1")
+        graft.ops.AlignOps.alignMinimap2(queries, subjects, k = 16, w = 5)
+          .filter((col("flags").bitwiseAND(lit(0x104))) === 0)
+          .select("read_id", "flags", "reference", "position", "stop_position",
+            "cigar", "tag_nm")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('q0', 0, 'ref0', CAST(101 AS BIGINT), CAST(221 AS BIGINT), '120=', CAST(0 AS BIGINT)),
+             |  ('q1', 0, 'ref1', CAST(251 AS BIGINT), CAST(371 AS BIGINT), '120=', CAST(0 AS BIGINT))
+             |) AS t(read_id, flags, reference, position, stop_position, cigar, tag_nm)""".stripMargin)),
+
+    // 2C: sharded alignment — per-shard sub-jobs unioned.
+    QueryDef(
+      "b23_align_sharded",
+      (s, d) => {
+        import s.implicits._
+        val genomes = graft.queries.LayerB.syntheticGenomes(2, 500)
+        Seq(("sA_ref", genomes(0))).toDF("read_id", "sequence1")
+          .write.mode("overwrite").parquet("/tmp/graft_b23_shards/shardA.parquet")
+        Seq(("sB_ref", genomes(1))).toDF("read_id", "sequence1")
+          .write.mode("overwrite").parquet("/tmp/graft_b23_shards/shardB.parquet")
+        val queries = Seq(
+          ("r0", genomes(0).substring(60, 180)),
+          ("r1", genomes(1).substring(60, 180))).toDF("read_id", "sequence1")
+        val readToShard = Seq(("r0", "shardA"), ("r1", "shardB")).toDF("read_id", "shard_name")
+        graft.ops.AlignOps.alignMinimap2Sharded(queries, "/tmp/graft_b23_shards",
+          readToShard, k = 16, w = 5)
+          .filter((col("flags").bitwiseAND(lit(0x104))) === 0)
+          .select("read_id", "reference", "position", "cigar")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('r0', 'sA_ref', CAST(61 AS BIGINT), '120='),
+             |  ('r1', 'sB_ref', CAST(61 AS BIGINT), '120=')
+             |) AS t(read_id, reference, position, cigar)""".stripMargin))
   )
+
+  /** Deterministic pseudo-random genomes (LCG — stable across JVMs). */
+  def syntheticGenomes(n: Int, len: Int): Seq[String] = {
+    (0 until n).map { i =>
+      var state = 0x9E3779B97F4A7C15L + i * 0xBF58476D1CE4E5B9L
+      val sb = new StringBuilder(len)
+      for (_ <- 0 until len) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        sb.append("ACGT"(((state >>> 33) % 4).toInt))
+      }
+      sb.toString
+    }
+  }
 }

@@ -1,0 +1,97 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AlignOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def genome(seed: Int, len: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(len)("ACGT"(rnd.nextInt(4))).mkString
+  }
+
+  test("alignMinimap2: exact substrings map back to their source at the right position") {
+    import spark.implicits._
+    val g1 = genome(21, 600)
+    val g2 = genome(22, 600)
+    val subjects = Seq(("ref1", g1), ("ref2", g2)).toDF("read_id", "sequence1")
+    val queries = Seq(
+      ("q1", g1.substring(100, 220)),
+      ("q2", g2.substring(300, 420)),
+      ("q3", "TTTT")) // too short → unmapped
+      .toDF("read_id", "sequence1")
+    val out = AlignOps.alignMinimap2(queries, subjects, k = 16, w = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getString(6))).toSeq
+    val primary = out.filter(h => (h._2 & 0x104) == 0).groupBy(_._1)
+    assert(primary("q1").head._3 == "ref1" && primary("q1").head._4 == 101L)
+    assert(primary("q2").head._3 == "ref2" && primary("q2").head._4 == 301L)
+    assert(primary("q1").head._5 == "120=")
+    val unmapped = out.filter(_._1 == "q3")
+    assert(unmapped.exists(h => (h._2 & 4) != 0))
+  }
+
+  test("alignMinimap2: reverse-complement reads get flag 0x10") {
+    import spark.implicits._
+    val g = genome(23, 600)
+    val subjects = Seq(("ref", g)).toDF("read_id", "sequence1")
+    val rcRead = graft.kernel.Rype.reverseComplementLenient(g.substring(200, 320))
+    val out = AlignOps.alignMinimap2(
+      Seq(("rc1", rcRead)).toDF("read_id", "sequence1"), subjects, k = 16, w = 5)
+      .filter((col("flags").bitwiseAND(0x104)) === lit(0x0) || (col("flags").bitwiseAND(0x10)) =!= 0)
+      .collect()
+    val primary = out.filter(r => (r.getInt(1) & 0x104) == 0)
+    assert(primary.nonEmpty)
+    assert((primary.head.getInt(1) & 0x10) != 0)
+    assert(primary.head.getLong(3) == 201L)
+  }
+
+  test("alignMinimap2: mutated read aligns with X ops and NM set") {
+    import spark.implicits._
+    val g = genome(24, 600)
+    val read = g.substring(100, 220).updated(50, if (g(150) == 'A') 'C' else 'A')
+    val subjects = Seq(("ref", g)).toDF("read_id", "sequence1")
+    val out = AlignOps.alignMinimap2(
+      Seq(("m1", read)).toDF("read_id", "sequence1"), subjects, k = 16, w = 5)
+      .collect()
+    val primary = out.filter(r => (r.getInt(1) & 0x104) == 0).head
+    assert(primary.getString(6).contains("X"))
+    assert(primary.getAs[Long]("tag_nm") == 1L)
+  }
+
+  test("sharded alignment: per-shard index loading") {
+    import spark.implicits._
+    val g1 = genome(25, 500)
+    val g2 = genome(26, 500)
+    Seq(("s1ref", g1)).toDF("read_id", "sequence1")
+      .write.mode("overwrite").parquet("/tmp/graft_shards/shardA.parquet")
+    Seq(("s2ref", g2)).toDF("read_id", "sequence1")
+      .write.mode("overwrite").parquet("/tmp/graft_shards/shardB.parquet")
+    val queries = Seq(
+      ("r1", g1.substring(50, 170)), ("r2", g2.substring(50, 170)))
+      .toDF("read_id", "sequence1")
+    val readToShard = Seq(("r1", "shardA"), ("r2", "shardB")).toDF("read_id", "shard_name")
+    val out = AlignOps.alignMinimap2Sharded(queries, "/tmp/graft_shards", readToShard,
+      k = 16, w = 5)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(out("r1") == "s1ref" && out("r2") == "s2ref")
+  }
+
+  test("saveAlignerIndex returns a status row") {
+    import spark.implicits._
+    val subjects = Seq(("ref", genome(27, 300))).toDF("read_id", "sequence1")
+    val status = AlignOps.saveAlignerIndex(subjects, "/tmp/graft_aligner_index").head()
+    assert(status.getBoolean(0) && status.getLong(2) == 1L)
+  }
+
+  test("alignBowtie2 errors clearly without the binary") {
+    import spark.implicits._
+    val df = Seq(("x", "ACGT")).toDF("read_id", "sequence1")
+    if (!graft.functions.MiintRegistry.bowtie2Available()) {
+      val e = intercept[UnsupportedOperationException](AlignOps.alignBowtie2(df, df))
+      assert(e.getMessage.contains("bowtie2"))
+    }
+  }
+}
