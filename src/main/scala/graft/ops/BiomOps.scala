@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BIOM sparse-feature-table operators (reference: src/read_biom.cpp,
+  * src/BIOMReader.cpp, src/copy_biom.cpp).
+  *
+  * The reference's BIOM v2.1 container is HDF5; a pure-JVM HDF5 codec
+  * is out of scope in this environment (no library, and a from-scratch
+  * HDF5 subset is the single riskiest writer per SURVEY §7.5#2). The
+  * COO relational semantics — the part every downstream query touches —
+  * are implemented fully over a documented Parquet container
+  * (`.biomq`): `sample_id VARCHAR, feature_id VARCHAR, value DOUBLE`,
+  * zeros never materialized. The HDF5 read/write boundary is a
+  * documented adapter point (`readBiomHdf5`).
+  */
+object BiomOps {
+
+  /** COPY ... (FORMAT BIOM) semantics over the parquet container
+    * (reference: src/copy_biom.cpp, README.md:2588-2594): duplicate
+    * (feature, sample) pairs are SUMMED, zero values dropped, NULL in
+    * any column is an error.
+    */
+  def copyBiom(df: DataFrame, path: String): Unit = {
+    val cols = df.schema.fieldNames.toSet
+    for (c <- Seq("sample_id", "feature_id", "value"))
+      require(cols.contains(c), s"BIOM output requires column $c")
+    val nulls = df.filter(
+      col("sample_id").isNull || col("feature_id").isNull || col("value").isNull).count()
+    if (nulls > 0)
+      throw new IllegalArgumentException(
+        s"BIOM output forbids NULLs ($nulls offending rows)")
+    df.groupBy("sample_id", "feature_id")
+      .agg(sum(col("value")).as("value"))
+      .filter(col("value") =!= 0.0)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** read_biom over the parquet container → COO relation. */
+  def readBiom(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select("sample_id", "feature_id", "value")
+
+  /** Adapter point for real HDF5 BIOM v2.1 files. */
+  def readBiomHdf5(spark: SparkSession, path: String): DataFrame =
+    throw new UnsupportedOperationException(
+      "HDF5 BIOM requires an HDF5 codec (none available in this environment); " +
+        "convert to the documented .biomq parquet container or plug a reader here")
+
+  /** Dense-ish pivot helper (samples × features) for small matrices. */
+  def pivotSamples(coo: DataFrame, maxFeatures: Int = 10000): DataFrame = {
+    val features = coo.select("feature_id").distinct()
+      .limit(maxFeatures + 1).collect().map(_.getString(0)).sorted
+    require(features.length <= maxFeatures,
+      s"pivot exceeds $maxFeatures features; stay in COO form at this scale")
+    coo.groupBy("sample_id")
+      .pivot("feature_id", features.toSeq)
+      .agg(first(col("value")))
+  }
+}

@@ -253,14 +253,13 @@ object LayerA1 {
              |  FROM lineitem""".stripMargin),
       bench = true),
 
-    // A17: global ROW_NUMBER. A single-partition sort is inherent to a
-    // global ordering — only sane on pre-aggregated/small data at scale.
+    // A17: global ROW_NUMBER — two-pass range-partitioned numbering
+    // (no single-partition sort; see ScalableOps.globalRowNumber).
     QueryDef(
       "a17_row_number",
       (s, d) =>
-        Tables.orders(s, d).select(
-          col("o_orderkey"),
-          row_number().over(Window.orderBy(col("o_orderkey"))).cast("long").as("rn")),
+        graft.ops.ScalableOps.globalRowNumber(
+          Tables.orders(s, d).select("o_orderkey"), "rn", col("o_orderkey")),
       Some("SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders")),
 
     // A18: LEAD over partition (tie-broken by l_linenumber for determinism)

@@ -657,7 +657,44 @@ object LayerB {
       Some("""SELECT * FROM (VALUES
              |  ('r0', 'sA_ref', CAST(61 AS BIGINT), '120='),
              |  ('r1', 'sB_ref', CAST(61 AS BIGINT), '120=')
-             |) AS t(read_id, reference, position, cigar)""".stripMargin))
+             |) AS t(read_id, reference, position, cigar)""".stripMargin)),
+
+    // 2B/2G: BIOM COO round-trip over the documented parquet container
+    // — duplicate (sample, feature) pairs summed, zeros dropped.
+    QueryDef(
+      "b24_biom_roundtrip",
+      (s, d) => {
+        val coo = Tables.lineitem(s, d).select(
+          concat(lit("s"), (col("l_suppkey") % 10)).as("sample_id"),
+          concat(lit("f"), (col("l_partkey") % 50)).as("feature_id"),
+          (col("l_quantity") - 25.0).as("value"))
+        graft.ops.BiomOps.copyBiom(coo, "/tmp/graft_b24.biomq")
+        graft.ops.BiomOps.readBiom(s, "/tmp/graft_b24.biomq")
+      },
+      Some("""SELECT 's' || CAST(l_suppkey % 10 AS VARCHAR) AS sample_id,
+             |       'f' || CAST(l_partkey % 50 AS VARCHAR) AS feature_id,
+             |       SUM(l_quantity - 25.0) AS value
+             |  FROM lineitem
+             | GROUP BY 1, 2
+             |HAVING SUM(l_quantity - 25.0) != 0""".stripMargin)),
+
+    // 2B: read_sequences_sff over the reference's committed binary
+    // fixture — expected rows pinned from test/sql/read_sequences_sff
+    // .test:45-49.
+    QueryDef(
+      "b25_read_sff",
+      (s, d) =>
+        s.read.format("sff").load("/root/reference/data/sff/basic_2reads.sff"),
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'READ_1', CAST(NULL AS VARCHAR), 'TCAGATTGCAGG',
+             |   CAST(NULL AS VARCHAR),
+             |   CAST([30,30,25,35,40,38,36,30,28,25,20,15] AS SMALLINT[]),
+             |   CAST(NULL AS SMALLINT[])),
+             |  (CAST(2 AS BIGINT), 'READ_2', CAST(NULL AS VARCHAR), 'TCAGCCTAAGTC',
+             |   CAST(NULL AS VARCHAR),
+             |   CAST([35,35,30,40,38,33,30,28,35,30,25,20] AS SMALLINT[]),
+             |   CAST(NULL AS SMALLINT[]))
+             |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin))
   )
 
   /** Deterministic pseudo-random genomes (LCG — stable across JVMs). */
