@@ -171,6 +171,26 @@ object LlmPipeline {
       (s, d) =>
         Similarity.lshNearDupPairs(Tables.embeddings(s, d), dim = 64,
           nBits = 10, nTables = 4, threshold = 0.3),
-      None)
+      None),
+
+    // 2H: the streaming windowed aggregation run in BATCH mode over the
+    // events table — identical logical plan to EventStreams
+    // .windowedTypeCounts (incremental variant tested in
+    // EventStreamsSpec with MemoryStream + watermark).
+    QueryDef(
+      "h01_event_windows",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
+              .as("total_value"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("total_value")),
+      Some("""SELECT CAST(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             |         AS window_start,
+             |       event_type, COUNT(*) AS n,
+             |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+             |  FROM events GROUP BY 1, 2""".stripMargin))
   )
 }

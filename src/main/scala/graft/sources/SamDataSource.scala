@@ -116,8 +116,18 @@ class SamPartitionReader(
     includeSeqQual: Boolean,
     required: StructType) extends PartitionReader[InternalRow] {
 
-  private val reader = graft.kernel.FastxCodec.open(part.path,
-    FileSourceCommon.openStream(part.path)) // gzip-transparent line reader
+  // Format auto-detect: .bam → binary BGZF codec; anything else → SAM
+  // text (gzip-transparent), matching the reference's htslib autodetect
+  // (reference: src/read_alignments.cpp format handling).
+  private val isBam = part.path.endsWith(".bam")
+  private val bamReader =
+    if (isBam) new graft.kernel.BamCodec.Reader(
+      FileSourceCommon.openStream(part.path), includeSeqQual)
+    else null
+  private val reader =
+    if (isBam) null
+    else graft.kernel.FastxCodec.open(part.path,
+      FileSourceCommon.openStream(part.path)) // gzip-transparent line reader
   private var current: InternalRow = _
 
   private def toRow(r: SamCodec.SamRecord): InternalRow = {
@@ -153,16 +163,22 @@ class SamPartitionReader(
   }
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null && (line.isEmpty || SamCodec.isHeaderLine(line)))
-      line = reader.readLine()
-    if (line == null) false
-    else {
-      current = toRow(SamCodec.parseLine(line, includeSeqQual))
-      true
+    if (isBam) {
+      if (bamReader.hasNext) { current = toRow(bamReader.next()); true }
+      else false
+    } else {
+      var line = reader.readLine()
+      while (line != null && (line.isEmpty || SamCodec.isHeaderLine(line)))
+        line = reader.readLine()
+      if (line == null) false
+      else {
+        current = toRow(SamCodec.parseLine(line, includeSeqQual))
+        true
+      }
     }
   }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit =
+    if (isBam) bamReader.close() else reader.close()
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events-stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference is batch-only (SURVEY §1.1: "streaming" there means
+  * streaming I/O), so these are the Spark-native extension the brief
+  * asks for: the SAME logical aggregations as the batch layer, run
+  * incrementally with event-time watermarks. At scale the windowed
+  * aggregate is a streaming shuffle keyed on (window, event_type) with
+  * state bounded by the watermark horizon.
+  */
+object EventStreams {
+
+  final case class SessionSummary(
+      user_id: Long, n_events: Long, total_value: Double, n_types: Long)
+
+  /** Tumbling-window per-type aggregate with a watermark: late events
+    * beyond the delay are dropped, state is purged as the watermark
+    * advances (bounded memory forever).
+    */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowLength: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Arbitrary-state sessionization: per-user running summary via
+    * mapGroupsWithState (the KeyValueGroupedDataset custom-state
+    * surface). NoTimeout keeps the micro-batch loop data-driven; a
+    * production session-expiry variant would use EventTimeTimeout with
+    * a watermark.
+    */
+  def userSessions(
+      events: Dataset[(Long, Double, String)]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Double, String)],
+         state: GroupState[SessionSummary]) =>
+          val prev = state.getOption.getOrElse(SessionSummary(userId, 0L, 0.0, 0L))
+          val batch = rows.toSeq
+          val types = batch.map(_._3).toSet
+          val updated = SessionSummary(
+            userId,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_._2).sum,
+            math.max(prev.n_types, types.size))
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** End-to-end demo wiring for tests: memory sink, complete mode. */
+  def runWindowedDemo(
+      spark: SparkSession,
+      input: DataFrame,
+      queryName: String): org.apache.spark.sql.streaming.StreamingQuery =
+    windowedTypeCounts(input, windowLength = "1 minute", watermarkDelay = "30 seconds")
+      .writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .start()
+}

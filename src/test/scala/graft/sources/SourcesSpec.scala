@@ -103,6 +103,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(r.nonEmpty && r.forall(_.getLong(0) == 0L))
   }
 
+  test("BAM binary: .bam file reads identically to its .sam twin") {
+    val samDf = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+      .orderBy("read_id", "flags")
+    val bamDf = spark.read.format("alignments").load(s"$sam/foo_has_header.bam")
+      .orderBy("read_id", "flags")
+    assert(samDf.collect().toSeq == bamDf.collect().toSeq)
+  }
+
+  test("BAM binary: large positions (reference test/sql/read_alignments.test:92-98)") {
+    // note: the .bam and .sam large-position fixtures intentionally
+    // hold different positions; the sqllogictest pins the BAM values
+    val bam = spark.read.format("alignments").load(s"$sam/foo_large_positions.bam")
+      .select("position", "stop_position").orderBy("position").collect()
+    assert(bam.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2147483648L, 2147483748L)))
+  }
+
   test("alignments: projection pushdown reaches the reader") {
     val df = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
       .select("read_id")

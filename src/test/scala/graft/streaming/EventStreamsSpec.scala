@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("windowed type counts aggregate incrementally across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStreams.runWindowedDemo(spark, df, "graft_stream_test")
+    try {
+      val t0 = Timestamp.valueOf("2026-01-01 10:00:10")
+      val t1 = Timestamp.valueOf("2026-01-01 10:00:50")
+      val t2 = Timestamp.valueOf("2026-01-01 10:01:10")
+      input.addData((t0, "click", 1.0), (t1, "click", 2.0), (t1, "view", 5.0))
+      query.processAllAvailable()
+      input.addData((t2, "click", 10.0))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT * FROM graft_stream_test")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1, x._2))
+      assert(out.toSeq == Seq(
+        ("2026-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2026-01-01 10:00:00.0", "view", 1L, 5.0),
+        ("2026-01-01 10:01:00.0", "click", 1L, 10.0)))
+    } finally query.stop()
+  }
+
+  test("stateful user sessions accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, String)]
+    val sessions = EventStreams.userSessions(input.toDS())
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessions_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData((1L, 2.0, "click"), (1L, 3.0, "view"), (2L, 7.0, "click"))
+      query.processAllAvailable()
+      input.addData((1L, 5.0, "click"))
+      query.processAllAvailable()
+      val last = spark.sql(
+        "SELECT user_id, max(n_events) AS n, max(total_value) AS v FROM graft_sessions_test GROUP BY user_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(last.toSeq == Seq((1L, 3L, 10.0), (2L, 1L, 7.0)))
+    } finally query.stop()
+  }
+
+  test("batch events table runs through the same windowed aggregation") {
+    // same logical op applied to the static driver events table
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = events
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(out.count() > 0)
+  }
+}
