@@ -119,6 +119,52 @@ object Writers {
     */
   val UnknownReferenceLength: Long = Int.MaxValue.toLong
 
+  private def rowToSamRecord(r: Row, names: Set[String]): SamCodec.SamRecord = {
+    def optLong(c: String): Option[Long] =
+      if (names.contains(c) && !r.isNullAt(r.fieldIndex(c))) Some(r.getAs[Long](c)) else None
+    def optStr(c: String): Option[String] =
+      if (names.contains(c)) Option(r.getAs[String](c)) else None
+    SamCodec.SamRecord(
+      r.getAs[String]("read_id"),
+      r.getAs[Number]("flags").intValue(),
+      r.getAs[String]("reference"),
+      r.getAs[Number]("position").longValue(),
+      0L,
+      r.getAs[Number]("mapq").shortValue(),
+      r.getAs[String]("cigar"),
+      r.getAs[String]("mate_reference"),
+      r.getAs[Number]("mate_position").longValue(),
+      r.getAs[Number]("template_length").longValue(),
+      optLong("tag_as"), optLong("tag_xs"), optLong("tag_ys"),
+      optLong("tag_xn"), optLong("tag_xm"), optLong("tag_xo"),
+      optLong("tag_xg"), optLong("tag_nm"),
+      optStr("tag_yt"), optStr("tag_md"), optStr("tag_sa"),
+      None, None)
+  }
+
+  /** COPY ... (FORMAT BAM): BGZF binary output. BAM forces a header
+    * (reference copy_sam.cpp:285-301); references come from the
+    * reference-lengths relation plus sentinel-length auto-added
+    * unknowns; SEQ/QUAL always absent.
+    */
+  def copyBam(
+      df: DataFrame,
+      path: String,
+      referenceLengths: Option[DataFrame] = None): Unit = {
+    val known = referenceLengths
+      .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toVector)
+      .getOrElse(Vector.empty)
+    val knownNames = known.map(_._1).toSet
+    val dataRefs = df.select("reference").distinct().collect()
+      .map(_.getString(0)).filter(r => r != "*" && !knownNames.contains(r)).sorted
+    val refs = known ++ dataRefs.map(_ -> UnknownReferenceLength)
+    val w = new graft.kernel.BamWriter(new FileOutputStream(path), refs)
+    try {
+      val names = df.schema.fieldNames.toSet
+      df.toLocalIterator().forEachRemaining(r => w.writeRecord(rowToSamRecord(r, names)))
+    } finally w.close()
+  }
+
   /** COPY ... (FORMAT SAM). Required cols: the 9 mandatory SAM columns;
     * tag_* columns written when present. SEQ/QUAL always `*`.
     */
@@ -143,28 +189,8 @@ object Writers {
         }
       }
       val names = df.schema.fieldNames.toSet
-      def optLong(r: Row, c: String): Option[Long] =
-        if (names.contains(c) && !r.isNullAt(r.fieldIndex(c))) Some(r.getAs[Long](c)) else None
-      def optStr(r: Row, c: String): Option[String] =
-        if (names.contains(c)) Option(r.getAs[String](c)) else None
       df.toLocalIterator().forEachRemaining { r =>
-        val rec = SamCodec.SamRecord(
-          r.getAs[String]("read_id"),
-          r.getAs[Number]("flags").intValue(),
-          r.getAs[String]("reference"),
-          r.getAs[Number]("position").longValue(),
-          0L,
-          r.getAs[Number]("mapq").shortValue(),
-          r.getAs[String]("cigar"),
-          r.getAs[String]("mate_reference"),
-          r.getAs[Number]("mate_position").longValue(),
-          r.getAs[Number]("template_length").longValue(),
-          optLong(r, "tag_as"), optLong(r, "tag_xs"), optLong(r, "tag_ys"),
-          optLong(r, "tag_xn"), optLong(r, "tag_xm"), optLong(r, "tag_xo"),
-          optLong(r, "tag_xg"), optLong(r, "tag_nm"),
-          optStr(r, "tag_yt"), optStr(r, "tag_md"), optStr(r, "tag_sa"),
-          None, None)
-        w.write(SamCodec.toLine(rec)); w.newLine()
+        w.write(SamCodec.toLine(rowToSamRecord(r, names))); w.newLine()
       }
     } finally w.close()
   }

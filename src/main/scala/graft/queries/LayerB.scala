@@ -694,7 +694,41 @@ object LayerB {
              |   CAST(NULL AS VARCHAR),
              |   CAST([35,35,30,40,38,33,30,28,35,30,25,20] AS SMALLINT[]),
              |   CAST(NULL AS SMALLINT[]))
-             |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin))
+             |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin)),
+
+    // 2G: COPY BAM round-trip — binary BGZF writer ∘ reader = identity
+    // on the same lineitem-derived alignments as b15.
+    QueryDef(
+      "b26_copy_bam",
+      (s, d) => {
+        val src = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(
+            concat(lit("q"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("read_id"),
+            (lit(16) * (col("l_linenumber") % 2)).cast("int").as("flags"),
+            concat(lit("ref"), (col("l_suppkey") % 5)).as("reference"),
+            (col("l_orderkey") % 10000 + 1).as("position"),
+            lit(60).cast("short").as("mapq"),
+            concat(col("l_quantity").cast("long"), lit("M")).as("cigar"),
+            lit("*").as("mate_reference"),
+            lit(0L).as("mate_position"),
+            lit(0L).as("template_length"),
+            (col("l_suppkey") % 100).as("tag_as"),
+            concat(col("l_quantity").cast("long"), lit("A0")).as("tag_md"))
+        graft.ops.Writers.copyBam(src, "/tmp/graft_b26.bam")
+        s.read.format("alignments").load("/tmp/graft_b26.bam")
+          .select("read_id", "flags", "reference", "position", "stop_position",
+            "cigar", "tag_as", "tag_md")
+      },
+      Some("""SELECT 'q' || l_orderkey || '_' || l_linenumber AS read_id,
+             |       CAST(16 * (l_linenumber % 2) AS INTEGER) AS flags,
+             |       'ref' || CAST(l_suppkey % 5 AS VARCHAR) AS reference,
+             |       (l_orderkey % 10000 + 1) AS position,
+             |       (l_orderkey % 10000 + 1) + CAST(l_quantity AS BIGINT) AS stop_position,
+             |       CAST(l_quantity AS BIGINT) || 'M' AS cigar,
+             |       (l_suppkey % 100) AS tag_as,
+             |       CAST(l_quantity AS BIGINT) || 'A0' AS tag_md
+             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin))
   )
 
   /** Deterministic pseudo-random genomes (LCG — stable across JVMs). */

