@@ -109,6 +109,30 @@ object AlignOps {
       .filter((col("flags").bitwiseAND(lit(4))) === 0)
   }
 
+  /** align_bowtie2_sharded: same per-shard sub-job schedule as the
+    * minimap2 variant, each shard running through the bowtie2 pipe
+    * harness (reference: src/align_bowtie2_sharded.cpp — one
+    * single-threaded bowtie2 process per shard). Gated on the binary
+    * like alignBowtie2.
+    */
+  def alignBowtie2Sharded(
+      queries: DataFrame,
+      shardDirectory: String,
+      readToShard: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
+    val withShard = queries.select("read_id", "sequence1")
+      .join(readToShard.select("read_id", "shard_name"), "read_id")
+    val shards = withShard.select("shard_name").distinct()
+      .collect().map(_.getString(0)).sorted
+    shards.map { shard =>
+      val subjects = spark.read.parquet(s"$shardDirectory/$shard.parquet")
+      alignBowtie2(
+        withShard.filter(col("shard_name") === shard).select("read_id", "sequence1"),
+        subjects)
+    }.reduce(_ unionAll _)
+      .filter((col("flags").bitwiseAND(lit(4))) === 0)
+  }
+
   /** align_bowtie2 harness: pipes FASTA/FASTQ through an external
     * bowtie2 process per partition (reference: src/Bowtie2Aligner.hpp
     * pipe-deadlock-avoidant design → ProcessBuilder + reader thread).

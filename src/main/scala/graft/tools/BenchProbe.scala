@@ -11,6 +11,7 @@ object BenchProbe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
