@@ -64,6 +64,64 @@ object AlignOps {
     spark.createDataFrame(rdd, outputSchema)
   }
 
+  /** Paired-end alignment: both mates aligned, concordant pairing
+    * resolved per read (same subject, opposite strands), SAM pair
+    * conventions filled in — flags 0x1 | 0x2(proper) | 0x40/0x80 |
+    * 0x20(mate reverse), mate_reference '=', mate_position, signed
+    * template_length (reference: src/Minimap2Aligner.hpp:94-109 flag
+    * calculus; exact minimap2 pairing score out of scope).
+    */
+  def alignMinimap2Paired(
+      queries: DataFrame,
+      subjects: DataFrame,
+      k: Int = 16, w: Int = 5): DataFrame = {
+    val spark = queries.sparkSession
+    val subj = subjects.select("read_id", "sequence1").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val index = SeedAligner.buildIndex(subj, k, w)
+    val bcast = spark.sparkContext.broadcast(index)
+    val rdd = queries.select("read_id", "sequence1", "sequence2").rdd.mapPartitions { rows =>
+      val idx = bcast.value
+      rows.flatMap { r =>
+        val readId = r.getString(0)
+        val h1 = SeedAligner.align(idx, r.getString(1), maxSecondary = 0).headOption
+        val h2 = SeedAligner.align(idx, r.getString(2), maxSecondary = 0).headOption
+        (h1, h2) match {
+          case (Some(a), Some(b)) =>
+            val concordant = a.subjectName == b.subjectName &&
+              ((a.flags ^ b.flags) & 0x10) != 0
+            val proper = if (concordant) 0x2 else 0
+            def row(self: SeedAligner.Hit, mate: SeedAligner.Hit, firstInPair: Boolean) = {
+              val selfRefLen = graft.kernel.SamCodec.cigarRefLen(self.cigar)
+              val mateRefLen = graft.kernel.SamCodec.cigarRefLen(mate.cigar)
+              val sameRef = self.subjectName == mate.subjectName
+              val tlen =
+                if (!sameRef) 0L
+                else {
+                  val lo = math.min(self.position, mate.position)
+                  val hi = math.max(self.position + selfRefLen, mate.position + mateRefLen)
+                  val span = hi - lo
+                  if (self.position <= mate.position) span else -span
+                }
+              val flags = 0x1 | proper | self.flags |
+                (if (firstInPair) 0x40 else 0x80) |
+                (if ((mate.flags & 0x10) != 0) 0x20 else 0)
+              Row(readId, flags, self.subjectName, self.position,
+                self.position + selfRefLen, self.mapq, self.cigar,
+                if (sameRef) "=" else mate.subjectName, mate.position, tlen,
+                Long.box(self.score), Long.box(self.nm))
+            }
+            Seq(row(a, b, firstInPair = true), row(b, a, firstInPair = false))
+          case _ =>
+            // one or both mates unmapped → unmapped pair rows
+            Seq(Row(readId, 0x1 | 0x4 | 0x40, "*", 0L, 0L, 0.toShort, "*", "*", 0L, 0L, null, null),
+              Row(readId, 0x1 | 0x4 | 0x80, "*", 0L, 0L, 0.toShort, "*", "*", 0L, 0L, null, null))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outputSchema)
+  }
+
   /** save_minimap2_index-equivalent: persist the subjects relation so
     * shards can be rebuilt per task; returns the 1-row status relation.
     */

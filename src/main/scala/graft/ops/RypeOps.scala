@@ -99,6 +99,9 @@ object RypeOps {
     * per-strand score = |query∩bucket| / |query set|, row kept when
     * max(fwd, rc) ≥ threshold; multi-bucket matches = multiple rows;
     * `negative_index` minimizers are removed from queries first.
+    * Paired-end: when a `sequence2` column exists, both mates'
+    * minimizers merge into the per-strand query sets (reference:
+    * README.md:1848-1850 paired classification).
     */
   def rypeClassify(
       index: DataFrame,
@@ -109,7 +112,22 @@ object RypeOps {
       threshold: Double = 0.1,
       negativeIndex: Option[DataFrame] = None): DataFrame = {
     requireColumns(sequences, idColumn)
-    val sets = rypeExtractMinimizerSet(sequences, k, w, salt, idColumn)
+    val paired = sequences.schema.fieldNames.contains("sequence2")
+    val sets =
+      if (!paired) rypeExtractMinimizerSet(sequences, k, w, salt, idColumn)
+      else {
+        // mate2's forward strand pairs with mate1's reverse complement:
+        // merge (fwd1 ∪ rc2) and (rc1 ∪ fwd2) per strand orientation
+        val ext = extractUdf(k, w, salt)
+        sequences
+          .select(col(idColumn).as("read_id"),
+            ext(col("sequence1")).as("m1"), ext(col("sequence2")).as("m2"))
+          .select(col("read_id"),
+            array_distinct(concat(col("m1._1"), coalesce(col("m2._2"), array())))
+              .as("fwd_set"),
+            array_distinct(concat(col("m1._2"), coalesce(col("m2._1"), array())))
+              .as("rc_set"))
+      }
     val strands = sets
       .select(col("read_id"), explode(array(
         struct(lit("fwd").as("strand"), col("fwd_set").as("set")),

@@ -79,6 +79,42 @@ class AlignOpsSpec extends AnyFunSuite {
     assert(out("r1") == "s1ref" && out("r2") == "s2ref")
   }
 
+  test("paired-end alignment: proper-pair flags, mate fields, tlen") {
+    import spark.implicits._
+    val g = genome(30, 800)
+    val subjects = Seq(("ref", g)).toDF("read_id", "sequence1")
+    val r1 = g.substring(100, 220)
+    val r2 = graft.kernel.Rype.reverseComplementLenient(g.substring(300, 420))
+    val out = AlignOps.alignMinimap2Paired(
+      Seq(("p1", r1, r2)).toDF("read_id", "sequence1", "sequence2"), subjects,
+      k = 16, w = 5).collect().sortBy(r => r.getInt(1) & 0x40)
+    assert(out.length == 2)
+    val first = out.find(r => (r.getInt(1) & 0x40) != 0).get
+    val second = out.find(r => (r.getInt(1) & 0x80) != 0).get
+    // both mapped, proper pair, opposite strands
+    assert((first.getInt(1) & 0x1) != 0 && (first.getInt(1) & 0x2) != 0)
+    assert((first.getInt(1) & 0x10) == 0 && (first.getInt(1) & 0x20) != 0)
+    assert((second.getInt(1) & 0x10) != 0 && (second.getInt(1) & 0x20) == 0)
+    assert(first.getString(7) == "=" && second.getString(7) == "=")
+    assert(first.getLong(3) == 101L && second.getLong(3) == 301L)
+    assert(first.getLong(8) == 301L && second.getLong(8) == 101L)
+    assert(first.getLong(9) == 320L && second.getLong(9) == -320L)
+  }
+
+  test("paired-end classify merges mate minimizers") {
+    import spark.implicits._
+    val g = genome(31, 800)
+    val index = RypeOps.buildIndex(
+      Seq(("bucket", g)).toDF("bucket_name", "sequence1"), k = 16, w = 5)
+    val paired = Seq(("pr", g.substring(0, 120),
+      graft.kernel.Rype.reverseComplementLenient(g.substring(400, 520))))
+      .toDF("read_id", "sequence1", "sequence2")
+    val out = RypeOps.rypeClassify(index, paired, k = 16, w = 5, threshold = 0.5)
+      .collect()
+    assert(out.nonEmpty && out.head.getString(2) == "bucket")
+    assert(out.head.getDouble(3) > 0.8)
+  }
+
   test("saveAlignerIndex returns a status row") {
     import spark.implicits._
     val subjects = Seq(("ref", genome(27, 300))).toDF("read_id", "sequence1")
