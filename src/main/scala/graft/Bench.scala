@@ -17,6 +17,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Equi-joins at this scale fit hash tables comfortably; shuffled
+      // hash join skips the per-side sorts of SMJ (measured: self-join
+      // 1.13s → 0.80s). AQE still falls back to SMJ when a build side
+      // is too large, so this is safe at bigger SFs too.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

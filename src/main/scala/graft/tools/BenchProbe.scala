@@ -12,6 +12,7 @@ object BenchProbe {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "true"))
+      .config("spark.sql.join.preferSortMergeJoin", sys.env.getOrElse("PROBE_SMJ", "true"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -28,6 +29,15 @@ object BenchProbe {
 
     def dec2(c: String) = col(c).cast("decimal(18,2)")
     val filtered = li.filter(col("l_shipdate") <= expr("TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+
+    time("a08_self_join") {
+      val l = li.select("l_orderkey", "l_linenumber")
+      l.as("a").join(l.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_linenumber") < col("b.l_linenumber"))
+        .select(col("a.l_orderkey"), col("a.l_linenumber"), col("b.l_linenumber"))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     time("a11_decimal") {
       filtered.groupBy("l_returnflag", "l_linestatus")
