@@ -678,6 +678,38 @@ object LayerB {
              | GROUP BY 1, 2
              |HAVING SUM(l_quantity - 25.0) != 0""".stripMargin)),
 
+    // Flagship pipeline (SURVEY §7.3 minimum slice) over REAL data:
+    // the reference's 252k-row alignment parquet → primary-alignment +
+    // mapq filters (our scalar surface) → woltka_ogu_per_sample.
+    // Oracle: DuckDB re-derives the whole pipeline with inline SQL
+    // (bit tests + window + group) from the same file.
+    QueryDef(
+      "b27_flagship_pipeline",
+      (s, d) => {
+        val aln = s.read
+          .parquet("/root/reference/data/sam/miint-woltka-test.parquet")
+          .filter(AlignmentFlags.alignmentIsPrimary(col("flags").cast("int"))
+            && col("mapq").cast("int") >= 1)
+        Woltka.woltkaOguPerSample(aln, "common_sample_name", "read_id")
+          .select(col("sample_id"), col("feature_id"), round(col("value"), 4).as("value"))
+      },
+      Some("""WITH aln AS (
+             |  SELECT * FROM read_parquet('/root/reference/data/sam/miint-woltka-test.parquet')
+             |   WHERE (CAST(flags AS INTEGER) & 256) = 0
+             |     AND (CAST(flags AS INTEGER) & 2048) = 0
+             |     AND CAST(mapq AS INTEGER) >= 1),
+             |base AS (
+             |  SELECT DISTINCT read_id AS qid, common_sample_name AS sample_id,
+             |         reference AS feature_id,
+             |         (CAST(flags AS INTEGER) & 64) != 0 AS is_fwd
+             |    FROM aln),
+             |wc AS (
+             |  SELECT sample_id, feature_id,
+             |         1.0 / COUNT(*) OVER (PARTITION BY qid, is_fwd) AS lv
+             |    FROM base)
+             |SELECT sample_id, feature_id, ROUND(SUM(lv), 4) AS value
+             |  FROM wc GROUP BY sample_id, feature_id""".stripMargin)),
+
     // 2B: read_sequences_sff over the reference's committed binary
     // fixture — expected rows pinned from test/sql/read_sequences_sff
     // .test:45-49.
