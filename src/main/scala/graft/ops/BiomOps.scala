@@ -37,15 +37,26 @@ object BiomOps {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** read_biom over the parquet container → COO relation. */
+  /** read_biom: HDF5 BIOM v2.1 (.biom) via the pure-JVM subset codec,
+    * or the documented parquet container → COO relation.
+    */
   def readBiom(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select("sample_id", "feature_id", "value")
+    if (path.endsWith(".biom")) readBiomHdf5(spark, path)
+    else spark.read.parquet(path).select("sample_id", "feature_id", "value")
 
-  /** Adapter point for real HDF5 BIOM v2.1 files. */
-  def readBiomHdf5(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      "HDF5 BIOM requires an HDF5 codec (none available in this environment); " +
-        "convert to the documented .biomq parquet container or plug a reader here")
+  /** HDF5 BIOM v2.1 reader (kernel/Hdf5Biom — contiguous-layout subset
+    * emitted by h5py/biom-format writers; reference: src/BIOMReader
+    * .cpp). Multiple comma-separated paths/globs concatenate.
+    */
+  def readBiomHdf5(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val rows = graft.sources.FileSourceCommon.expandPaths(path).flatMap { p =>
+      val in = graft.sources.FileSourceCommon.openStream(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      graft.kernel.Hdf5Biom.readCoo(bytes, p)
+    }
+    rows.toDF("sample_id", "feature_id", "value")
+  }
 
   /** Dense-ish pivot helper (samples × features) for small matrices. */
   def pivotSamples(coo: DataFrame, maxFeatures: Int = 10000): DataFrame = {

@@ -659,6 +659,24 @@ object LayerB {
              |  ('r1', 'sB_ref', CAST(61 AS BIGINT), '120=')
              |) AS t(read_id, reference, position, cigar)""".stripMargin)),
 
+    // 2B: read_biom over the reference's committed HDF5 fixture via
+    // the pure-JVM HDF5 subset codec — oracle pins the rows from
+    // test/sql/read_biom.test:30-46.
+    QueryDef(
+      "b28_read_biom_hdf5",
+      (s, d) =>
+        graft.ops.BiomOps.readBiomHdf5(s, "/root/reference/data/biom/test.biom"),
+      Some("""SELECT * FROM (VALUES
+             |  ('Sample1','GG_OTU_2',5.0),('Sample1','GG_OTU_4',2.0),
+             |  ('Sample2','GG_OTU_2',1.0),('Sample2','GG_OTU_4',1.0),
+             |  ('Sample2','GG_OTU_5',1.0),('Sample3','GG_OTU_1',1.0),
+             |  ('Sample3','GG_OTU_3',1.0),('Sample3','GG_OTU_4',1.0),
+             |  ('Sample3','GG_OTU_5',1.0),('Sample4','GG_OTU_2',2.0),
+             |  ('Sample4','GG_OTU_3',4.0),('Sample5','GG_OTU_2',3.0),
+             |  ('Sample6','GG_OTU_2',1.0),('Sample6','GG_OTU_3',2.0),
+             |  ('Sample6','GG_OTU_4',1.0)
+             |) AS t(sample_id, feature_id, value)""".stripMargin)),
+
     // 2B/2G: BIOM COO round-trip over the documented parquet container
     // — duplicate (sample, feature) pairs summed, zeros dropped.
     QueryDef(

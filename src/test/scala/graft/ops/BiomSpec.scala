@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkFixture
+import graft.kernel.Hdf5Biom
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** HDF5 BIOM reader vs the reference's committed fixtures and
+  * sqllogictest expectations (reference: test/sql/read_biom
+  * .test:30-60, data/biom).
+  */
+class BiomSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/reference/data/biom"
+  private def bytes(f: String) = Files.readAllBytes(Paths.get(s"$dir/$f"))
+
+  test("test.biom COO matches the reference's pinned 15 rows") {
+    val coo = Hdf5Biom.readCoo(bytes("test.biom"), "test.biom").sorted
+    val expected = Vector(
+      ("Sample1", "GG_OTU_2", 5.0), ("Sample1", "GG_OTU_4", 2.0),
+      ("Sample2", "GG_OTU_2", 1.0), ("Sample2", "GG_OTU_4", 1.0),
+      ("Sample2", "GG_OTU_5", 1.0), ("Sample3", "GG_OTU_1", 1.0),
+      ("Sample3", "GG_OTU_3", 1.0), ("Sample3", "GG_OTU_4", 1.0),
+      ("Sample3", "GG_OTU_5", 1.0), ("Sample4", "GG_OTU_2", 2.0),
+      ("Sample4", "GG_OTU_3", 4.0), ("Sample5", "GG_OTU_2", 3.0),
+      ("Sample6", "GG_OTU_2", 1.0), ("Sample6", "GG_OTU_3", 2.0),
+      ("Sample6", "GG_OTU_4", 1.0)).sorted
+    assert(coo == expected)
+  }
+
+  test("multi-file concatenation matches reference expectations") {
+    // reference test/sql/read_biom.test:49-60 pins the first 7 rows
+    val df = BiomOps.readBiomHdf5(spark, s"$dir/file1.biom,$dir/file2.biom")
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted.toVector
+    assert(rows.take(7) == Vector(
+      ("S1", "O2", 3.0), ("S2", "O1", 1.0), ("S2", "O2", 4.0),
+      ("S3", "O1", 2.0), ("S3", "O2", 5.0), ("S4", "O2", 6.0),
+      ("S5", "O1", 2.0)))
+  }
+
+  test("empty.biom yields zero rows") {
+    assert(Hdf5Biom.readCoo(bytes("empty.biom"), "empty.biom").isEmpty)
+  }
+
+  test("notbiom.h5 rejected as not a BIOM file") {
+    val e = intercept[Hdf5Biom.Hdf5Exception](
+      Hdf5Biom.readCoo(bytes("notbiom.h5"), "notbiom.h5"))
+    assert(e.getMessage.contains("not a BIOM file"))
+  }
+
+  test("non-HDF5 bytes rejected") {
+    val e = intercept[Hdf5Biom.Hdf5Exception](
+      Hdf5Biom.readCoo("plain text".getBytes, "x.biom"))
+    assert(e.getMessage.contains("not a BIOM file"))
+  }
+}
