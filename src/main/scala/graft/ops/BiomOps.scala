@@ -31,10 +31,19 @@ object BiomOps {
     if (nulls > 0)
       throw new IllegalArgumentException(
         s"BIOM output forbids NULLs ($nulls offending rows)")
-    df.groupBy("sample_id", "feature_id")
+    val canonical = df.groupBy("sample_id", "feature_id")
       .agg(sum(col("value")).as("value"))
       .filter(col("value") =!= 0.0)
-      .write.mode("overwrite").parquet(path)
+    if (path.endsWith(".biom")) {
+      // real HDF5 container (kernel/Hdf5BiomWriter): the id tables are
+      // driver-sized (the reference collects them too); COO rows stream
+      // through toLocalIterator
+      val coo = new scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+      canonical.toLocalIterator().forEachRemaining(r =>
+        coo += ((r.getString(0), r.getString(1), r.getDouble(2))))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        graft.kernel.Hdf5BiomWriter.write(coo.toSeq))
+    } else canonical.write.mode("overwrite").parquet(path)
   }
 
   /** read_biom: HDF5 BIOM v2.1 (.biom) via the pure-JVM subset codec,

@@ -49,6 +49,25 @@ class BiomSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a BIOM file"))
   }
 
+  test("HDF5 writer round-trips through the HDF5 reader") {
+    val coo = Seq(
+      ("SampleA", "OTU_1", 3.0), ("SampleA", "OTU_2", 1.5),
+      ("SampleB", "OTU_2", 2.0), ("SampleC", "OTU_1", 7.0),
+      ("SampleC", "OTU_3", 4.25))
+    val bytes = graft.kernel.Hdf5BiomWriter.write(coo)
+    val back = Hdf5Biom.readCoo(bytes, "roundtrip.biom").sorted
+    assert(back == coo.sorted.toVector)
+  }
+
+  test("HDF5 writer output also round-trips via files") {
+    val coo = Seq(("S1", "O1", 1.0), ("S2", "O2", 2.0))
+    val bytes = graft.kernel.Hdf5BiomWriter.write(coo)
+    Files.write(Paths.get("/tmp/graft_writer.biom"), bytes)
+    val df = BiomOps.readBiomHdf5(spark, "/tmp/graft_writer.biom")
+    assert(df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sorted.toSeq == coo.sorted)
+  }
+
   test("non-HDF5 bytes rejected") {
     val e = intercept[Hdf5Biom.Hdf5Exception](
       Hdf5Biom.readCoo("plain text".getBytes, "x.biom"))
