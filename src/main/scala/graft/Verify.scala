@@ -37,7 +37,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Round-2 lesson (ADVICE r2, high): the driver keys correctness rows
+    // by output-dir basename INCLUDING the '.parquet' suffix, while our
+    // keys are bare names — every oracle lookup missed. Emit BOTH keys
+    // (bare + '<name>.parquet'); the duplication is harmless and makes
+    // the lookup hit regardless of which basename convention is used.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -130,9 +130,12 @@ object Hdf5BiomWriter {
     * optional (btree, heap) scratch for subgroups).
     */
   private def group(b: Buf, children: Seq[(String, Long, Option[(Long, Long)])]): (Long, Long) = {
-    // local heap data: names
+    // local heap data: names. libhdf5 reserves the heap head — offset 0
+    // decodes as the empty string (the B-tree's low key anchor); real
+    // names start at offset 8 (ADVICE r2 spec-conformance fix).
     b.pad8()
     val heapData = b.pos
+    b.zeros(8)
     val nameOffsets = children.map { case (name, _, _) =>
       val off = b.pos - heapData
       b.str(name); b.u8(0); b.pad8()
@@ -142,7 +145,9 @@ object Hdf5BiomWriter {
     b.pad8()
     val heapHdr = b.pos
     b.str("HEAP"); b.zeros(4)
-    b.u64(heapDataSize); b.u64(0); b.u64(heapData)
+    // free-list head = 1 (H5HL_FREE_NULL): libhdf5's "no free block"
+    // marker — 0 would be decoded as a free block at the heap head.
+    b.u64(heapDataSize); b.u64(1); b.u64(heapData)
     // SNOD
     b.pad8()
     val snod = b.pos
@@ -160,9 +165,11 @@ object Hdf5BiomWriter {
     val btree = b.pos
     b.str("TREE"); b.u8(0); b.u8(0); b.u16(1)
     b.u64(-1L); b.u64(-1L) // siblings undefined
-    b.u64(0) // key 0
+    // Group B-tree keys are heap offsets of names: low key = empty string
+    // at heap offset 0, high key = the greatest (last sorted) child name.
+    b.u64(0)
     b.u64(snod)
-    b.u64(0) // final key
+    b.u64(nameOffsets.last)
     (btree, heapHdr)
   }
 

@@ -163,13 +163,16 @@ object LayerA2 {
           size(array_intersect(
             sequence(lit(1), col("n_nationkey") + 1),
             sequence(lit(3), lit(12)))).cast("long").as("n_common"),
-          transform(sequence(lit(1L), lit(3L)), x => x * col("n_nationkey")).as("scaled")),
+          // array cells crash the driver's pandas sort (ADVICE r2) —
+          // serialize through to_json on BOTH sides (formats bit-match).
+          to_json(transform(sequence(lit(1L), lit(3L)),
+            x => x * col("n_nationkey"))).as("scaled")),
       Some("""SELECT n_nationkey,
              |       len(generate_series(1, n_nationkey + 1)) AS n,
              |       CAST(list_sum(generate_series(1, n_nationkey + 1)) AS BIGINT) AS list_sum,
              |       len(list_intersect(generate_series(1, n_nationkey + 1),
              |                          generate_series(3, 12))) AS n_common,
-             |       list_transform(generate_series(1, 3), x -> x * n_nationkey) AS scaled
+             |       CAST(to_json(list_transform(generate_series(1, 3), x -> x * n_nationkey)) AS VARCHAR) AS scaled
              |  FROM nation""".stripMargin)),
 
     // A30: map fns — map_from_entries + map['key'] lookup

@@ -149,8 +149,11 @@ object LayerB {
           col("l_returnflag").as("grp"),
           (col("l_orderkey") % 1000).as("s"),
           (col("l_orderkey") % 1000 + col("l_quantity").cast("long")).as("e"))
+        // to_json: array-of-struct cells crash the driver's pandas sort
+        // (ADVICE r2) — serialize on both sides; formats bit-match.
         iv.groupBy(col("grp"))
-          .agg(CompressIntervals.compressIntervals(col("s"), col("e")).as("intervals"))
+          .agg(to_json(CompressIntervals.compressIntervals(col("s"), col("e")))
+            .as("intervals"))
       },
       Some("""WITH iv AS (
              |  SELECT l_returnflag AS grp, (l_orderkey % 1000) AS s,
@@ -170,7 +173,7 @@ object LayerB {
              |    FROM flagd),
              |m AS (SELECT grp, island, MIN(s) AS start, MAX(e) AS stop
              |        FROM isl GROUP BY grp, island)
-             |SELECT grp, list(struct_pack(start := start, stop := stop) ORDER BY start) AS intervals
+             |SELECT grp, CAST(to_json(list(struct_pack(start := start, stop := stop) ORDER BY start)) AS VARCHAR) AS intervals
              |  FROM m GROUP BY grp""".stripMargin)),
 
     // 2F: woltka_ogu — fractional multi-mapping feature counts.
@@ -292,16 +295,17 @@ object LayerB {
             "chr2\tsrcB\tCDS\t5\t50\t1.5\t.\t2\tID=cds1\n")
         finally pw.close()
         Gff.readGff(s, path)
-          .withColumn("attributes", array_sort(map_entries(col("attributes"))))
+          .withColumn("attributes",
+            to_json(array_sort(map_entries(col("attributes")))))
       },
       Some("""SELECT column0 AS seqid, column1 AS source, column2 AS type,
              |       column3::INTEGER AS position, column4::INTEGER AS stop_position,
              |       CASE WHEN column5 = '.' THEN NULL ELSE column5::DOUBLE END AS score,
              |       CASE WHEN column6 = '.' THEN NULL ELSE column6 END AS strand,
              |       CASE WHEN column7 = '.' THEN NULL ELSE column7::INTEGER END AS phase,
-             |       list_sort(list_transform(string_split(column8, ';'),
+             |       CAST(to_json(list_sort(list_transform(string_split(column8, ';'),
              |         x -> struct_pack(key := string_split(x,'=')[1],
-             |                          value := string_split(x,'=')[2]))) AS attributes
+             |                          value := string_split(x,'=')[2])))) AS VARCHAR) AS attributes
              |  FROM read_csv('/tmp/graft_b09.gff', delim='\t', header=false, skip=2,
              |       columns={'column0':'VARCHAR','column1':'VARCHAR','column2':'VARCHAR',
              |                'column3':'VARCHAR','column4':'VARCHAR','column5':'VARCHAR',
@@ -367,12 +371,18 @@ object LayerB {
         s.read.format("fastx")
           .option("sequence2", "/tmp/graft_b12_r2.fastq")
           .load("/tmp/graft_b12_r1.fastq")
+          // qual arrays → JSON text: list cells crash the driver's
+          // pandas sort (ADVICE r2); to_json formats bit-match DuckDB's.
+          .withColumn("qual1", to_json(col("qual1")))
+          .withColumn("qual2", to_json(col("qual2")))
       },
       Some("""SELECT * FROM (VALUES
              |  (CAST(1 AS BIGINT), 'r1', 'first read', 'ACGT', 'CCGG',
-             |   CAST([40,40,40,40] AS SMALLINT[]), CAST([37,37,37,37] AS SMALLINT[])),
+             |   CAST(to_json(CAST([40,40,40,40] AS SMALLINT[])) AS VARCHAR),
+             |   CAST(to_json(CAST([37,37,37,37] AS SMALLINT[])) AS VARCHAR)),
              |  (CAST(2 AS BIGINT), 'r2', NULL, 'TTAA', 'GGTT',
-             |   CAST([39,39,39,39] AS SMALLINT[]), CAST([36,36,36,36] AS SMALLINT[]))
+             |   CAST(to_json(CAST([39,39,39,39] AS SMALLINT[])) AS VARCHAR),
+             |   CAST(to_json(CAST([36,36,36,36] AS SMALLINT[])) AS VARCHAR))
              |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin)),
 
     // 2B: read_alignments DataSource V2 (SAM text fixture). Oracle: the
@@ -431,12 +441,14 @@ object LayerB {
           .drop("l_linenumber")
         graft.ops.Writers.copyFastq(src, "/tmp/graft_b14.fastq")
         s.read.format("fastx").load("/tmp/graft_b14.fastq")
-          .select("read_id", "sequence1", "qual1")
+          .select(col("read_id"), col("sequence1"),
+            // to_json: list cells crash the driver's pandas sort (ADVICE r2)
+            to_json(col("qual1")).as("qual1"))
       },
       Some("""SELECT 'read' || l_orderkey || '_' || l_linenumber AS read_id,
              |       substr('ACGTACGTACGTACGT', 1, CAST(4 + l_orderkey % 8 AS INTEGER)) AS sequence1,
-             |       list_transform(generate_series(1, CAST(4 + l_orderkey % 8 AS INTEGER)),
-             |         i -> CAST(l_linenumber % 40 + 2 AS SMALLINT)) AS qual1
+             |       CAST(to_json(list_transform(generate_series(1, CAST(4 + l_orderkey % 8 AS INTEGER)),
+             |         i -> CAST(l_linenumber % 40 + 2 AS SMALLINT))) AS VARCHAR) AS qual1
              |  FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
 
     // 2G: SAM sink round-trip — synthetic alignments written via
@@ -536,15 +548,21 @@ object LayerB {
             "read3\t4\t*\t0\t0\t*\t*\t0\t0\tNNNN\t*\n")
         finally pw.close()
         s.read.format("sam_sequences").load("/tmp/graft_b18.sam")
+          // to_json: list cells crash the driver's pandas sort (ADVICE r2)
+          .withColumn("qual1", to_json(col("qual1")))
+          .withColumn("qual2", to_json(col("qual2")))
       },
       Some("""SELECT * FROM (VALUES
              |  (CAST(1 AS BIGINT), 'read1', CAST(NULL AS VARCHAR), 'ACGTACGT',
-             |   CAST(NULL AS VARCHAR), CAST([40,40,40,40,39,39,39,39] AS SMALLINT[]),
-             |   CAST(NULL AS SMALLINT[])),
+             |   CAST(NULL AS VARCHAR),
+             |   CAST(to_json(CAST([40,40,40,40,39,39,39,39] AS SMALLINT[])) AS VARCHAR),
+             |   CAST(NULL AS VARCHAR)),
              |  (CAST(2 AS BIGINT), 'read2', CAST(NULL AS VARCHAR), 'TGCA',
-             |   CAST(NULL AS VARCHAR), CAST([0,0,0,0] AS SMALLINT[]), CAST(NULL AS SMALLINT[])),
+             |   CAST(NULL AS VARCHAR),
+             |   CAST(to_json(CAST([0,0,0,0] AS SMALLINT[])) AS VARCHAR),
+             |   CAST(NULL AS VARCHAR)),
              |  (CAST(3 AS BIGINT), 'read3', CAST(NULL AS VARCHAR), 'NNNN',
-             |   CAST(NULL AS VARCHAR), CAST(NULL AS SMALLINT[]), CAST(NULL AS SMALLINT[]))
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
              |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin)),
 
     // 2D: align_pairwise_* — score/cigar over pairs with 0 or exactly 1
@@ -734,16 +752,19 @@ object LayerB {
     QueryDef(
       "b25_read_sff",
       (s, d) =>
-        s.read.format("sff").load("/root/reference/data/sff/basic_2reads.sff"),
+        s.read.format("sff").load("/root/reference/data/sff/basic_2reads.sff")
+          // to_json: list cells crash the driver's pandas sort (ADVICE r2)
+          .withColumn("qual1", to_json(col("qual1")))
+          .withColumn("qual2", to_json(col("qual2"))),
       Some("""SELECT * FROM (VALUES
              |  (CAST(1 AS BIGINT), 'READ_1', CAST(NULL AS VARCHAR), 'TCAGATTGCAGG',
              |   CAST(NULL AS VARCHAR),
-             |   CAST([30,30,25,35,40,38,36,30,28,25,20,15] AS SMALLINT[]),
-             |   CAST(NULL AS SMALLINT[])),
+             |   CAST(to_json(CAST([30,30,25,35,40,38,36,30,28,25,20,15] AS SMALLINT[])) AS VARCHAR),
+             |   CAST(NULL AS VARCHAR)),
              |  (CAST(2 AS BIGINT), 'READ_2', CAST(NULL AS VARCHAR), 'TCAGCCTAAGTC',
              |   CAST(NULL AS VARCHAR),
-             |   CAST([35,35,30,40,38,33,30,28,35,30,25,20] AS SMALLINT[]),
-             |   CAST(NULL AS SMALLINT[]))
+             |   CAST(to_json(CAST([35,35,30,40,38,33,30,28,35,30,25,20] AS SMALLINT[])) AS VARCHAR),
+             |   CAST(NULL AS VARCHAR))
              |) AS t(sequence_index, read_id, comment, sequence1, sequence2, qual1, qual2)""".stripMargin)),
 
     // 2G: COPY BAM round-trip — binary BGZF writer ∘ reader = identity

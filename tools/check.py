@@ -63,6 +63,10 @@ def main(outdir, sfdir):
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    # Verify.scala emits each oracle under both bare and '<name>.parquet'
+    # keys (driver-compat, ADVICE r2); locally use the bare ones only.
+    oracles = {k: v for k, v in oracles.items()
+               if not (k.endswith(".parquet") and k[:-8] in oracles)}
     n_pass = n_fail = 0
     for name in sorted(oracles):
         sql = oracles[name]
