@@ -136,7 +136,7 @@ object LayerA2 {
           .select(
             col("p_partkey"),
             regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
-            length(col("p_name")).as("name_len"),
+            length(col("p_name")).cast("long").as("name_len"),
             element_at(split(col("p_type"), " "), 1).as("type_word1"),
             upper(col("p_brand")).as("brand_uc"),
             substring(col("p_name"), 1, 5).as("name_pfx")),
@@ -222,11 +222,14 @@ object LayerA2 {
         Tables.lineitem(s, d).select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("int").as("qty_int"),
-          col("l_shipdate").cast("date").as("ship_day"),
+          // date → ISO string: pandas reads Spark's DATE as python date
+          // objects but DuckDB's as datetime64 — same values, different
+          // physical dtype; the string form compares exactly.
+          col("l_shipdate").cast("date").cast("string").as("ship_day"),
           col("l_suppkey").cast("string").as("supp_str")),
       Some("""SELECT l_orderkey, l_linenumber,
              |       CAST(trunc(l_quantity) AS INTEGER) AS qty_int,
-             |       CAST(l_shipdate AS DATE) AS ship_day,
+             |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_day,
              |       CAST(l_suppkey AS VARCHAR) AS supp_str
              |  FROM lineitem""".stripMargin)),
 

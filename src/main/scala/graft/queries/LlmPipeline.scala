@@ -185,10 +185,14 @@ object LlmPipeline {
           .agg(count(lit(1)).as("n"),
             (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
               .as("total_value"))
-          .select(col("window.start").as("window_start"), col("event_type"),
-            col("n"), col("total_value")),
-      Some("""SELECT CAST(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
-             |         AS window_start,
+          // window_start as text: parquet timestamp precision differs
+          // between engines (ns vs us) — a strict byte compare would flag
+          // equal instants as different; the formatted string is exact.
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            col("event_type"), col("n"), col("total_value")),
+      Some("""SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+             |                '%Y-%m-%d %H:%M:%S') AS window_start,
              |       event_type, COUNT(*) AS n,
              |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
              |  FROM events GROUP BY 1, 2""".stripMargin))
