@@ -1,10 +1,13 @@
 package graft.functions
 
-import graft.kernel.Cigar
+import graft.functions.CigarExpressions._
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.{lit, udf}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.functions.lit
 
-/** CIGAR-based scalar functions over the pure kernel.
+/** CIGAR-based scalar functions — native Catalyst expressions
+  * (CigarExpressions) over the byte-level CigarCodegen kernel.
   *
   * Reference: src/alignment_functions.cpp:11-337 —
   * alignment_seq_identity (gap_excluded | blast | gap_compressed),
@@ -15,40 +18,53 @@ import org.apache.spark.sql.functions.{lit, udf}
   */
 object AlignmentFunctions {
 
-  private val seqIdentityUdf =
-    udf((cigar: String, nm: java.lang.Long, md: String, idType: String) =>
-      if (cigar == null || idType == null) None
-      else Cigar.seqIdentity(cigar, if (nm == null) -1L else nm.longValue(), md, idType))
-
-  private val queryLengthUdf =
-    udf((cigar: String, includeHardClips: java.lang.Boolean) =>
-      if (cigar == null) None
-      else Some(Cigar.queryLength(cigar, includeHardClips == null || includeHardClips.booleanValue())))
-
-  private val queryCoverageUdf =
-    udf((cigar: String, covType: String) =>
-      if (cigar == null) None
-      else Some(Cigar.queryCoverage(cigar, if (covType == null) "aligned" else covType)))
+  private def e(c: Column): Expression = ColumnBridge.expression(c)
+  private def col(e: Expression): Column = ColumnBridge.column(e)
 
   def alignmentSeqIdentity(cigar: Column, nm: Column, md: Column): Column =
-    seqIdentityUdf(cigar, nm, md, lit("gap_compressed"))
+    alignmentSeqIdentity(cigar, nm, md, "gap_compressed")
   def alignmentSeqIdentity(cigar: Column, nm: Column, md: Column, idType: String): Column =
-    seqIdentityUdf(cigar, nm, md, lit(idType))
+    col(AlignmentSeqIdentity(e(cigar), e(nm), e(md), e(lit(idType))))
 
-  def alignmentQueryLength(cigar: Column): Column = queryLengthUdf(cigar, lit(true))
+  def alignmentQueryLength(cigar: Column): Column =
+    alignmentQueryLength(cigar, includeHardClips = true)
   def alignmentQueryLength(cigar: Column, includeHardClips: Boolean): Column =
-    queryLengthUdf(cigar, lit(includeHardClips))
+    col(AlignmentQueryLength(e(cigar), e(lit(includeHardClips))))
 
-  def alignmentQueryCoverage(cigar: Column): Column = queryCoverageUdf(cigar, lit("aligned"))
+  def alignmentQueryCoverage(cigar: Column): Column =
+    alignmentQueryCoverage(cigar, "aligned")
   def alignmentQueryCoverage(cigar: Column, covType: String): Column =
-    queryCoverageUdf(cigar, lit(covType))
+    col(AlignmentQueryCoverage(e(cigar), e(lit(covType))))
 
-  /** SQL registration: full-arity names (Spark UDF registration has no
-    * overloads; defaults are provided by the Column API above).
+  /** SQL registration as native expression builders (not UDFs) with the
+    * reference's optional-argument defaults: seq_identity(cigar, nm
+    * [, md [, type]]), query_length(cigar [, include_hard_clips]),
+    * query_coverage(cigar [, type]).
     */
   def registerSql(spark: SparkSession): Unit = {
-    spark.udf.register("alignment_seq_identity", seqIdentityUdf)
-    spark.udf.register("alignment_query_length", queryLengthUdf)
-    spark.udf.register("alignment_query_coverage", queryCoverageUdf)
+    val registry = spark.sessionState.functionRegistry
+    val nullStr = Literal.create(null, org.apache.spark.sql.types.StringType)
+    registry.createOrReplaceTempFunction("alignment_seq_identity",
+      (args: Seq[Expression]) => args match {
+        case Seq(c, nm)        => AlignmentSeqIdentity(c, nm, nullStr, Literal("gap_compressed"))
+        case Seq(c, nm, md)    => AlignmentSeqIdentity(c, nm, md, Literal("gap_compressed"))
+        case Seq(c, nm, md, t) => AlignmentSeqIdentity(c, nm, md, t)
+        case other => throw new IllegalArgumentException(
+          s"alignment_seq_identity expects 2-4 arguments, got ${other.length}")
+      }, "built-in")
+    registry.createOrReplaceTempFunction("alignment_query_length",
+      (args: Seq[Expression]) => args match {
+        case Seq(c)    => AlignmentQueryLength(c, Literal(true))
+        case Seq(c, h) => AlignmentQueryLength(c, h)
+        case other => throw new IllegalArgumentException(
+          s"alignment_query_length expects 1-2 arguments, got ${other.length}")
+      }, "built-in")
+    registry.createOrReplaceTempFunction("alignment_query_coverage",
+      (args: Seq[Expression]) => args match {
+        case Seq(c)    => AlignmentQueryCoverage(c, Literal("aligned"))
+        case Seq(c, t) => AlignmentQueryCoverage(c, t)
+        case other => throw new IllegalArgumentException(
+          s"alignment_query_coverage expects 1-2 arguments, got ${other.length}")
+      }, "built-in")
   }
 }
