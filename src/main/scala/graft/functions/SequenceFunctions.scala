@@ -1,34 +1,41 @@
 package graft.functions
 
-import graft.kernel.Sequence
+import graft.functions.SequenceExpressions.SequenceTransform
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.ColumnBridge
 
-/** Nucleotide sequence scalar functions over the pure kernel.
-  * Reference: src/sequence_functions.cpp:296-328. Strict validation:
-  * invalid bases throw (position-reporting), matching the reference's
-  * error-first behavior; NULL in → NULL out.
+/** Nucleotide sequence scalar functions — native Catalyst expressions
+  * over the pure kernel. Reference: src/sequence_functions.cpp:296-328.
+  * Strict validation: invalid bases throw (position-reporting),
+  * matching the reference's error-first behavior; NULL in → NULL out.
   */
 object SequenceFunctions {
 
-  private val dnaRevCompUdf = udf((s: String) =>
-    if (s == null) null else Sequence.dnaReverseComplement(s))
-  private val rnaRevCompUdf = udf((s: String) =>
-    if (s == null) null else Sequence.rnaReverseComplement(s))
-  private val dnaAsRegexpUdf = udf((s: String) =>
-    if (s == null) null else Sequence.dnaAsRegexp(s))
-  private val rnaAsRegexpUdf = udf((s: String) =>
-    if (s == null) null else Sequence.rnaAsRegexp(s))
+  private def mk(fn: String, sqlName: String)(seq: Column): Column =
+    ColumnBridge.column(SequenceTransform(ColumnBridge.expression(seq), fn, sqlName))
 
-  def sequenceDnaReverseComplement(seq: Column): Column = dnaRevCompUdf(seq)
-  def sequenceRnaReverseComplement(seq: Column): Column = rnaRevCompUdf(seq)
-  def sequenceDnaAsRegexp(seq: Column): Column = dnaAsRegexpUdf(seq)
-  def sequenceRnaAsRegexp(seq: Column): Column = rnaAsRegexpUdf(seq)
+  def sequenceDnaReverseComplement(seq: Column): Column =
+    mk("dnaRevComp", "sequence_dna_reverse_complement")(seq)
+  def sequenceRnaReverseComplement(seq: Column): Column =
+    mk("rnaRevComp", "sequence_rna_reverse_complement")(seq)
+  def sequenceDnaAsRegexp(seq: Column): Column =
+    mk("dnaAsRegexp", "sequence_dna_as_regexp")(seq)
+  def sequenceRnaAsRegexp(seq: Column): Column =
+    mk("rnaAsRegexp", "sequence_rna_as_regexp")(seq)
 
   def registerSql(spark: SparkSession): Unit = {
-    spark.udf.register("sequence_dna_reverse_complement", dnaRevCompUdf)
-    spark.udf.register("sequence_rna_reverse_complement", rnaRevCompUdf)
-    spark.udf.register("sequence_dna_as_regexp", dnaAsRegexpUdf)
-    spark.udf.register("sequence_rna_as_regexp", rnaAsRegexpUdf)
+    val registry = spark.sessionState.functionRegistry
+    def reg(name: String, fn: String): Unit =
+      registry.createOrReplaceTempFunction(name,
+        (args: Seq[Expression]) => args match {
+          case Seq(c) => SequenceTransform(c, fn, name)
+          case other => throw new IllegalArgumentException(
+            s"$name expects 1 argument, got ${other.length}")
+        }, "built-in")
+    reg("sequence_dna_reverse_complement", "dnaRevComp")
+    reg("sequence_rna_reverse_complement", "rnaRevComp")
+    reg("sequence_dna_as_regexp", "dnaAsRegexp")
+    reg("sequence_rna_as_regexp", "rnaAsRegexp")
   }
 }

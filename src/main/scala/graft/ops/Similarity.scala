@@ -105,6 +105,106 @@ object Similarity {
       .agg(max(col("cos")).as("cos"))
   }
 
+  /** Dot product against a constant vector (centroid): compact
+    * codegen'd higher-order expression, no UDF.
+    */
+  private def dotConst(emb: Column, c: Array[Double]): Column =
+    aggregate(
+      zip_with(emb, typedLit(c.toSeq), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** The nProbe nearest IVF lists for a vector, ranked by cosine
+    * against unit-normalized centroids (norm(emb) is constant across
+    * centroids, so ranking by dot suffices). Ties break on list id.
+    */
+  private def nearestLists(
+      emb: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dotConst(emb, c)).as("negdot"), lit(i).as("list_id"))
+    }: _*)
+      // struct() does not always keep aliases — pin field names by type
+      .cast("array<struct<negdot:double,list_id:int>>")
+    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("list_id"))
+  }
+
+  private def unit(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** IVF coarse quantizer: distributed Lloyd's iterations (spherical
+    * k-means). Assignment is a codegen'd expression over the corpus;
+    * the centroid update is posexplode → groupBy(list, dim) → avg —
+    * one shuffle of nLists×dim cells per iteration. Only the k×dim
+    * model (a few KB) ever reaches the driver, so the training pass
+    * scales to any corpus size. Init = the nLists lowest vec_ids
+    * (deterministic).
+    */
+  def ivfCentroids(
+      corpus: DataFrame, dim: Int, nLists: Int, iters: Int = 3): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nLists).collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+      .map(unit)
+    for (_ <- 0 until iters) {
+      val mean = corpus
+        .select(
+          element_at(nearestLists(col("embedding"), cents, 1), 1).as("list_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      for (r <- mean)
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+      cents = next.map(unit) // empty lists keep their previous centroid
+    }
+    cents
+  }
+
+  /** IVF approximate top-k: corpus vectors are assigned to their
+    * nearest list once (shuffle on the list key only); each query
+    * probes its nProbe nearest lists, computes exact cosine within
+    * them, and takes per-query top-k. nProbe = nLists degrades to
+    * exact brute force (used as the oracle-checkable configuration);
+    * nProbe < nLists is the 100 TB path — per query only
+    * nProbe/nLists of the corpus is touched, and the corpus can be
+    * pre-bucketed by list_id on write so the probe join is
+    * shuffle-free.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val cents = ivfCentroids(corpus, dim, nLists, iters)
+    val indexed = corpus.select(
+      col("vec_id"), col("embedding"),
+      element_at(nearestLists(col("embedding"), cents, 1), 1).as("list_id"))
+    val probed = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      .withColumn("list_id", explode(nearestLists(col("query_emb"), cents, nProbe)))
+    val joined = indexed
+      .join(broadcast(probed), Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("query_emb")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
     * or label column): deterministic, oracle-checkable, and the same
     * shape the LSH variant produces.

@@ -340,6 +340,26 @@ object LayerA2 {
         s.read.schema("id LONG, tag STRING, score DOUBLE").json(out)
       },
       Some("""SELECT id, tag, score FROM read_json('/tmp/graft_a03_fixture.json',
-             |  columns = {'id':'BIGINT','tag':'VARCHAR','score':'DOUBLE'})""".stripMargin))
+             |  columns = {'id':'BIGINT','tag':'VARCHAR','score':'DOUBLE'})""".stripMargin)),
+
+    // A35: the five basic aggregates standalone (previously only inside
+    // a11). Exact-cents sums/avgs; map-side partial agg, one shuffle.
+    QueryDef(
+      "a35_basic_aggs",
+      (s, d) =>
+        Tables.orders(s, d).agg(
+          (sum(cents("o_totalprice")).cast("double") / 100.0).as("sum_price"),
+          (sum(cents("o_totalprice")).cast("double") / 100.0 / count(lit(1)))
+            .as("avg_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+             |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0
+             |         / COUNT(*) AS avg_price,
+             |       MIN(o_totalprice) AS min_price,
+             |       MAX(o_totalprice) AS max_price,
+             |       COUNT(*) AS n
+             |  FROM orders""".stripMargin))
   )
 }

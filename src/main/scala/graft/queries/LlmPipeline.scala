@@ -173,6 +173,33 @@ object LlmPipeline {
           nBits = 10, nTables = 4, threshold = 0.3),
       None),
 
+    // IVF ANN top-k, probed exhaustively (nProbe = nLists) so the
+    // result is provably identical to brute force → the IVF plumbing
+    // (k-means training pass, list assignment, probe join, per-query
+    // top-k) gets a real DuckDB oracle. The approximate configuration
+    // (nProbe < nLists) is recall-tested in LlmOpsSpec.
+    QueryDef(
+      "l11_ivf_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), dim = 64,
+          k = 5, nLists = 8, nProbe = 8, iters = 2)
+          .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+      },
+      Some(s"""WITH pairs AS (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+              |         ${duckDot("c.embedding", "q.embedding")} /
+              |           (sqrt(${duckDot("c.embedding", "c.embedding")}) *
+              |            sqrt(${duckDot("q.embedding", "q.embedding")})) AS cos
+              |    FROM embeddings c, embeddings q
+              |   WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+              |ranked AS (
+              |  SELECT query_id, vec_id, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              |    FROM pairs)
+              |SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank
+              |  FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in
@@ -195,6 +222,41 @@ object LlmPipeline {
              |                '%Y-%m-%d %H:%M:%S') AS window_start,
              |       event_type, COUNT(*) AS n,
              |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
-             |  FROM events GROUP BY 1, 2""".stripMargin))
+             |  FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // 2H: event-time sessionization in BATCH mode via Spark's native
+    // session_window (30-minute inactivity gap, half-open: an event at
+    // exactly start+gap opens a new session). One shuffle on user_id;
+    // at 100 TB this is the same plan with more partitions. Oracle:
+    // independent gaps-and-islands derivation in DuckDB.
+    QueryDef(
+      "h02_session_window",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 100, 0).cast("long")).cast("double") / 100.0)
+              .as("session_value"))
+          .select(col("user_id"),
+            date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            col("n_events"), col("session_value")),
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+             |flag AS (
+             |  SELECT user_id, ts, value,
+             |         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |                   < INTERVAL 30 MINUTE
+             |              THEN 0 ELSE 1 END AS is_new
+             |    FROM e),
+             |isl AS (
+             |  SELECT user_id, ts, value,
+             |         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             |             ROWS UNBOUNDED PRECEDING) AS sid
+             |    FROM flag)
+             |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       COUNT(*) AS n_events,
+             |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS DOUBLE) / 100.0
+             |         AS session_value
+             |  FROM isl GROUP BY user_id, sid""".stripMargin))
   )
 }

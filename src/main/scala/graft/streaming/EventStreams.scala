@@ -63,6 +63,70 @@ object EventStreams {
       }
   }
 
+  final case class SessionRecord(
+      user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, session_value: Double)
+
+  /** Per-user state for sessionize (public: the state Encoder's
+    * generated code instantiates it reflectively).
+    */
+  final case class OpenSession(
+      userId: Long, start: Long, lastTs: Long, n: Long, value: Double)
+
+  /** Event-time sessionization with expiry: flatMapGroupsWithState +
+    * EventTimeTimeout. A session closes (and is emitted) when the
+    * WATERMARK passes its last event + gap — the streaming twin of the
+    * batch h02_session_window query. State per user is one open
+    * session (constant size); the watermark bounds total state forever.
+    * Input must carry a watermarked `ts` timestamp column.
+    */
+  def sessionize(
+      events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gap: String = "30 minutes"): Dataset[SessionRecord] = {
+    import events.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val gapMillis =
+      gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRecord](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last event + gap: close and emit
+            val s = state.get
+            state.remove()
+            Iterator(SessionRecord(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs), s.n, s.value))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionRecord]
+            for ((_, ts, v) <- sorted) {
+              val t = ts.getTime
+              open match {
+                case Some(s) if t < s.lastTs + gapMillis =>
+                  open = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    n = s.n + 1, value = s.value + v))
+                case Some(s) =>
+                  closed += SessionRecord(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastTs), s.n, s.value)
+                  open = Some(OpenSession(userId, t, t, 1L, v))
+                case None =>
+                  open = Some(OpenSession(userId, t, t, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMillis)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** End-to-end demo wiring for tests: memory sink, complete mode. */
   def runWindowedDemo(
       spark: SparkSession,

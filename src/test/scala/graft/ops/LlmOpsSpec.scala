@@ -71,6 +71,35 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(top(100L + i) == i.toLong)
   }
 
+  test("ivfTopK with full probing equals brute force exactly") {
+    val emb = plantedVectors
+    val qs = emb.filter(col("vec_id") < 8)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("query_id"), col("rank"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    val exact = canon(Similarity.bruteForceTopK(emb, qs, 5))
+    val ivfFull = canon(Similarity.ivfTopK(emb, qs, dim = 16, k = 5,
+      nLists = 6, nProbe = 6, iters = 2))
+    assert(ivfFull == exact)
+  }
+
+  test("ivfTopK partial probing: planted dup found at rank 1, recall@5 is high") {
+    val emb = plantedVectors
+    val qs = emb.filter(col("vec_id") >= 100)
+    val ivf = Similarity.ivfTopK(emb, qs, dim = 16, k = 5,
+      nLists = 6, nProbe = 2, iters = 3)
+    val rank1 = ivf.filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // a near-identical dup lands in the same IVF list as its source
+    for (i <- 0 until 5)
+      assert(rank1(100L + i) == i.toLong, s"planted dup $i not rank-1")
+    val exact = Similarity.bruteForceTopK(emb, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ivf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
   test("multimodal feature extraction: byte counts and normalized histogram") {
     val media = Multimodal.mediaFromDocuments(
       plantedDocs.withColumn("n_chars", length(col("text"))))

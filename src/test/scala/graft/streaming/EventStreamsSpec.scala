@@ -62,4 +62,49 @@ class EventStreamsSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n"))
     assert(out.count() > 0)
   }
+
+  test("event-time sessionization closes sessions as the watermark passes gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val withWm = input.toDS().withWatermark("_2", "0 seconds")
+      .as[(Long, Timestamp, Double)]
+    val sessions = EventStreams.sessionize(withWm, gap = "10 minutes")
+    val query = sessions.writeStream
+      .format("memory").queryName("graft_sessionize_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // user 1: two events inside one session
+      input.addData((1L, t("2026-01-01 10:00:00"), 1.0),
+        (1L, t("2026-01-01 10:05:00"), 2.0))
+      query.processAllAvailable() // watermark → 10:05
+      // user 2 far in the future advances the watermark past 10:15
+      input.addData((2L, t("2026-01-01 11:00:00"), 5.0))
+      query.processAllAvailable() // watermark → 11:00 (after batch)
+      // next batch fires user 1's EventTimeTimeout (10:15 < 11:00)
+      input.addData((3L, t("2026-01-01 11:01:00"), 1.0))
+      query.processAllAvailable()
+      val out = spark.sql("SELECT * FROM graft_sessionize_test").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString, r.getLong(3), r.getDouble(4)))
+      assert(out.toSeq == Seq(
+        (1L, "2026-01-01 10:00:00.0", "2026-01-01 10:05:00.0", 2L, 3.0)))
+
+      // an in-batch gap closes the old session inline (no timeout needed)
+      input.addData((3L, t("2026-01-01 12:00:00"), 4.0))
+      query.processAllAvailable()
+      input.addData((9L, t("2026-01-01 13:00:00"), 0.0))
+      query.processAllAvailable()
+      input.addData((9L, t("2026-01-01 13:30:00"), 0.0))
+      query.processAllAvailable()
+      val out2 = spark.sql(
+        "SELECT * FROM graft_sessionize_test WHERE user_id = 3").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3)))
+        .sortBy(_._2)
+      // user 3's 11:01 session closed (via inline gap or timeout)
+      assert(out2.nonEmpty &&
+        out2.head == ((3L, "2026-01-01 11:01:00.0", 1L)))
+    } finally query.stop()
+  }
 }
