@@ -40,13 +40,13 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    // Best-of-2 timed passes: steady-state minimum, robust to GC /
+    // Best-of-3 timed passes: steady-state minimum, robust to GC /
     // scheduler noise on a shared box.
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     defs.foreach { q =>
       try {
-        val runs = (1 to 2).map { _ =>
+        val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9

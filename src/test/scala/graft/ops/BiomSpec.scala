@@ -68,6 +68,39 @@ class BiomSpec extends AnyFunSuite {
       .sorted.toSeq == coo.sorted)
   }
 
+  test("HDF5 writer follows libhdf5 heap/B-tree conventions") {
+    // ADVICE r2 spec-conformance: heap offset 0 must decode as the
+    // empty string (reserved head), the free-list field must be
+    // H5HL_FREE_NULL (1), and group B-tree keys must be real heap name
+    // offsets (low key 0, high key = last child name's offset).
+    val bytes = graft.kernel.Hdf5BiomWriter.write(
+      Seq(("S1", "O1", 1.0), ("S2", "O2", 2.0)))
+    def u64(off: Int): Long =
+      (0 until 8).map(i => (bytes(off + i) & 0xffL) << (8 * i)).sum
+    def u16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def sig(off: Int, s: String): Boolean =
+      s.zipWithIndex.forall { case (c, i) => bytes(off + i) == c.toByte }
+    // walk every HEAP header in the file
+    var heaps = 0; var trees = 0
+    for (off <- 0 until bytes.length - 32) {
+      if (sig(off, "HEAP")) {
+        heaps += 1
+        assert(u64(off + 16) == 1L, s"free list at HEAP@$off is not H5HL_FREE_NULL")
+        val dataAddr = u64(off + 24)
+        assert(bytes(dataAddr.toInt) == 0, s"heap head at $dataAddr not empty string")
+      }
+      if (sig(off, "TREE")) {
+        trees += 1
+        val entries = u16(off + 6)
+        assert(u64(off + 8 + 16) == 0L, s"TREE@$off low key not 0")
+        val highKey = u64(off + 8 + 16 + entries * 16)
+        assert(highKey >= 8, s"TREE@$off high key $highKey not a real heap offset")
+      }
+    }
+    assert(heaps == 5 && trees == 5) // root + 2×(biom group + matrix group)
+  }
+
   test("non-HDF5 bytes rejected") {
     val e = intercept[Hdf5Biom.Hdf5Exception](
       Hdf5Biom.readCoo("plain text".getBytes, "x.biom"))
