@@ -24,6 +24,52 @@ object Dedup {
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("doc_id"), count(lit(1)).as("n_dups"))
 
+  /** Connected components over an undirected near-dup pair list —
+    * the cluster-formation step between candidate pairs and canonical
+    * document selection. Iterative distributed min-label propagation
+    * with path-halving: each round a node adopts
+    * min(own label, neighbors' labels, label-of-own-label), so chains
+    * converge in O(log diameter) rounds instead of O(diameter).
+    * Each round is two joins + one aggregation, fully partitioned —
+    * no driver-side graph; the driver only sees the changed-count.
+    * Output: (id, component) with component = min id in the component.
+    * At 100 TB: persist + localCheckpoint each round to truncate
+    * lineage (enabled when the input is non-trivial).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // min label among neighbors
+      val viaNeighbor = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+      // label of own label (path halving)
+      val parentLabels = labels.select(col("id").as("label"), col("label").as("pl"))
+      val viaParent = labels.join(parentLabels, Seq("label"))
+        .select(col("id"), col("pl"))
+      val next = labels
+        .join(viaNeighbor, Seq("id"), "left")
+        .join(viaParent, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label")),
+            coalesce(col("pl"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    labels.select(col("id"), col("label").as("component"))
+  }
+
   /** Character n-gram shingle array (distinct) — a pure column
     * expression so Catalyst keeps it in codegen.
     */

@@ -451,6 +451,25 @@ object LayerB {
              |         i -> CAST(l_linenumber % 40 + 2 AS SMALLINT))) AS VARCHAR) AS qual1
              |  FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
 
+    // 2G: FASTA sink round-trip — writer∘reader = identity on
+    // lineitem-derived sequences (qual columns NULL for FASTA).
+    QueryDef(
+      "b29_copy_fasta",
+      (s, d) => {
+        val src = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") < 500)
+          .select(
+            concat(lit("seq"), col("l_orderkey"), lit("_"), col("l_linenumber")).as("read_id"),
+            expr("substring('ACGTACGTACGTACGT', 1, 4 + CAST(l_orderkey % 8 AS INT))").as("sequence1"))
+        graft.ops.Writers.copyFasta(src, "/tmp/graft_b29.fasta")
+        s.read.format("fastx").load("/tmp/graft_b29.fasta")
+          .select(col("read_id"), col("sequence1"), to_json(col("qual1")).as("qual1"))
+      },
+      Some("""SELECT 'seq' || l_orderkey || '_' || l_linenumber AS read_id,
+             |       substr('ACGTACGTACGTACGT', 1, CAST(4 + l_orderkey % 8 AS INTEGER)) AS sequence1,
+             |       CAST(NULL AS VARCHAR) AS qual1
+             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
+
     // 2G: SAM sink round-trip — synthetic alignments written via
     // copySam (with @SQ header) then re-read; oracle derives the
     // relation logically incl. stop_position arithmetic.

@@ -173,6 +173,38 @@ object LlmPipeline {
           nBits = 10, nTables = 4, threshold = 0.3),
       None),
 
+    // Near-dup cluster formation: deterministic candidate pairs
+    // (consecutive-id 5-gram jaccard >= 0.2, the l02 kernel) →
+    // distributed connected components → (doc, component = min id).
+    // Oracle: DuckDB recursive-CTE transitive closure over the same
+    // pair set.
+    QueryDef(
+      "l12_dedup_clusters",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = docs.select((col("doc_id") - 1).as("id_a"),
+          col("text").as("text_b"), col("doc_id").as("id_b"))
+        val pairs = a.join(b, "id_a")
+          .filter(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5) >= 0.2)
+          .select(col("id_a"), col("id_b"))
+        Dedup.connectedComponents(pairs)
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              |   WHERE CAST(len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")})) AS DOUBLE)
+              |         / (len(${duckShingles("a.text")}) + len(${duckShingles("b.text")})
+              |            - len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")}))) >= 0.2),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id)
+              |SELECT id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
+
     // IVF ANN top-k, probed exhaustively (nProbe = nLists) so the
     // result is provably identical to brute force → the IVF plumbing
     // (k-means training pass, list assignment, probe join, per-query

@@ -71,6 +71,22 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(top(100L + i) == i.toLong)
   }
 
+  test("connectedComponents labels chains, cliques and singleton-free graphs") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (worst case for plain propagation), clique 10-11-12,
+    // isolated pair 20-21
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert((10L to 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 10)
+  }
+
   test("ivfTopK with full probing equals brute force exactly") {
     val emb = plantedVectors
     val qs = emb.filter(col("vec_id") < 8)
