@@ -45,8 +45,28 @@ object CompressIntervals {
 
   private val compressUdaf = udaf(agg)
 
-  def compressIntervals(start: Column, stop: Column): Column = compressUdaf(start, stop)
+  /** Catalyst-native aggregate (TypedImperativeAggregate): primitive
+    * per-row updates, live object buffer, compact compressed-state
+    * serialization at shuffle boundaries. The Aggregator `agg` above is
+    * kept as the property-test twin.
+    */
+  def compressIntervals(start: Column, stop: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge._
+    column(CompressIntervalsAgg(expression(start), expression(stop))
+      .toAggregateExpression())
+  }
 
-  def registerSql(spark: SparkSession): Unit =
-    spark.udf.register("compress_intervals", compressUdaf)
+  def registerSql(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "compress_intervals",
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => args match {
+        case Seq(s, e) => CompressIntervalsAgg(s, e).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          s"compress_intervals expects 2 arguments, got ${other.length}")
+      }, "built-in")
+  }
+
+  /** The previous udaf form, for A/B tests. */
+  def compressIntervalsUdaf(start: Column, stop: Column): Column =
+    compressUdaf(start, stop)
 }
