@@ -95,6 +95,9 @@ class FastxScan(options: Map[String, String], required: StructType) extends Scan
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val qualOffset = options.getOrElse("qual_offset", "33").toInt
+    // reference: read_fastx rejects offsets other than Phred+33/+64
+    if (qualOffset != 33 && qualOffset != 64)
+      throw new IllegalArgumentException("qual_offset must be 33 or 64")
     val req = required
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =

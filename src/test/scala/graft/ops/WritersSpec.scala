@@ -22,6 +22,21 @@ class WritersSpec extends AnyFunSuite {
     assert(src.collect().toSeq == back.collect().toSeq)
   }
 
+  test("FASTQ gzip output by .gz extension round-trips " +
+      "(reference test/sql/copy_fastq_compression.test)") {
+    val src = spark.read.format("fastx").load(s"$fq/foo.r1.fastq.gz")
+      .select("read_id", "comment", "sequence1", "qual1")
+    Writers.copyFastq(src, "/tmp/graft_wt_gz.fastq.gz")
+    // must be real gzip bytes
+    val head = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/graft_wt_gz.fastq.gz")).take(2)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+    val back = spark.read.format("fastx").load("/tmp/graft_wt_gz.fastq.gz")
+    assert(back.count() == src.count())
+    assert(back.select("read_id", "sequence1").collect().toSet ==
+      src.select("read_id", "sequence1").collect().toSet)
+  }
+
   test("FASTQ paired split via {ORIENTATION} placeholder") {
     val src = spark.read.format("fastx")
       .option("sequence2", s"$fq/foo.r2.fastq.gz")

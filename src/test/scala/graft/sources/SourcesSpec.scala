@@ -43,6 +43,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.forall(_.isNullAt(5)))
   }
 
+  test("fastx qual_offset: 33 default, 64 shifts, others rejected " +
+      "(reference test/sql/read_fastx_qual_offset.test)") {
+    def quals(opts: Map[String, String]): Map[String, Seq[Short]] = {
+      var r = spark.read.format("fastx")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(s"$fq/small_a.fq").collect()
+        .map(row => row.getString(1) -> row.getSeq[Short](5)).toMap
+    }
+    assert(quals(Map.empty) == Map(
+      "read_a1" -> Seq[Short](40, 40, 40, 40), "read_a2" -> Seq[Short](39, 39, 39, 39)))
+    assert(quals(Map("qual_offset" -> "64")) == Map(
+      "read_a1" -> Seq[Short](9, 9, 9, 9), "read_a2" -> Seq[Short](8, 8, 8, 8)))
+    val e = intercept[Exception] { quals(Map("qual_offset" -> "100")) }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(rootMsg)).mkString(" | ")
+    assert(rootMsg(e).contains("qual_offset must be 33 or 64"))
+  }
+
   test("fastx paired-id mismatch errors") {
     val ex = intercept[Exception] {
       spark.read.format("fastx")
@@ -56,6 +74,15 @@ class SourcesSpec extends AnyFunSuite {
     val n = spark.read.format("fastx")
       .load(s"$fq/foo.r1.fastq.gz,$fq/bar.r1.fastq.gz").count()
     assert(n == 5) // reference test/sql/read_fastx.test:124-126
+  }
+
+  test("fastx sequence_index restarts per file " +
+      "(reference test/sql/read_fastx_sequence_index.test)") {
+    val idx = spark.read.format("fastx")
+      .load(s"$fq/small_a.fq,$fq/small_b.fq")
+      .select("sequence_index").collect().map(_.getLong(0))
+    assert(idx.length == 4 && idx.min == 1 && idx.max == 2)
+    assert(idx.count(_ == 1L) == 2) // both files start at 1
   }
 
   test("alignments reader matches reference expectations") {
