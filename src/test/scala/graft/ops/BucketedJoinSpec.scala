@@ -18,6 +18,17 @@ class BucketedJoinSpec extends AnyFunSuite {
       .select("l_orderkey", "l_partkey", "l_quantity")
     spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
     spark.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+    // DROP clears this JVM's in-memory catalog only — remove stale
+    // warehouse dirs a previous test JVM left behind
+    for (t <- Seq("graft_li_bucketed", "graft_ord_bucketed")) {
+      val dir = new java.io.File(s"spark-warehouse/$t")
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(dir)
+      }
+    }
     li.write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_li_bucketed")
