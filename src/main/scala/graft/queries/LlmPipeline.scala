@@ -232,6 +232,29 @@ object LlmPipeline {
               |SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank
               |  FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Deterministic hash sampling (reproducible across engines/runs:
+    // md5-bucket < rate, a pure map-side filter) — the dataset-mixing
+    // primitive. Oracle computes the identical md5 arithmetic.
+    QueryDef(
+      "l13_hash_sample",
+      (s, d) =>
+        graft.ops.Sampling.hashSample(Tables.documents(s, d), "text", 0.3)
+          .select(col("doc_id"), col("lang"), col("source")),
+      Some("""SELECT doc_id, lang, source FROM documents
+             | WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 3000""".stripMargin)),
+
+    // Stratified mixing: per-source rates in one WHERE clause (no join,
+    // no shuffle) — e.g. upsample curated sources, downsample crawl.
+    QueryDef(
+      "l14_stratified_mix",
+      (s, d) =>
+        graft.ops.Sampling.stratifiedHashSample(Tables.documents(s, d),
+          "text", "source", Map("src0" -> 0.9, "src1" -> 0.2), defaultRate = 0.5)
+          .select(col("doc_id"), col("source")),
+      Some("""SELECT doc_id, source FROM documents
+             | WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 <
+             |       CASE source WHEN 'src1' THEN 2000 WHEN 'src0' THEN 9000 ELSE 5000 END""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in

@@ -127,6 +127,21 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state:
+    * dropDuplicatesWithinWatermark holds a key only until the watermark
+    * passes its event time + delay, so state is O(keys per watermark
+    * horizon) — the streaming twin of the batch exact-dedup operator
+    * (duplicates in a training-data feed usually arrive close together;
+    * the horizon is the dedup window).
+    */
+  def dedupeWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** End-to-end demo wiring for tests: memory sink, complete mode. */
   def runWindowedDemo(
       spark: SparkSession,

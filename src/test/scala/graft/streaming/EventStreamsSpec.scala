@@ -63,6 +63,28 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("streaming dedup within watermark drops duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "value")
+    val query = EventStreams.dedupeWithinWatermark(df, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("graft_dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((1L, t("2026-01-01 10:00:00"), 1.0),
+        (1L, t("2026-01-01 10:00:05"), 2.0), // in-batch dup
+        (2L, t("2026-01-01 10:01:00"), 3.0))
+      query.processAllAvailable()
+      input.addData((1L, t("2026-01-01 10:02:00"), 4.0)) // cross-batch dup
+      query.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM graft_dedup_test")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L))
+    } finally query.stop()
+  }
+
   test("event-time sessionization closes sessions as the watermark passes gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
