@@ -130,4 +130,47 @@ class AlignOpsSpec extends AnyFunSuite {
       assert(e.getMessage.contains("bowtie2"))
     }
   }
+
+  test("bowtie2 pipe harness: fake binaries exercise the full subprocess path") {
+    import spark.implicits._
+    // install fake bowtie2/bowtie2-build on PATH (container is ours);
+    // the fake aligner maps every FASTA read to ref1 pos 1 with a
+    // full-length match so the harness's piping + SAM parse is what's
+    // under test, not alignment quality
+    val bin = new java.io.File("/usr/local/bin")
+    val build = new java.io.File(bin, "bowtie2-build")
+    val bt2 = new java.io.File(bin, "bowtie2")
+    def install(f: java.io.File, body: String): Unit = {
+      val w = new java.io.PrintWriter(f)
+      try w.write(body) finally w.close()
+      f.setExecutable(true)
+    }
+    install(build, "#!/bin/sh\nexit 0\n")
+    install(bt2,
+      """#!/bin/sh
+        |# read FASTA from stdin: >id / seq pairs -> one SAM line each
+        |while read -r hdr; do
+        |  read -r seq
+        |  id=${hdr#>}
+        |  n=${#seq}
+        |  printf '%s\t0\tref1\t1\t42\t%sM\t*\t0\t0\t*\t*\tAS:i:10\tNM:i:0\n' "$id" "$n"
+        |done
+        |""".stripMargin)
+    try {
+      assert(graft.functions.MiintRegistry.bowtie2Available())
+      val queries = Seq(("q1", "ACGTACGT"), ("q2", "TTTTACGTACGT"))
+        .toDF("read_id", "sequence1")
+      val subjects = Seq(("ref1", "ACGTACGTACGTACGT")).toDF("read_id", "sequence1")
+      val out = AlignOps.alignBowtie2(queries, subjects)
+        .select("read_id", "flags", "reference", "position", "cigar", "tag_as")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+          r.getLong(3), r.getString(4), r.getLong(5))).sortBy(_._1)
+      assert(out.toSeq == Seq(
+        ("q1", 0, "ref1", 1L, "8M", 10L),
+        ("q2", 0, "ref1", 1L, "12M", 10L)))
+    } finally {
+      build.delete(); bt2.delete()
+      assert(!graft.functions.MiintRegistry.bowtie2Available())
+    }
+  }
 }
