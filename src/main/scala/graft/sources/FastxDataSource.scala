@@ -59,7 +59,7 @@ class FastxTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   override def name(): String = s"fastx(${options.get("path")})"
   override def schema(): StructType = FastxTable.schema(includeFilepath)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new FastxScanBuilder(opts)
 }
@@ -104,6 +104,65 @@ class FastxScan(options: Map[String, String], required: StructType) extends Scan
         new FastxPartitionReader(p.asInstanceOf[FastxFilePartition], qualOffset, req)
     }
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new FastxMicroBatchStream(options, required, this)
+}
+
+/** Streaming ingest of sequencing output: each micro-batch picks up
+  * files that arrived since the last one. The offset is the
+  * lexicographic high-water FILENAME (sequencer run outputs sort
+  * increasing — run0001.fastq, run0002.fastq, …); a late file sorting
+  * below the watermark is skipped, matching the monotonic-arrival
+  * contract this source documents. Paired-end streaming is rejected
+  * (R1/R2 arrival can't be atomically matched).
+  */
+class FastxMicroBatchStream(
+    options: Map[String, String],
+    required: StructType,
+    scan: FastxScan) extends streaming.MicroBatchStream {
+
+  if (options.contains("sequence2"))
+    throw new IllegalArgumentException(
+      "fastx streaming does not support paired-end (sequence2)")
+
+  private case class FileWatermark(name: String) extends streaming.Offset {
+    override def json(): String = name
+  }
+
+  private def currentFiles: Seq[String] =
+    FileSourceCommon.expandPathsLenient(
+      options.getOrElse("path", options.getOrElse("paths",
+        throw new IllegalArgumentException("fastx: path option required"))))
+
+  override def initialOffset(): streaming.Offset = FileWatermark("")
+  override def latestOffset(): streaming.Offset = {
+    val fs = currentFiles
+    FileWatermark(if (fs.isEmpty) "" else fs.max)
+  }
+  override def deserializeOffset(json: String): streaming.Offset = FileWatermark(json)
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[FileWatermark].name
+    val hi = end.asInstanceOf[FileWatermark].name
+    currentFiles.filter(f => f > lo && f <= hi)
+      .sorted.map(FastxFilePartition(_, None)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val qualOffset = options.getOrElse("qual_offset", "33").toInt
+    if (qualOffset != 33 && qualOffset != 64)
+      throw new IllegalArgumentException("qual_offset must be 33 or 64")
+    val req = required
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new FastxPartitionReader(p.asInstanceOf[FastxFilePartition], qualOffset, req)
+    }
+  }
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class FastxPartitionReader(

@@ -28,6 +28,19 @@ object FileSourceCommon {
     }.toSeq
   }
 
+  /** Lenient variant for streaming discovery: an unmatched glob means
+    * "no files yet", not an error.
+    */
+  def expandPathsLenient(spec: String): Seq[String] = {
+    val conf = new Configuration()
+    spec.split(",").map(_.trim).filter(_.nonEmpty).flatMap { one =>
+      val p = new Path(one)
+      val fs = p.getFileSystem(conf)
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+        .map(_.getPath.toString).sorted.toSeq
+    }.toSeq
+  }
+
   def openStream(path: String): InputStream = {
     val p = new Path(path)
     p.getFileSystem(new Configuration()).open(p)

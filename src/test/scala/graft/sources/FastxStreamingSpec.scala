@@ -1,0 +1,59 @@
+package graft.sources
+
+import graft.SparkFixture
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Micro-batch streaming over the fastx source: files that arrive
+  * between batches are picked up exactly once (lexicographic
+  * watermark offset).
+  */
+class FastxStreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def write(path: String, recs: (String, String)*): Unit = {
+    val sb = new StringBuilder
+    for ((id, seq) <- recs)
+      sb.append(s"@$id\n$seq\n+\n${"I" * seq.length}\n")
+    Files.write(Paths.get(path), sb.toString.getBytes)
+  }
+
+  test("readStream picks up newly arrived fastq files exactly once") {
+    val dir = Files.createTempDirectory("graft_fastx_stream").toString
+    write(s"$dir/run0001.fastq", ("r1", "ACGT"), ("r2", "TTTT"))
+    val stream = spark.readStream.format("fastx").load(s"$dir/*.fastq")
+    val query = stream.select("read_id", "sequence1")
+      .writeStream.format("memory").queryName("graft_fastx_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      def ids = spark.sql("SELECT read_id FROM graft_fastx_stream")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == Seq("r1", "r2"))
+      // a new file arrives: next batch reads ONLY it
+      write(s"$dir/run0002.fastq", ("r3", "GGGG"))
+      query.processAllAvailable()
+      assert(ids == Seq("r1", "r2", "r3"))
+      // no new files → no duplicates
+      query.processAllAvailable()
+      assert(ids == Seq("r1", "r2", "r3"))
+    } finally query.stop()
+  }
+
+  test("paired-end streaming is rejected with a clear error") {
+    val dir = Files.createTempDirectory("graft_fastx_stream2").toString
+    write(s"$dir/a.fastq", ("r1", "ACGT"))
+    val e = intercept[Exception] {
+      spark.readStream.format("fastx")
+        .option("sequence2", s"$dir/a.fastq")
+        .load(s"$dir/*.fastq")
+        .writeStream.format("memory").queryName("graft_fastx_stream_err")
+        .outputMode(OutputMode.Append()).start()
+        .processAllAvailable()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage) ++ Option(t.getCause).map(rootMsg)).mkString(" | ")
+    assert(rootMsg(e).contains("paired-end"))
+  }
+}
