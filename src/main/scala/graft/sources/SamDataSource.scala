@@ -74,7 +74,7 @@ class SamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRea
     options.getBoolean("include_seq_qual", false),
     options.getBoolean("include_filepath", false))
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new SamScanBuilder(opts)
 }
@@ -109,6 +109,47 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
         new SamPartitionReader(p.asInstanceOf[SamFilePartition], includeSeqQual, req)
     }
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new SamMicroBatchStream(options, required, this)
+}
+
+/** Streaming ingest of SAM/BAM output — same lexicographic
+  * high-water-filename offset contract as FastxMicroBatchStream
+  * (monotonically named run outputs; late out-of-order names skipped).
+  */
+class SamMicroBatchStream(
+    options: Map[String, String],
+    required: StructType,
+    scan: SamScan) extends streaming.MicroBatchStream {
+
+  private case class FileWatermark(name: String) extends streaming.Offset {
+    override def json(): String = name
+  }
+
+  private def currentFiles: Seq[String] =
+    FileSourceCommon.expandPathsLenient(
+      options.getOrElse("path", options.getOrElse("paths",
+        throw new IllegalArgumentException("alignments: path option required"))))
+
+  override def initialOffset(): streaming.Offset = FileWatermark("")
+  override def latestOffset(): streaming.Offset = {
+    val fs = currentFiles
+    FileWatermark(if (fs.isEmpty) "" else fs.max)
+  }
+  override def deserializeOffset(json: String): streaming.Offset = FileWatermark(json)
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[FileWatermark].name
+    val hi = end.asInstanceOf[FileWatermark].name
+    currentFiles.filter(f => f > lo && f <= hi).sorted.map(SamFilePartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class SamPartitionReader(

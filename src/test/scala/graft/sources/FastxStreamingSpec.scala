@@ -41,6 +41,28 @@ class FastxStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("alignments readStream ingests newly arrived SAM files") {
+    val dir = Files.createTempDirectory("graft_sam_stream").toString
+    def sam(path: String, ids: String*): Unit =
+      Files.write(Paths.get(path),
+        ("@HD\tVN:1.6\n" + ids.map(id =>
+          s"$id\t0\tref1\t100\t60\t4M\t*\t0\t0\tACGT\tIIII\n").mkString).getBytes)
+    sam(s"$dir/run01.sam", "a1", "a2")
+    val query = spark.readStream.format("alignments").load(s"$dir/*.sam")
+      .select("read_id", "position")
+      .writeStream.format("memory").queryName("graft_sam_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      query.processAllAvailable()
+      def ids = spark.sql("SELECT read_id FROM graft_sam_stream")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == Seq("a1", "a2"))
+      sam(s"$dir/run02.sam", "b1")
+      query.processAllAvailable()
+      assert(ids == Seq("a1", "a2", "b1"))
+    } finally query.stop()
+  }
+
   test("paired-end streaming is rejected with a clear error") {
     val dir = Files.createTempDirectory("graft_fastx_stream2").toString
     write(s"$dir/a.fastq", ("r1", "ACGT"))
