@@ -7,18 +7,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * these DataFrames are pushed into the parquet scan by Catalyst.
   */
 object Tables {
-  /** Analyzed-DataFrame cache keyed by (session, path). spark.read
+  /** Analyzed-DataFrame cache, per session (weak keys — a stopped
+    * session's entries become collectable, nothing pins it). spark.read
     * re-lists the directory and re-reads footers on every call — pure
     * driver-side metadata overhead that any engine amortizes (DuckDB
     * keeps it in its catalog views). Cuts ~70ms/query off repeated
     * query construction; invisible to plan shape or execution.
+    * The cached plan pins the file listing: call clearCache() if a
+    * table directory is REWRITTEN within one session's lifetime (the
+    * driver testdata is read-only, so this never triggers there).
     */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
-      { case (s, p) => s.read.parquet(p) })
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      val m = cache.get(spark)
+      if (m != null) m
+      else {
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, fresh)
+        fresh
+      }
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", p => spark.read.parquet(p))
+  }
+
+  def clearCache(): Unit = cache.synchronized(cache.clear())
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

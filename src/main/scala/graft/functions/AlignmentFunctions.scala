@@ -36,35 +36,10 @@ object AlignmentFunctions {
   def alignmentQueryCoverage(cigar: Column, covType: String): Column =
     col(AlignmentQueryCoverage(e(cigar), e(lit(covType))))
 
-  /** SQL registration as native expression builders (not UDFs) with the
-    * reference's optional-argument defaults: seq_identity(cigar, nm
-    * [, md [, type]]), query_length(cigar [, include_hard_clips]),
-    * query_coverage(cigar [, type]).
+  /** SQL registration — the shared GraftFunctionBuilders definitions
+    * (same builders as the extensions entry point; registering the
+    * whole surface is idempotent).
     */
-  def registerSql(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    val nullStr = Literal.create(null, org.apache.spark.sql.types.StringType)
-    registry.createOrReplaceTempFunction("alignment_seq_identity",
-      (args: Seq[Expression]) => args match {
-        case Seq(c, nm)        => AlignmentSeqIdentity(c, nm, nullStr, Literal("gap_compressed"))
-        case Seq(c, nm, md)    => AlignmentSeqIdentity(c, nm, md, Literal("gap_compressed"))
-        case Seq(c, nm, md, t) => AlignmentSeqIdentity(c, nm, md, t)
-        case other => throw new IllegalArgumentException(
-          s"alignment_seq_identity expects 2-4 arguments, got ${other.length}")
-      }, "built-in")
-    registry.createOrReplaceTempFunction("alignment_query_length",
-      (args: Seq[Expression]) => args match {
-        case Seq(c)    => AlignmentQueryLength(c, Literal(true))
-        case Seq(c, h) => AlignmentQueryLength(c, h)
-        case other => throw new IllegalArgumentException(
-          s"alignment_query_length expects 1-2 arguments, got ${other.length}")
-      }, "built-in")
-    registry.createOrReplaceTempFunction("alignment_query_coverage",
-      (args: Seq[Expression]) => args match {
-        case Seq(c)    => AlignmentQueryCoverage(c, Literal("aligned"))
-        case Seq(c, t) => AlignmentQueryCoverage(c, t)
-        case other => throw new IllegalArgumentException(
-          s"alignment_query_coverage expects 1-2 arguments, got ${other.length}")
-      }, "built-in")
-  }
+  def registerSql(spark: SparkSession): Unit =
+    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 }

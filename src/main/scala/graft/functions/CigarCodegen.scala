@@ -100,7 +100,12 @@ object CigarCodegen {
   private def isLetter(b: Byte): Boolean =
     (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
 
-  private val ALIGNED = UTF8String.fromString("aligned")
+  /** The default coverage type, exposed for NULL-argument defaulting
+    * in AlignmentQueryCoverage (codegen calls the accessor).
+    */
+  val ALIGNED_TYPE: UTF8String = UTF8String.fromString("aligned")
+
+  private val ALIGNED = ALIGNED_TYPE
   private val MAPPED = UTF8String.fromString("mapped")
   private val GAP_EXCLUDED = UTF8String.fromString("gap_excluded")
   private val BLAST = UTF8String.fromString("blast")

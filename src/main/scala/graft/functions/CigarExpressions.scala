@@ -17,34 +17,74 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object CigarExpressions {
 
-  /** alignment_query_length(cigar, include_hard_clips) → BIGINT. */
+  /** alignment_query_length(cigar, include_hard_clips) → BIGINT.
+    * NULL cigar → NULL; NULL flag → the documented default (true),
+    * matching the pre-expression UDF behavior.
+    */
   case class AlignmentQueryLength(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes = Seq(StringType, BooleanType)
     override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable
     override def prettyName: String = "alignment_query_length"
-    override protected def nullSafeEval(cigar: Any, hard: Any): Any =
-      CigarCodegen.queryLength(cigar.asInstanceOf[UTF8String], hard.asInstanceOf[Boolean])
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        (c, h) => s"graft.functions.CigarCodegen.queryLength($c, $h)")
+    override def eval(input: InternalRow): Any = {
+      val c = left.eval(input)
+      if (c == null) return null
+      val h = right.eval(input)
+      CigarCodegen.queryLength(c.asInstanceOf[UTF8String],
+        h == null || h.asInstanceOf[Boolean])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cG = left.genCode(ctx)
+      val hG = right.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${cG.code}
+          boolean ${ev.isNull} = ${cG.isNull};
+          long ${ev.value} = 0L;
+          if (!${ev.isNull}) {
+            ${hG.code}
+            ${ev.value} = graft.functions.CigarCodegen.queryLength(
+              ${cG.value}, ${hG.isNull} || ${hG.value});
+          }""")
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
   }
 
-  /** alignment_query_coverage(cigar, type) → DOUBLE. */
+  /** alignment_query_coverage(cigar, type) → DOUBLE.
+    * NULL cigar → NULL; NULL type → the documented default 'aligned',
+    * matching the pre-expression UDF behavior.
+    */
   case class AlignmentQueryCoverage(left: Expression, right: Expression)
       extends BinaryExpression with ImplicitCastInputTypes {
     override def inputTypes = Seq(StringType, StringType)
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable
     override def prettyName: String = "alignment_query_coverage"
-    override protected def nullSafeEval(cigar: Any, covType: Any): Any =
-      CigarCodegen.queryCoverage(
-        cigar.asInstanceOf[UTF8String], covType.asInstanceOf[UTF8String])
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        (c, t) => s"graft.functions.CigarCodegen.queryCoverage($c, $t)")
+    override def eval(input: InternalRow): Any = {
+      val c = left.eval(input)
+      if (c == null) return null
+      val t = right.eval(input)
+      CigarCodegen.queryCoverage(c.asInstanceOf[UTF8String],
+        if (t == null) CigarCodegen.ALIGNED_TYPE else t.asInstanceOf[UTF8String])
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cG = left.genCode(ctx)
+      val tG = right.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${cG.code}
+          boolean ${ev.isNull} = ${cG.isNull};
+          double ${ev.value} = 0.0;
+          if (!${ev.isNull}) {
+            ${tG.code}
+            ${ev.value} = graft.functions.CigarCodegen.queryCoverage(
+              ${cG.value},
+              ${tG.isNull} ? graft.functions.CigarCodegen.ALIGNED_TYPE() : ${tG.value});
+          }""")
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

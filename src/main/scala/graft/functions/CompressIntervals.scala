@@ -56,15 +56,9 @@ object CompressIntervals {
       .toAggregateExpression())
   }
 
-  def registerSql(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "compress_intervals",
-      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => args match {
-        case Seq(s, e) => CompressIntervalsAgg(s, e).toAggregateExpression()
-        case other => throw new IllegalArgumentException(
-          s"compress_intervals expects 2 arguments, got ${other.length}")
-      }, "built-in")
-  }
+  /** SQL registration — shared GraftFunctionBuilders definitions. */
+  def registerSql(spark: SparkSession): Unit =
+    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 
   /** The previous udaf form, for A/B tests. */
   def compressIntervalsUdaf(start: Column, stop: Column): Column =

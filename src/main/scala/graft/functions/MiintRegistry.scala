@@ -22,15 +22,10 @@ object MiintRegistry {
     sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
       .exists(dir => new java.io.File(dir, "bowtie2").canExecute)
 
-  def registerAll(spark: SparkSession): Unit = {
-    AlignmentFlags.registerSql(spark)
-    AlignmentFunctions.registerSql(spark)
-    SequenceFunctions.registerSql(spark)
-    CompressIntervals.registerSql(spark)
-    spark.udf.register("miint_version", udfVersion)
-    spark.udf.register("bowtie2_available", udfBowtie2)
-  }
-
-  private val udfVersion = org.apache.spark.sql.functions.udf(() => version)
-  private val udfBowtie2 = org.apache.spark.sql.functions.udf(() => bowtie2Available())
+  /** One shared definition of the whole surface (GraftFunctionBuilders)
+    * — identical to what spark.sql.extensions=graft.GraftExtensions
+    * injects cluster-wide.
+    */
+  def registerAll(spark: SparkSession): Unit =
+    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 }

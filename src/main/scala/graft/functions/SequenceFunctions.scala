@@ -24,18 +24,7 @@ object SequenceFunctions {
   def sequenceRnaAsRegexp(seq: Column): Column =
     mk("rnaAsRegexp", "sequence_rna_as_regexp")(seq)
 
-  def registerSql(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    def reg(name: String, fn: String): Unit =
-      registry.createOrReplaceTempFunction(name,
-        (args: Seq[Expression]) => args match {
-          case Seq(c) => SequenceTransform(c, fn, name)
-          case other => throw new IllegalArgumentException(
-            s"$name expects 1 argument, got ${other.length}")
-        }, "built-in")
-    reg("sequence_dna_reverse_complement", "dnaRevComp")
-    reg("sequence_rna_reverse_complement", "rnaRevComp")
-    reg("sequence_dna_as_regexp", "dnaAsRegexp")
-    reg("sequence_rna_as_regexp", "rnaAsRegexp")
-  }
+  /** SQL registration — shared GraftFunctionBuilders definitions. */
+  def registerSql(spark: SparkSession): Unit =
+    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 }

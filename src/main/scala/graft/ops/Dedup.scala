@@ -33,8 +33,10 @@ object Dedup {
     * Each round is two joins + one aggregation, fully partitioned —
     * no driver-side graph; the driver only sees the changed-count.
     * Output: (id, component) with component = min id in the component.
-    * At 100 TB: persist + localCheckpoint each round to truncate
-    * lineage (enabled when the input is non-trivial).
+    * NOTE: the returned DataFrame is persisted (it is the last
+    * iteration's cache) — callers owning a long-lived session should
+    * unpersist() it when done. At 100 TB additionally localCheckpoint
+    * each round to truncate lineage.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))

@@ -105,23 +105,26 @@ object Similarity {
       .agg(max(col("cos")).as("cos"))
   }
 
-  /** Dot product against a constant vector (centroid): compact
-    * codegen'd higher-order expression, no UDF.
-    */
-  private def dotConst(emb: Column, c: Array[Double]): Column =
-    aggregate(
-      zip_with(emb, typedLit(c.toSeq), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
-
   /** The nProbe nearest IVF lists for a vector, ranked by cosine
     * against unit-normalized centroids (norm(emb) is constant across
     * centroids, so ranking by dot suffices). Ties break on list id.
+    *
+    * The centroid matrix enters the plan as ONE 2-D array literal and
+    * is scored with nested higher-order functions, so the expression
+    * tree is O(1) in nLists and dim — at nLists=1024/dim=768 the
+    * alternative (one subtree per centroid) embeds ~800k literal nodes
+    * and stalls analysis.
     */
   private def nearestLists(
       emb: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-dotConst(emb, c)).as("negdot"), lit(i).as("list_id"))
-    }: _*)
+    val cents2d = typedLit(centroids.map(_.toSeq).toSeq)
+    val scored = zip_with(
+      cents2d,
+      sequence(lit(0), lit(centroids.length - 1)),
+      (c, i) => struct(
+        (-aggregate(zip_with(emb, c, (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, v) => acc + v)).as("negdot"),
+        i.as("list_id")))
       // struct() does not always keep aliases — pin field names by type
       .cast("array<struct<negdot:double,list_id:int>>")
     transform(slice(array_sort(scored), 1, nProbe), s => s.getField("list_id"))

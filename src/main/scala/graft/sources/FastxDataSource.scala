@@ -110,12 +110,13 @@ class FastxScan(options: Map[String, String], required: StructType) extends Scan
 }
 
 /** Streaming ingest of sequencing output: each micro-batch picks up
-  * files that arrived since the last one. The offset is the
-  * lexicographic high-water FILENAME (sequencer run outputs sort
-  * increasing — run0001.fastq, run0002.fastq, …); a late file sorting
-  * below the watermark is skipped, matching the monotonic-arrival
-  * contract this source documents. Paired-end streaming is rejected
-  * (R1/R2 arrival can't be atomically matched).
+  * files that arrived since the last one. An offset is the SNAPSHOT of
+  * discovered files (newline-joined in the checkpoint), so a committed
+  * (start, end] range always maps to exactly end.files − start.files —
+  * replay after failure re-reads the identical file set even if new
+  * files appeared meanwhile (the MicroBatchStream immutability
+  * contract). Paired-end streaming is rejected (R1/R2 arrival can't be
+  * atomically matched).
   */
 class FastxMicroBatchStream(
     options: Map[String, String],
@@ -126,43 +127,40 @@ class FastxMicroBatchStream(
     throw new IllegalArgumentException(
       "fastx streaming does not support paired-end (sequence2)")
 
-  private case class FileWatermark(name: String) extends streaming.Offset {
-    override def json(): String = name
-  }
-
   private def currentFiles: Seq[String] =
     FileSourceCommon.expandPathsLenient(
       options.getOrElse("path", options.getOrElse("paths",
         throw new IllegalArgumentException("fastx: path option required"))))
 
-  override def initialOffset(): streaming.Offset = FileWatermark("")
-  override def latestOffset(): streaming.Offset = {
-    val fs = currentFiles
-    FileWatermark(if (fs.isEmpty) "" else fs.max)
-  }
-  override def deserializeOffset(json: String): streaming.Offset = FileWatermark(json)
+  override def initialOffset(): streaming.Offset = FileSnapshotOffset(Seq.empty)
+  override def latestOffset(): streaming.Offset = FileSnapshotOffset(currentFiles.sorted)
+  override def deserializeOffset(json: String): streaming.Offset =
+    FileSnapshotOffset.fromJson(json)
 
   override def planInputPartitions(
       start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[FileWatermark].name
-    val hi = end.asInstanceOf[FileWatermark].name
-    currentFiles.filter(f => f > lo && f <= hi)
-      .sorted.map(FastxFilePartition(_, None)).toArray
+    val seen = start.asInstanceOf[FileSnapshotOffset].files.toSet
+    end.asInstanceOf[FileSnapshotOffset].files
+      .filterNot(seen).sorted.map(FastxFilePartition(_, None)).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val qualOffset = options.getOrElse("qual_offset", "33").toInt
-    if (qualOffset != 33 && qualOffset != 64)
-      throw new IllegalArgumentException("qual_offset must be 33 or 64")
-    val req = required
-    new PartitionReaderFactory {
-      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new FastxPartitionReader(p.asInstanceOf[FastxFilePartition], qualOffset, req)
-    }
-  }
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
 
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Offset = the sorted set of files discovered so far (newline-joined
+  * JSON payload). Shared by the fastx and alignments streams.
+  */
+case class FileSnapshotOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = files.mkString("\n")
+}
+
+object FileSnapshotOffset {
+  def fromJson(json: String): FileSnapshotOffset =
+    FileSnapshotOffset(json.split("\n").filter(_.nonEmpty).toSeq)
 }
 
 class FastxPartitionReader(

@@ -114,36 +114,30 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
     new SamMicroBatchStream(options, required, this)
 }
 
-/** Streaming ingest of SAM/BAM output — same lexicographic
-  * high-water-filename offset contract as FastxMicroBatchStream
-  * (monotonically named run outputs; late out-of-order names skipped).
+/** Streaming ingest of SAM/BAM output — same file-snapshot offset
+  * contract as FastxMicroBatchStream: a committed range replays the
+  * identical file set (MicroBatchStream immutability).
   */
 class SamMicroBatchStream(
     options: Map[String, String],
     required: StructType,
     scan: SamScan) extends streaming.MicroBatchStream {
 
-  private case class FileWatermark(name: String) extends streaming.Offset {
-    override def json(): String = name
-  }
-
   private def currentFiles: Seq[String] =
     FileSourceCommon.expandPathsLenient(
       options.getOrElse("path", options.getOrElse("paths",
         throw new IllegalArgumentException("alignments: path option required"))))
 
-  override def initialOffset(): streaming.Offset = FileWatermark("")
-  override def latestOffset(): streaming.Offset = {
-    val fs = currentFiles
-    FileWatermark(if (fs.isEmpty) "" else fs.max)
-  }
-  override def deserializeOffset(json: String): streaming.Offset = FileWatermark(json)
+  override def initialOffset(): streaming.Offset = FileSnapshotOffset(Seq.empty)
+  override def latestOffset(): streaming.Offset = FileSnapshotOffset(currentFiles.sorted)
+  override def deserializeOffset(json: String): streaming.Offset =
+    FileSnapshotOffset.fromJson(json)
 
   override def planInputPartitions(
       start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[FileWatermark].name
-    val hi = end.asInstanceOf[FileWatermark].name
-    currentFiles.filter(f => f > lo && f <= hi).sorted.map(SamFilePartition).toArray
+    val seen = start.asInstanceOf[FileSnapshotOffset].files.toSet
+    end.asInstanceOf[FileSnapshotOffset].files
+      .filterNot(seen).sorted.map(SamFilePartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()

@@ -86,8 +86,12 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    // months have no fixed millisecond length — silently yielding 0
+    // would make every event its own session
+    require(gapMs.months == 0, s"sessionize gap must not use months: '$gap'")
     val gapMillis =
       gapMs.days * 86400000L + gapMs.microseconds / 1000L
+    require(gapMillis > 0, s"sessionize gap must be positive: '$gap'")
     events
       .groupByKey(_._1)
       .flatMapGroupsWithState[OpenSession, SessionRecord](
@@ -107,8 +111,18 @@ object EventStreams {
             for ((_, ts, v) <- sorted) {
               val t = ts.getTime
               open match {
+                // late event entirely BEFORE the open session (no
+                // window overlap): emit it as its own closed session —
+                // the open, later session must stay open
+                case Some(s) if t + gapMillis <= s.start =>
+                  closed += SessionRecord(userId, new java.sql.Timestamp(t),
+                    new java.sql.Timestamp(t), 1L, v)
+                // [t, t+gap) overlaps the open session's window: merge
+                // with the batch session_window rule; start AND end
+                // extend (a late event may predate the session start)
                 case Some(s) if t < s.lastTs + gapMillis =>
-                  open = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t),
                     n = s.n + 1, value = s.value + v))
                 case Some(s) =>
                   closed += SessionRecord(userId, new java.sql.Timestamp(s.start),

@@ -29,12 +29,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |       alignment_query_length('5S10M3H') AS ql,
         |       alignment_query_coverage('5S10M3H', 'mapped') AS cov,
         |       sequence_dna_reverse_complement('ACGTN') AS rc,
-        |       sequence_dna_as_regexp('AN') AS re""".stripMargin).collect()
+        |       sequence_dna_as_regexp('AN') AS re,
+        |       alignment_is_primary(0) AS prim,
+        |       is_dup(1024) AS dup,
+        |       miint_version() AS v,
+        |       bowtie2_available() AS b2""".stripMargin).collect()
     assert(math.abs(r(0).getDouble(0) - 13.0 / 14.0) < 1e-12)
     assert(r(0).getLong(1) == 18)
     assert(math.abs(r(0).getDouble(2) - 10.0 / 18.0) < 1e-12)
     assert(r(0).getString(3) == "NACGT")
     assert(r(0).getString(4) == "A[ACGT]")
+    assert(r(0).getBoolean(5) && r(0).getBoolean(6))
+    assert(r(0).getString(7).nonEmpty && !r(0).getBoolean(8))
+    // the aggregate surface is injected too
+    val agg = spark.sql(
+      """SELECT compress_intervals(s, e) AS iv
+        |  FROM VALUES (1L, 5L), (4L, 9L) AS t(s, e)""".stripMargin).collect()
+    val iv = agg(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(iv.map(x => (x.getLong(0), x.getLong(1))) == Seq((1L, 9L)))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

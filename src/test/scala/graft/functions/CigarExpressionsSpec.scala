@@ -126,4 +126,17 @@ class CigarExpressionsSpec extends AnyFunSuite {
     assert(r(0).getLong(1) == 15 && r(0).getLong(2) == 15)
     assert(math.abs(r(0).getDouble(3) - 13.0 / 15.0) < 1e-12)
   }
+
+  test("NULL optional args fall back to documented defaults (UDF parity)") {
+    val spark = SparkFixture.spark
+    MiintRegistry.registerAll(spark)
+    val r = spark.sql(
+      """SELECT alignment_query_length('5S10M3H', CAST(NULL AS BOOLEAN)) AS ql,
+        |       alignment_query_coverage('5S10M3H', CAST(NULL AS STRING)) AS cov,
+        |       alignment_query_length(CAST(NULL AS STRING)) AS qlnull""".stripMargin)
+      .collect()
+    assert(r(0).getLong(0) == 18) // NULL flag → include hard clips (default true)
+    assert(math.abs(r(0).getDouble(1) - 10.0 / 18.0) < 1e-12) // NULL type → 'aligned'
+    assert(r(0).isNullAt(2)) // NULL cigar still → NULL
+  }
 }

@@ -63,6 +63,17 @@ class FastxStreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("file-snapshot offsets replay deterministically") {
+    // a committed (start, end] range must map to end.files − start.files
+    // regardless of what exists on disk at replay time
+    val a = FileSnapshotOffset(Seq("f1", "f2"))
+    val b = FileSnapshotOffset.fromJson(a.json())
+    assert(b == a)
+    assert(FileSnapshotOffset.fromJson("") == FileSnapshotOffset(Seq.empty))
+    val planned = b.files.filterNot(FileSnapshotOffset(Seq("f1")).files.toSet)
+    assert(planned == Seq("f2"))
+  }
+
   test("paired-end streaming is rejected with a clear error") {
     val dir = Files.createTempDirectory("graft_fastx_stream2").toString
     write(s"$dir/a.fastq", ("r1", "ACGT"))
