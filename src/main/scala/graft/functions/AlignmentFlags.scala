@@ -36,30 +36,10 @@ object AlignmentFlags {
   def alignmentIsPrimary(flags: Column): Column =
     (flags.bitwiseAND(lit(0x100)) === 0) && (flags.bitwiseAND(lit(0x800)) === 0)
 
-  /** (canonical name, htslib alias, mask). is_primary handled separately. */
-  private val simple: Seq[(String, String, Int)] = Seq(
-    ("alignment_is_paired", "is_paired", 0x1),
-    ("alignment_is_proper_pair", "is_proper_pair", 0x2),
-    ("alignment_is_unmapped", "is_unmapped", 0x4),
-    ("alignment_is_mate_unmapped", "is_munmap", 0x8),
-    ("alignment_is_reverse", "is_reverse", 0x10),
-    ("alignment_is_mate_reverse", "is_mreverse", 0x20),
-    ("alignment_is_read1", "is_read1", 0x40),
-    ("alignment_is_read2", "is_read2", 0x80),
-    ("alignment_is_secondary", "is_secondary", 0x100),
-    ("alignment_is_qc_failed", "is_qcfail", 0x200),
-    ("alignment_is_duplicate", "is_dup", 0x400),
-    ("alignment_is_supplementary", "is_supplementary", 0x800))
-
-  /** Register all SQL names (canonical + alias) on the session. */
-  def registerSql(spark: SparkSession): Unit = {
-    def create(name: String, body: String): Unit =
-      spark.sql(
-        s"CREATE OR REPLACE TEMPORARY FUNCTION $name(flags INT) RETURNS BOOLEAN RETURN $body")
-    for ((canonical, alias, mask) <- simple) {
-      create(canonical, s"(flags & $mask) != 0")
-      create(alias, s"(flags & $mask) != 0")
-    }
-    create("alignment_is_primary", "(flags & 256) = 0 AND (flags & 2048) = 0")
-  }
+  /** Register all SQL names (canonical + htslib alias) on the session. */
+  /** SQL registration — shared GraftFunctionBuilders definitions (the
+    * same native bit-test expressions as the extensions entry point).
+    */
+  def registerSql(spark: SparkSession): Unit =
+    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 }

@@ -37,6 +37,19 @@ class WritersSpec extends AnyFunSuite {
       src.select("read_id", "sequence1").collect().toSet)
   }
 
+  test("SAM gzip output round-trips through the gzip-transparent reader " +
+      "(reference test/sql/copy_sam_compression.test)") {
+    val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+    Writers.copySam(src, "/tmp/graft_wt_sam.sam.gz", includeHeader = true)
+    val head = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/tmp/graft_wt_sam.sam.gz")).take(2)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+    val back = spark.read.format("alignments").load("/tmp/graft_wt_sam.sam.gz")
+    assert(back.count() == src.count())
+    assert(back.select("read_id", "position", "cigar").collect().toSet ==
+      src.select("read_id", "position", "cigar").collect().toSet)
+  }
+
   test("FASTQ paired split via {ORIENTATION} placeholder") {
     val src = spark.read.format("fastx")
       .option("sequence2", s"$fq/foo.r2.fastq.gz")

@@ -85,6 +85,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("sessionize merges a late overlapping event and extends session start") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    // generous watermark delay so the late event is NOT dropped
+    val withWm = input.toDS().withWatermark("_2", "2 hours")
+      .as[(Long, Timestamp, Double)]
+    val query = EventStreams.sessionize(withWm, gap = "10 minutes")
+      .writeStream.format("memory").queryName("graft_sessionize_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((1L, t("2026-01-01 10:10:00"), 1.0))
+      query.processAllAvailable()
+      // late event 6 min BEFORE the open session start: windows overlap
+      // → merge, session_start extends back to 10:04
+      input.addData((1L, t("2026-01-01 10:04:00"), 2.0))
+      query.processAllAvailable()
+      // far-future event for another user pushes the watermark past
+      // 10:10+10min+2h so user 1's session times out and is emitted
+      input.addData((2L, t("2026-01-01 13:00:00"), 0.0))
+      query.processAllAvailable()
+      input.addData((2L, t("2026-01-01 13:01:00"), 0.0))
+      query.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT * FROM graft_sessionize_late WHERE user_id = 1").collect()
+        .map(r => (r.getTimestamp(1).toString, r.getTimestamp(2).toString, r.getLong(3)))
+      assert(rows.toSeq == Seq(("2026-01-01 10:04:00.0", "2026-01-01 10:10:00.0", 2L)))
+    } finally query.stop()
+  }
+
+  test("sessionize rejects month-bearing gaps") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException](
+      EventStreams.sessionize(
+        spark.emptyDataset[(Long, Timestamp, Double)], gap = "1 month"))
+    assert(e.getMessage.contains("months"))
+  }
+
   test("event-time sessionization closes sessions as the watermark passes gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
