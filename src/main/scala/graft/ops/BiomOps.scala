@@ -53,19 +53,14 @@ object BiomOps {
     if (path.endsWith(".biom")) readBiomHdf5(spark, path)
     else spark.read.parquet(path).select("sample_id", "feature_id", "value")
 
-  /** HDF5 BIOM v2.1 reader (kernel/Hdf5Biom — contiguous-layout subset
-    * emitted by h5py/biom-format writers; reference: src/BIOMReader
-    * .cpp). Multiple comma-separated paths/globs concatenate.
+  /** HDF5 BIOM v2.1 reader (kernel/Hdf5Biom; reference: src/BIOMReader
+    * .cpp). Multiple comma-separated paths/globs concatenate. Files
+    * decode EXECUTOR-side (DataSource V2 `biom`, one partition per
+    * file) — many files fan out across the cluster instead of
+    * serializing through the driver.
     */
-  def readBiomHdf5(spark: SparkSession, path: String): DataFrame = {
-    import spark.implicits._
-    val rows = graft.sources.FileSourceCommon.expandPaths(path).flatMap { p =>
-      val in = graft.sources.FileSourceCommon.openStream(p)
-      val bytes = try in.readAllBytes() finally in.close()
-      graft.kernel.Hdf5Biom.readCoo(bytes, p)
-    }
-    rows.toDF("sample_id", "feature_id", "value")
-  }
+  def readBiomHdf5(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("biom").load(path)
 
   /** Dense-ish pivot helper (samples × features) for small matrices. */
   def pivotSamples(coo: DataFrame, maxFeatures: Int = 10000): DataFrame = {

@@ -68,6 +68,19 @@ class BiomSpec extends AnyFunSuite {
       .sorted.toSeq == coo.sorted)
   }
 
+  test("biom DataSource V2: executor-side decode, filepath col, pruning") {
+    val df = spark.read.format("biom")
+      .option("include_filepath", "true")
+      .load("/root/reference/data/biom/test.biom")
+    assert(df.count() == 15)
+    assert(df.select("filepath").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("file:/root/reference/data/biom/test.biom"))
+    // projection pushdown reaches the reader
+    val pruned = df.select("sample_id")
+    assert(pruned.queryExecution.executedPlan.toString.contains("sample_id"))
+    assert(pruned.distinct().count() == 6)
+  }
+
   test("HDF5 writer follows libhdf5 heap/B-tree conventions") {
     // ADVICE r2 spec-conformance: heap offset 0 must decode as the
     // empty string (reserved head), the free-list field must be
