@@ -100,7 +100,27 @@ object GraftFunctionBuilders {
       Fn(n, s"$n(flags) - SAM flag predicate", arity1(n)(impl)))
   }
 
+  /** parse_gff_attributes(kvp) as a raw catalyst expression — the
+    * analyzer resolves the lambda variable like any higher-order
+    * function call (mirrors ops/Gff.parseGffAttributes; reference
+    * macro: src/include/miint_macros.hpp:102-113).
+    */
+  private def parseGffAttributes(arg: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{ArrayTransform, CreateNamedStruct, ElementAt, LambdaFunction, MapFromEntries, StringSplit, UnresolvedNamedLambdaVariable}
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    def kv(i: Int): Expression =
+      ElementAt(StringSplit(x, Literal("="), Literal(-1)), Literal(i))
+    val entry = CreateNamedStruct(Seq(
+      Literal("key"), kv(1), Literal("value"), kv(2)))
+    MapFromEntries(ArrayTransform(
+      StringSplit(arg, Literal(";"), Literal(-1)),
+      LambdaFunction(entry, Seq(x))))
+  }
+
   private val otherFns: Seq[Fn] = Seq(
+    Fn("parse_gff_attributes",
+      "parse_gff_attributes(kvp) - split 'k=v;...' into MAP<STRING,STRING>",
+      arity1("parse_gff_attributes")(parseGffAttributes)),
     Fn("compress_intervals",
       "compress_intervals(start, stop) - merge overlapping/touching intervals",
       {

@@ -41,6 +41,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r(0).getString(4) == "A[ACGT]")
     assert(r(0).getBoolean(5) && r(0).getBoolean(6))
     assert(r(0).getString(7).nonEmpty && !r(0).getBoolean(8))
+    // the GFF macro surface
+    val gff = spark.sql(
+      "SELECT parse_gff_attributes('ID=gene1;Name=foo') AS m").collect()
+    assert(gff(0).getMap[String, String](0) == Map("ID" -> "gene1", "Name" -> "foo"))
     // the aggregate surface is injected too
     val agg = spark.sql(
       """SELECT compress_intervals(s, e) AS iv
