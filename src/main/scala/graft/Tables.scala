@@ -7,26 +7,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * these DataFrames are pushed into the parquet scan by Catalyst.
   */
 object Tables {
-  /** Analyzed-DataFrame cache, per session (weak keys — a stopped
-    * session's entries become collectable, nothing pins it). spark.read
-    * re-lists the directory and re-reads footers on every call — pure
-    * driver-side metadata overhead that any engine amortizes (DuckDB
-    * keeps it in its catalog views). Cuts ~70ms/query off repeated
-    * query construction; invisible to plan shape or execution.
+  /** Analyzed-DataFrame cache, per session. spark.read re-lists the
+    * directory and re-reads footers on every call — pure driver-side
+    * metadata overhead that any engine amortizes (DuckDB keeps it in
+    * its catalog views). Cuts ~70ms/query off repeated query
+    * construction; invisible to plan shape or execution.
+    *
+    * Weak keys alone would never collect (a cached DataFrame strongly
+    * references its own SparkSession through QueryExecution — the
+    * classic WeakHashMap value→key pitfall), so the VALUE is a
+    * SoftReference: it survives ordinary GC (real caching) but is
+    * collectable under memory pressure, and once a session is
+    * otherwise unreachable the whole chain can go; a collected cache
+    * map just means one ~70ms re-read.
+    *
     * The cached plan pins the file listing: call clearCache() if a
     * table directory is REWRITTEN within one session's lifetime (the
     * driver testdata is read-only, so this never triggers there).
     */
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private val cache = new java.util.WeakHashMap[
+    SparkSession,
+    java.lang.ref.SoftReference[java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      val m = cache.get(spark)
-      if (m != null) m
-      else {
+      val existing = Option(cache.get(spark)).flatMap(r => Option(r.get))
+      existing.getOrElse {
         val fresh = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        cache.put(spark, fresh)
+        cache.put(spark, new java.lang.ref.SoftReference(fresh))
         fresh
       }
     }

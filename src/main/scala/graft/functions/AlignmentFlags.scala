@@ -36,10 +36,4 @@ object AlignmentFlags {
   def alignmentIsPrimary(flags: Column): Column =
     (flags.bitwiseAND(lit(0x100)) === 0) && (flags.bitwiseAND(lit(0x800)) === 0)
 
-  /** Register all SQL names (canonical + htslib alias) on the session. */
-  /** SQL registration — shared GraftFunctionBuilders definitions (the
-    * same native bit-test expressions as the extensions entry point).
-    */
-  def registerSql(spark: SparkSession): Unit =
-    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 }

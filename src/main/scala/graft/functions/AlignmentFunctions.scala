@@ -36,10 +36,4 @@ object AlignmentFunctions {
   def alignmentQueryCoverage(cigar: Column, covType: String): Column =
     col(AlignmentQueryCoverage(e(cigar), e(lit(covType))))
 
-  /** SQL registration — the shared GraftFunctionBuilders definitions
-    * (same builders as the extensions entry point; registering the
-    * whole surface is idempotent).
-    */
-  def registerSql(spark: SparkSession): Unit =
-    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 }

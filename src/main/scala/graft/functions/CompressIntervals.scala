@@ -56,9 +56,6 @@ object CompressIntervals {
       .toAggregateExpression())
   }
 
-  /** SQL registration — shared GraftFunctionBuilders definitions. */
-  def registerSql(spark: SparkSession): Unit =
-    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 
   /** The previous udaf form, for A/B tests. */
   def compressIntervalsUdaf(start: Column, stop: Column): Column =

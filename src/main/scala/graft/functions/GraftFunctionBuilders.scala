@@ -129,11 +129,19 @@ object GraftFunctionBuilders {
           s"compress_intervals expects 2 arguments, got ${other.length}")
       }),
     Fn("miint_version", "miint_version() - library version",
-      _ => Literal(MiintRegistry.version)),
+      {
+        case Seq() => Literal(MiintRegistry.version)
+        case other => throw new IllegalArgumentException(
+          s"miint_version expects 0 arguments, got ${other.length}")
+      }),
     // plan-time probe: each query analysis re-checks PATH, matching the
     // reference's call-time semantics closely enough for a probe
     Fn("bowtie2_available", "bowtie2_available() - PATH probe",
-      _ => Literal(MiintRegistry.bowtie2Available())))
+      {
+        case Seq() => Literal(MiintRegistry.bowtie2Available())
+        case other => throw new IllegalArgumentException(
+          s"bowtie2_available expects 0 arguments, got ${other.length}")
+      }))
 
   val all: Seq[Fn] = cigarFns ++ sequenceFns ++ flagFns ++ otherFns
 

@@ -24,7 +24,4 @@ object SequenceFunctions {
   def sequenceRnaAsRegexp(seq: Column): Column =
     mk("rnaAsRegexp", "sequence_rna_as_regexp")(seq)
 
-  /** SQL registration — shared GraftFunctionBuilders definitions. */
-  def registerSql(spark: SparkSession): Unit =
-    GraftFunctionBuilders.registerAll(spark.sessionState.functionRegistry)
 }

@@ -19,9 +19,12 @@ object Sampling {
 
   /** Uniform [0, 10000) bucket from the first 8 hex chars of md5(key):
     * identical arithmetic is expressible in any engine with md5.
+    * NULL keys land in bucket 0 (included whenever rate > 0) — a NULL
+    * predicate would otherwise silently DROP NULL-keyed rows even at
+    * rate 1.0.
     */
   def hashBucket(key: Column): Column =
-    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 10000
+    coalesce(conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 10000, lit(0L))
 
   /** Keep rows whose hash bucket falls under rate (0.0-1.0), resolved
     * at 1/10000 granularity.

@@ -241,7 +241,7 @@ object LlmPipeline {
         graft.ops.Sampling.hashSample(Tables.documents(s, d), "text", 0.3)
           .select(col("doc_id"), col("lang"), col("source")),
       Some("""SELECT doc_id, lang, source FROM documents
-             | WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 < 3000""".stripMargin)),
+             | WHERE COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) < 3000""".stripMargin)),
 
     // Stratified mixing: per-source rates in one WHERE clause (no join,
     // no shuffle) — e.g. upsample curated sources, downsample crawl.
@@ -252,7 +252,7 @@ object LlmPipeline {
           "text", "source", Map("src0" -> 0.9, "src1" -> 0.2), defaultRate = 0.5)
           .select(col("doc_id"), col("source")),
       Some("""SELECT doc_id, source FROM documents
-             | WHERE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000 <
+             | WHERE COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) <
              |       CASE source WHEN 'src1' THEN 2000 WHEN 'src0' THEN 9000 ELSE 5000 END""".stripMargin)),
 
     // 2H: the streaming windowed aggregation run in BATCH mode over the

@@ -69,8 +69,7 @@ class BiomScan(options: Map[String, String], required: StructType) extends Scan 
 
   override def planInputPartitions(): Array[InputPartition] =
     FileSourceCommon.expandPaths(
-      options.getOrElse("path", options.getOrElse("paths",
-        throw new IllegalArgumentException("biom: path option required"))))
+      FileSourceCommon.pathSpec(options, "biom"))
       .map(BiomFilePartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -80,8 +80,7 @@ class FastxScan(options: Map[String, String], required: StructType) extends Scan
 
   override def planInputPartitions(): Array[InputPartition] = {
     val r1 = FileSourceCommon.expandPaths(
-      options.getOrElse("path", options.getOrElse("paths",
-        throw new IllegalArgumentException("fastx: path option required"))))
+      FileSourceCommon.pathSpec(options, "fastx"))
     options.get("sequence2") match {
       case Some(spec) =>
         val r2 = FileSourceCommon.expandPaths(spec)
@@ -111,8 +110,8 @@ class FastxScan(options: Map[String, String], required: StructType) extends Scan
 
 /** Streaming ingest of sequencing output: each micro-batch picks up
   * files that arrived since the last one. An offset is the SNAPSHOT of
-  * discovered files (newline-joined in the checkpoint), so a committed
-  * (start, end] range always maps to exactly end.files − start.files —
+  * discovered files (a single-line JSON array in the checkpoint), so a
+  * committed (start, end] range always maps to end.files − start.files —
   * replay after failure re-reads the identical file set even if new
   * files appeared meanwhile (the MicroBatchStream immutability
   * contract). Paired-end streaming is rejected (R1/R2 arrival can't be
@@ -129,8 +128,7 @@ class FastxMicroBatchStream(
 
   private def currentFiles: Seq[String] =
     FileSourceCommon.expandPathsLenient(
-      options.getOrElse("path", options.getOrElse("paths",
-        throw new IllegalArgumentException("fastx: path option required"))))
+      FileSourceCommon.pathSpec(options, "fastx"))
 
   override def initialOffset(): streaming.Offset = FileSnapshotOffset(Seq.empty)
   override def latestOffset(): streaming.Offset = FileSnapshotOffset(currentFiles.sorted)
@@ -150,17 +148,29 @@ class FastxMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** Offset = the sorted set of files discovered so far (newline-joined
-  * JSON payload). Shared by the fastx and alignments streams.
+/** Offset = the sorted set of files discovered so far. Serialized as a
+  * SINGLE-LINE JSON array: Spark's OffsetSeqLog stores one offset per
+  * line, so raw newlines in json() would corrupt the checkpoint.
+  * Shared by the fastx and alignments streams.
   */
 case class FileSnapshotOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = files.mkString("\n")
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(files))
+  }
 }
 
 object FileSnapshotOffset {
-  def fromJson(json: String): FileSnapshotOffset =
-    FileSnapshotOffset(json.split("\n").filter(_.nonEmpty).toSeq)
+  def fromJson(json: String): FileSnapshotOffset = {
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.{DefaultFormats, JArray}
+    implicit val formats: DefaultFormats.type = DefaultFormats
+    if (json.isEmpty) FileSnapshotOffset(Seq.empty)
+    else FileSnapshotOffset(
+      JsonMethods.parse(json).asInstanceOf[JArray].extract[Seq[String]])
+  }
 }
 
 class FastxPartitionReader(

@@ -28,6 +28,27 @@ object FileSourceCommon {
     }.toSeq
   }
 
+  /** Resolve the path spec from DataSource V2 options: single-path
+    * load() sets `path`; multi-path load(a, b, …) sets `paths` as a
+    * JSON ARRAY (not a comma list). Returns a comma-joined spec for
+    * expandPaths.
+    */
+  def pathSpec(options: Map[String, String], source: String): String =
+    options.get("path") match {
+      case Some(p) => p
+      case None =>
+        options.get("paths") match {
+          case Some(j) if j.trim.startsWith("[") =>
+            import org.json4s.jackson.JsonMethods
+            import org.json4s.{DefaultFormats, JArray}
+            implicit val formats: DefaultFormats.type = DefaultFormats
+            JsonMethods.parse(j).asInstanceOf[JArray].extract[Seq[String]].mkString(",")
+          case Some(p) => p
+          case None =>
+            throw new IllegalArgumentException(s"$source: path option required")
+        }
+    }
+
   /** Lenient variant for streaming discovery: an unmatched glob means
     * "no files yet", not an error.
     */

@@ -97,8 +97,7 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
 
   override def planInputPartitions(): Array[InputPartition] =
     FileSourceCommon.expandPaths(
-      options.getOrElse("path", options.getOrElse("paths",
-        throw new IllegalArgumentException("alignments: path option required"))))
+      FileSourceCommon.pathSpec(options, "alignments"))
       .map(SamFilePartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -125,8 +124,7 @@ class SamMicroBatchStream(
 
   private def currentFiles: Seq[String] =
     FileSourceCommon.expandPathsLenient(
-      options.getOrElse("path", options.getOrElse("paths",
-        throw new IllegalArgumentException("alignments: path option required"))))
+      FileSourceCommon.pathSpec(options, "alignments"))
 
   override def initialOffset(): streaming.Offset = FileSnapshotOffset(Seq.empty)
   override def latestOffset(): streaming.Offset = FileSnapshotOffset(currentFiles.sorted)

@@ -54,8 +54,7 @@ class SamSequencesScan(options: Map[String, String], required: StructType)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     FileSourceCommon.expandPaths(
-      options.getOrElse("path", options.getOrElse("paths",
-        throw new IllegalArgumentException("sam_sequences: path option required"))))
+      FileSourceCommon.pathSpec(options, "sam_sequences"))
       .map(SamFilePartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val req = required

@@ -54,8 +54,7 @@ class SffScan(options: Map[String, String], required: StructType) extends Scan w
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     FileSourceCommon.expandPaths(
-      options.getOrElse("path", options.getOrElse("paths",
-        throw new IllegalArgumentException("sff: path option required"))))
+      FileSourceCommon.pathSpec(options, "sff"))
       .map(SamFilePartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val trim = options.getOrElse("trim", "true").toBoolean

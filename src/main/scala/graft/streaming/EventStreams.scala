@@ -107,31 +107,55 @@ object EventStreams {
           } else {
             val sorted = rows.toSeq.sortBy(_._2.getTime)
             var open = state.getOption
+            // consecutive watermark-late events BEFORE the open session
+            // chain into their own sessions (batch session_window rule)
+            // instead of each closing alone
+            var lateOpen: Option[OpenSession] = None
             val closed = Seq.newBuilder[SessionRecord]
+            def close(s: OpenSession): Unit =
+              closed += SessionRecord(userId, new java.sql.Timestamp(s.start),
+                new java.sql.Timestamp(s.lastTs), s.n, s.value)
             for ((_, ts, v) <- sorted) {
               val t = ts.getTime
               open match {
                 // late event entirely BEFORE the open session (no
-                // window overlap): emit it as its own closed session —
-                // the open, later session must stay open
+                // window overlap; its chain can never reach the open
+                // session, or it would have hit the merge case below)
                 case Some(s) if t + gapMillis <= s.start =>
-                  closed += SessionRecord(userId, new java.sql.Timestamp(t),
-                    new java.sql.Timestamp(t), 1L, v)
+                  lateOpen match {
+                    case Some(l) if t < l.lastTs + gapMillis =>
+                      lateOpen = Some(l.copy(lastTs = math.max(l.lastTs, t),
+                        n = l.n + 1, value = l.value + v))
+                    case Some(l) =>
+                      close(l)
+                      lateOpen = Some(OpenSession(userId, t, t, 1L, v))
+                    case None =>
+                      lateOpen = Some(OpenSession(userId, t, t, 1L, v))
+                  }
                 // [t, t+gap) overlaps the open session's window: merge
                 // with the batch session_window rule; start AND end
-                // extend (a late event may predate the session start)
+                // extend (a late event may predate the session start) —
+                // and the extension may now bridge to the late chain
                 case Some(s) if t < s.lastTs + gapMillis =>
-                  open = Some(s.copy(start = math.min(s.start, t),
+                  var merged = s.copy(start = math.min(s.start, t),
                     lastTs = math.max(s.lastTs, t),
-                    n = s.n + 1, value = s.value + v))
+                    n = s.n + 1, value = s.value + v)
+                  lateOpen match {
+                    case Some(l) if merged.start < l.lastTs + gapMillis =>
+                      merged = merged.copy(start = math.min(merged.start, l.start),
+                        n = merged.n + l.n, value = merged.value + l.value)
+                      lateOpen = None
+                    case _ =>
+                  }
+                  open = Some(merged)
                 case Some(s) =>
-                  closed += SessionRecord(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.lastTs), s.n, s.value)
+                  close(s)
                   open = Some(OpenSession(userId, t, t, 1L, v))
                 case None =>
                   open = Some(OpenSession(userId, t, t, 1L, v))
               }
             }
+            lateOpen.foreach(close)
             open.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.lastTs + gapMillis)

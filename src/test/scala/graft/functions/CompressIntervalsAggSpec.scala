@@ -38,7 +38,7 @@ class CompressIntervalsAggSpec extends AnyFunSuite {
 
   test("empty group yields NULL; all semantics survive SQL registration") {
     import spark.implicits._
-    CompressIntervals.registerSql(spark)
+    MiintRegistry.registerAll(spark)
     Seq(("a", Some(5L), Some(3L)), ("a", Some(4L), Some(7L)),
       ("b", None: Option[Long], Some(1L)))
       .toDF("grp", "s", "e").createOrReplaceTempView("civ")
