@@ -76,6 +76,16 @@ class SourcesSpec extends AnyFunSuite {
     assert(n == 5) // reference test/sql/read_fastx.test:124-126
   }
 
+  test("multi-path load(a, b) resolves Spark's JSON 'paths' option") {
+    val n = spark.read.format("fastx")
+      .load(s"$fq/foo.r1.fastq.gz", s"$fq/bar.r1.fastq.gz").count()
+    assert(n == 5) // same as the comma-list spec
+    val b = spark.read.format("biom")
+      .load("/root/reference/data/biom/test.biom",
+        "/root/reference/data/biom/test.biom").count()
+    assert(b == 30) // same file twice concatenates
+  }
+
   test("fastx sequence_index restarts per file " +
       "(reference test/sql/read_fastx_sequence_index.test)") {
     val idx = spark.read.format("fastx")
