@@ -42,6 +42,41 @@ class NcbiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("network egress"))
   }
 
+  test("readNcbiFasta parses canned FASTA into the 7-col sequence schema") {
+    object F extends Ncbi.Fetcher {
+      def fetch(a: String, e: String) =
+        ">NR_1.1 Escherichia coli 16S\nACGTACGT\nTTTT\n>NR_2.1|second record\nGGGG\n"
+    }
+    val rows = Ncbi.readNcbiFasta(spark, Seq("NR_1"), F).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "NR_1.1")
+    assert(rows(0).getString(2) == "Escherichia coli 16S")
+    assert(rows(0).getString(3) == "ACGTACGTTTTT")
+    assert(rows(0).isNullAt(4) && rows(0).isNullAt(5) && rows(0).isNullAt(6))
+    assert(rows(1).getString(1) == "NR_2.1" && rows(1).getString(2) == "second record")
+  }
+
+  test("readNcbiAnnotation parses a feature table; complement and codon_start") {
+    object F extends Ncbi.Fetcher {
+      def fetch(a: String, e: String) =
+        ">Feature ref|X1|\n" +
+          "100\t200\tgene\n\t\t\tgene\tabcD\n" +
+          "300\t250\tCDS\n\t\t\tcodon_start\t2\n\t\t\tproduct\twidget\n"
+    }
+    val rows = Ncbi.readNcbiAnnotation(spark, Seq("X1"), F).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "X1" && rows(0).getString(2) == "gene")
+    assert(rows(0).getInt(3) == 100 && rows(0).getInt(4) == 200)
+    assert(rows(0).getString(6) == "+" && rows(0).isNullAt(7))
+    assert(rows(0).getMap[String, String](8) == Map("gene" -> "abcD"))
+    // complement run (stop before start) → '-' strand, outer bounds
+    assert(rows(1).getString(2) == "CDS")
+    assert(rows(1).getInt(3) == 250 && rows(1).getInt(4) == 300)
+    assert(rows(1).getString(6) == "-")
+    assert(rows(1).getInt(7) == 1) // codon_start 2 → phase 1
+    assert(rows(1).getMap[String, String](8)("product") == "widget")
+  }
+
   test("missing XML fields become NULLs, not errors") {
     object Sparse extends Ncbi.Fetcher {
       def fetch(a: String, e: String) = "<GBSet><GBSeq></GBSeq></GBSet>"
