@@ -255,6 +255,39 @@ object LlmPipeline {
              | WHERE COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) <
              |       CASE source WHEN 'src1' THEN 2000 WHEN 'src0' THEN 9000 ELSE 5000 END""".stripMargin)),
 
+    // Int8 embedding quantization: per-vector max|x|/127 scaling with
+    // floor-based codes — reconstruction error bounded by scale/2.
+    // Oracle replicates the identical IEEE arithmetic in DuckDB.
+    QueryDef(
+      "l15_quantize_int8",
+      (s, d) => {
+        // max_err computed BEFORE the projection that aliases a rounded
+        // q_scale: in one select list, col("q_scale") would bind to the
+        // earlier LATERAL alias (the rounded value), silently
+        // contaminating the reconstruction arithmetic.
+        val q = Similarity.quantizeInt8(Tables.embeddings(s, d))
+          .withColumn("max_err_raw", aggregate(
+            zip_with(col("embedding"),
+              Similarity.dequantizeInt8(col("q"), col("q_scale")),
+              (x, y) => abs(x.cast("double") - y)),
+            lit(0.0), (a, v) => greatest(a, v)))
+        q.select(col("vec_id"),
+          round(col("q_scale"), 6).as("q_scale"),
+          round(col("max_err_raw"), 6).as("max_err"))
+      },
+      Some("""WITH t AS (
+             |  SELECT vec_id, embedding,
+             |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+             |                     (a, b) -> greatest(a, b)) / 127.0 AS s
+             |    FROM embeddings)
+             |SELECT vec_id, ROUND(s, 6) AS q_scale,
+             |       ROUND(list_reduce(list_transform(embedding, x ->
+             |               abs(CAST(x AS DOUBLE) -
+             |                   CASE WHEN s = 0 THEN 0.0
+             |                        ELSE floor(CAST(x AS DOUBLE) / s + 0.5) * s END)),
+             |             (a, b) -> greatest(a, b)), 6) AS max_err
+             |  FROM t""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in

@@ -116,6 +116,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("int8 quantization: codes in range, error bounded by scale/2, zeros exact") {
+    import spark.implicits._
+    val emb = plantedVectors.unionAll(
+      Seq((999L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding"))
+    val q = Similarity.quantizeInt8(emb)
+      .withColumn("recon", Similarity.dequantizeInt8(col("q"), col("q_scale")))
+    for (r <- q.collect()) {
+      val codes = r.getSeq[Int](r.fieldIndex("q"))
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      val scale = r.getDouble(r.fieldIndex("q_scale"))
+      val orig = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      val recon = r.getSeq[Double](r.fieldIndex("recon"))
+      val maxErr = orig.zip(recon).map { case (a, b) => math.abs(a - b) }.max
+      if (r.getLong(0) == 999L) assert(scale == 0.0 && maxErr == 0.0)
+      else assert(maxErr <= scale / 2 + 1e-12, s"err $maxErr > ${scale / 2}")
+    }
+  }
+
   test("multimodal feature extraction: byte counts and normalized histogram") {
     val media = Multimodal.mediaFromDocuments(
       plantedDocs.withColumn("n_chars", length(col("text"))))
