@@ -15,12 +15,24 @@ object MiintRegistry {
   /** miint_version() — reference: src/miint_extension.cpp:57-63. */
   def miintVersion(): Column = lit(version)
 
-  /** bowtie2_available() — PATH probe; reference: src/align_bowtie2
-    * .cpp:257-259. Always false here (no external binary in scope).
+  /** Resolve a bowtie2-family binary: the `graft.bowtie2.dir` system
+    * property (tests, custom installs) takes precedence over a PATH
+    * probe. Returns the absolute path so callers never depend on the
+    * child process inheriting a particular PATH.
     */
-  def bowtie2Available(): Boolean =
-    sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
-      .exists(dir => new java.io.File(dir, "bowtie2").canExecute)
+  def bowtie2Binary(name: String): Option[String] = {
+    val fromProp = sys.props.get("graft.bowtie2.dir")
+      .map(d => new java.io.File(d, name)).filter(_.canExecute)
+    val fromPath = sys.env.getOrElse("PATH", "")
+      .split(java.io.File.pathSeparator).iterator
+      .map(dir => new java.io.File(dir, name)).find(_.canExecute)
+    fromProp.orElse(fromPath).map(_.getAbsolutePath)
+  }
+
+  /** bowtie2_available() — binary probe; reference: src/align_bowtie2
+    * .cpp:257-259.
+    */
+  def bowtie2Available(): Boolean = bowtie2Binary("bowtie2").isDefined
 
   /** One shared definition of the whole surface (GraftFunctionBuilders)
     * — identical to what spark.sql.extensions=graft.GraftExtensions

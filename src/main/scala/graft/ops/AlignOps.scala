@@ -200,19 +200,22 @@ object AlignOps {
   def alignBowtie2(
       queries: DataFrame,
       subjects: DataFrame): DataFrame = {
-    if (!graft.functions.MiintRegistry.bowtie2Available())
-      throw new UnsupportedOperationException(
-        "bowtie2 binary not found on PATH (bowtie2_available() = false)")
+    val bt2 = graft.functions.MiintRegistry.bowtie2Binary("bowtie2")
+      .getOrElse(throw new UnsupportedOperationException(
+        "bowtie2 binary not found on PATH (bowtie2_available() = false)"))
+    val bt2Build = graft.functions.MiintRegistry.bowtie2Binary("bowtie2-build")
+      .getOrElse(throw new UnsupportedOperationException(
+        "bowtie2-build binary not found on PATH"))
     val spark = queries.sparkSession
     // build temp index on the driver, pipe per partition
     val tmp = java.nio.file.Files.createTempDirectory("graft_bt2").toString
     val fasta = s"$tmp/subjects.fasta"
     Writers.copyFasta(subjects.select("read_id", "sequence1"), fasta)
-    val rc = new ProcessBuilder("bowtie2-build", "-q", fasta, s"$tmp/index")
+    val rc = new ProcessBuilder(bt2Build, "-q", fasta, s"$tmp/index")
       .inheritIO().start().waitFor()
     require(rc == 0, s"bowtie2-build failed with exit code $rc")
     val rdd = queries.select("read_id", "sequence1").rdd.mapPartitions { rows =>
-      val proc = new ProcessBuilder("bowtie2", "-x", s"$tmp/index", "-f", "-U", "-",
+      val proc = new ProcessBuilder(bt2, "-x", s"$tmp/index", "-f", "-U", "-",
         "--quiet", "--no-head").redirectErrorStream(false).start()
       val writer = new java.io.PrintWriter(proc.getOutputStream)
       val reader = new java.io.BufferedReader(

@@ -69,6 +69,12 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
+    // Partially-propagated labels are silently wrong — refuse to hand
+    // them back. Path-halving converges in O(log diameter) rounds, so
+    // hitting this means the iteration budget is genuinely too small.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIters iterations; " +
+        "raise maxIters (rounds needed grow with log of the graph diameter)")
     labels.select(col("id"), col("label").as("component"))
   }
 

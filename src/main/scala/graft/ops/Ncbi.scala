@@ -63,7 +63,10 @@ object Ncbi {
     val rows = accessions.zipWithIndex.flatMap { case (acc, _) =>
       parseFasta(fetcher.fetch(acc, "efetch_fasta"))
     }.zipWithIndex.map { case ((id, comment, seq), i) =>
-      Row((i + 1).toLong, id, comment.orNull, seq, null, null, null)
+      // 0-based running index (read_ncbi_fasta.cpp:31,163 post-increments
+      // from 0) — intentionally differs from the fastx reader's per-file
+      // 1-based convention.
+      Row(i.toLong, id, comment.orNull, seq, null, null, null)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), sequenceSchema)
   }
@@ -136,7 +139,15 @@ object Ncbi {
       }
     }
     feats.result().map { f =>
-      val phase = f.attrs.get("codon_start").flatMap(_.toIntOption).map(_ - 1)
+      // Phase applies to CDS only: default 0, codon_start 1→0 2→2 3→1
+      // (ncbi_parser.cpp:483-495,540-545); all other types get NULL.
+      val phase =
+        if (f.tpe != "CDS") None
+        else f.attrs.get("codon_start").flatMap(_.toIntOption) match {
+          case Some(2) => Some(2)
+          case Some(3) => Some(1)
+          case _ => Some(0) // codon_start 1, absent, or unparsable
+        }
       Row(acc, "ncbi", f.tpe, f.start, f.stop, null, f.strand,
         phase.map(Int.box).orNull, f.attrs.toMap)
     }

@@ -133,20 +133,21 @@ class AlignOpsSpec extends AnyFunSuite {
 
   test("bowtie2 pipe harness: fake binaries exercise the full subprocess path") {
     import spark.implicits._
-    // install fake bowtie2/bowtie2-build on PATH (container is ours);
-    // the fake aligner maps every FASTA read to ref1 pos 1 with a
-    // full-length match so the harness's piping + SAM parse is what's
-    // under test, not alignment quality
-    val bin = new java.io.File("/usr/local/bin")
-    val build = new java.io.File(bin, "bowtie2-build")
-    val bt2 = new java.io.File(bin, "bowtie2")
-    def install(f: java.io.File, body: String): Unit = {
+    // install fake bowtie2/bowtie2-build in a temp dir published via the
+    // graft.bowtie2.dir override — never a system directory, and a real
+    // bowtie2 on PATH is shadowed rather than assumed absent. The fake
+    // aligner maps every FASTA read to ref1 pos 1 with a full-length
+    // match so the harness's piping + SAM parse is what's under test,
+    // not alignment quality.
+    val bin = java.nio.file.Files.createTempDirectory("graft_fake_bt2").toFile
+    def install(name: String, body: String): Unit = {
+      val f = new java.io.File(bin, name)
       val w = new java.io.PrintWriter(f)
       try w.write(body) finally w.close()
       f.setExecutable(true)
     }
-    install(build, "#!/bin/sh\nexit 0\n")
-    install(bt2,
+    install("bowtie2-build", "#!/bin/sh\nexit 0\n")
+    install("bowtie2",
       """#!/bin/sh
         |# read FASTA from stdin: >id / seq pairs -> one SAM line each
         |while read -r hdr; do
@@ -156,6 +157,7 @@ class AlignOpsSpec extends AnyFunSuite {
         |  printf '%s\t0\tref1\t1\t42\t%sM\t*\t0\t0\t*\t*\tAS:i:10\tNM:i:0\n' "$id" "$n"
         |done
         |""".stripMargin)
+    System.setProperty("graft.bowtie2.dir", bin.getAbsolutePath)
     try {
       assert(graft.functions.MiintRegistry.bowtie2Available())
       val queries = Seq(("q1", "ACGTACGT"), ("q2", "TTTTACGTACGT"))
@@ -169,8 +171,10 @@ class AlignOpsSpec extends AnyFunSuite {
         ("q1", 0, "ref1", 1L, "8M", 10L),
         ("q2", 0, "ref1", 1L, "12M", 10L)))
     } finally {
-      build.delete(); bt2.delete()
-      assert(!graft.functions.MiintRegistry.bowtie2Available())
+      System.clearProperty("graft.bowtie2.dir")
+      new java.io.File(bin, "bowtie2-build").delete()
+      new java.io.File(bin, "bowtie2").delete()
+      bin.delete()
     }
   }
 }

@@ -49,7 +49,9 @@ class NcbiSpec extends AnyFunSuite {
     }
     val rows = Ncbi.readNcbiFasta(spark, Seq("NR_1"), F).collect()
     assert(rows.length == 2)
-    assert(rows(0).getLong(0) == 1L && rows(0).getString(1) == "NR_1.1")
+    // 0-based running index (read_ncbi_fasta.cpp post-increments from 0)
+    assert(rows(0).getLong(0) == 0L && rows(0).getString(1) == "NR_1.1")
+    assert(rows(1).getLong(0) == 1L)
     assert(rows(0).getString(2) == "Escherichia coli 16S")
     assert(rows(0).getString(3) == "ACGTACGTTTTT")
     assert(rows(0).isNullAt(4) && rows(0).isNullAt(5) && rows(0).isNullAt(6))
@@ -61,10 +63,11 @@ class NcbiSpec extends AnyFunSuite {
       def fetch(a: String, e: String) =
         ">Feature ref|X1|\n" +
           "100\t200\tgene\n\t\t\tgene\tabcD\n" +
-          "300\t250\tCDS\n\t\t\tcodon_start\t2\n\t\t\tproduct\twidget\n"
+          "300\t250\tCDS\n\t\t\tcodon_start\t2\n\t\t\tproduct\twidget\n" +
+          "400\t500\tCDS\n"
     }
     val rows = Ncbi.readNcbiAnnotation(spark, Seq("X1"), F).collect()
-    assert(rows.length == 2)
+    assert(rows.length == 3)
     assert(rows(0).getString(0) == "X1" && rows(0).getString(2) == "gene")
     assert(rows(0).getInt(3) == 100 && rows(0).getInt(4) == 200)
     assert(rows(0).getString(6) == "+" && rows(0).isNullAt(7))
@@ -73,8 +76,10 @@ class NcbiSpec extends AnyFunSuite {
     assert(rows(1).getString(2) == "CDS")
     assert(rows(1).getInt(3) == 250 && rows(1).getInt(4) == 300)
     assert(rows(1).getString(6) == "-")
-    assert(rows(1).getInt(7) == 1) // codon_start 2 → phase 1
+    assert(rows(1).getInt(7) == 2) // codon_start 2 → phase 2 (ncbi_parser.cpp:489)
     assert(rows(1).getMap[String, String](8)("product") == "widget")
+    // CDS without codon_start defaults to phase 0 (ncbi_parser.cpp:541)
+    assert(rows(2).getString(2) == "CDS" && rows(2).getInt(7) == 0)
   }
 
   test("missing XML fields become NULLs, not errors") {
