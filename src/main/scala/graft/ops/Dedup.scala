@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** 60-bit hash from the md5 prefix — the cross-engine-exact hash
+    * family: any engine that agrees on md5 hex (Spark, DuckDB, ...)
+    * reproduces it bit-for-bit, so operators built on it get exact
+    * external oracles. 15 hex chars = 60 bits keeps the value inside
+    * a signed 64-bit range on both sides.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup by content hash: one representative (min id) per
     * distinct text, with duplicate count.
     */
@@ -139,6 +148,57 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** MinHash+LSH near-duplicate pairs on the md5 hash family — the
+    * oracle-exact twin of [[minhashPairs]]: identical pipeline shape
+    * (shingle → signature → band buckets → bucket-join → exact-Jaccard
+    * verify), but every hash is pure column arithmetic over md5, so an
+    * external engine can re-derive the full candidate set bit-for-bit.
+    * Entirely codegen'd (no UDF). Docs shorter than shingleN have no
+    * signature and are excluded (both engines agree).
+    */
+  def minhashPairsExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val base = docs
+      .filter(length(col(textCol)) >= shingleN)
+      .select(col(idCol).as("id"), col(textCol).as("text"),
+        shingles(col(textCol), shingleN).as("shs"))
+    // minhash_j = min over shingles of md5-hash("j:" + shingle)
+    val sigs = base.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        j => array_min(transform(col("shs"),
+          s => md5Hash60(concat(j.cast("string"), lit(":"), s))))))
+    // band key = md5-hash("b|" + comma-joined slice of the signature)
+    val banded = sigs.select(
+      col("id"), col("text"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5Hash60(concat(b.cast("string"), lit("|"),
+          concat_ws(",", transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            h => h.cast("string"))))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val left = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("text").as("text_a"))
+    val right = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("text").as("text_b"))
+    left
+      .join(right, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
   private val simhashUdf = udf((text: String) =>
     TextKernel.simhash64(TextKernel.tokens(text)))
 
@@ -173,6 +233,61 @@ object Dedup {
       .agg(min(col("hamming")).as("hamming"))
   }
 
+  /** SimHash near-duplicate pairs on the md5 hash family — the
+    * oracle-exact twin of [[simhashPairs]]: a 60-bit simhash whose bit
+    * j is the majority vote of bit j of md5(token) over all tokens
+    * (with multiplicity), banded as 5×12-bit buckets (pigeonhole: any
+    * pair within Hamming distance ≤ 4 shares a band), verified by the
+    * exact Hamming distance. Bit j is read from a single hex digit of
+    * the md5, so no arithmetic ever exceeds small-integer range and an
+    * external engine reproduces every candidate bit-for-bit.
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashPairsExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nBits = 60
+    val bandBits = 12
+    val nBands = nBits / bandBits
+    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    // per-token md5 hex; bit j of the 60-bit token hash lives in hex
+    // char (15 - j/4) (1-based, char 15 least significant), bit (j%4)
+    // of that digit
+    def bitOf(m: Column, j: Column): Column =
+      floor(conv(m.substr((lit(15) - floor(j.cast("double") / 4.0)).cast("int"),
+        lit(1)), 16, 10).cast("double") /
+        pow(lit(2.0), (j % 4).cast("double"))).cast("long") % 2
+    val sigs = docs.select(col(idCol).as("id"),
+      transform(toks, t => md5(t)).as("ths"))
+      .select(col("id"),
+        transform(sequence(lit(0), lit(nBits - 1)), j =>
+          when(aggregate(col("ths"), lit(0L),
+            (acc, m) => acc + (bitOf(m, j) * 2 - 1)) > 0, lit(1L))
+            .otherwise(lit(0L))).as("bits"))
+    val banded = sigs.select(col("id"), col("bits"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
+        aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0L), (acc, jj) =>
+          acc + get(col("bits"), (b * bandBits + jj).cast("int")) *
+            pow(lit(2.0), jj.cast("double")).cast("long")))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_bits")
+    val left = banded.select(col("band"), col("band_bits"),
+      col("id").as("id_a"), col("bits").as("bits_a"))
+    val right = banded.select(col("band"), col("band_bits"),
+      col("id").as("id_b"), col("bits").as("bits_b"))
+    left
+      .join(right, Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        aggregate(zip_with(col("bits_a"), col("bits_b"),
+          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   private val winnowUdf = udf((text: String, k: Int, w: Int) =>
     TextKernel.winnowFingerprints(text, k, w))
 
@@ -181,4 +296,23 @@ object Dedup {
       k: Int = 8, w: Int = 4): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       winnowUdf(col(textCol), lit(k), lit(w)).as("fingerprints"))
+
+  /** Winnowing fingerprint COUNT on the md5 hash family — oracle-exact
+    * twin of [[fingerprints]]: k-gram md5-60 hashes, per-window-of-w
+    * minima, distinct count. The kernel's rightmost-on-ties position
+    * rule doesn't affect the distinct VALUE set, so the count is
+    * tie-rule independent. Matches the kernel's short-text cases:
+    * < k chars → 0; ≤ w grams → one window over all grams.
+    */
+  def winnowFingerprintCountExact(text: Column, k: Int, w: Int): Column = {
+    val n = length(text) - (k - 1)
+    val grams = transform(sequence(lit(1), greatest(n, lit(0))),
+      i => md5Hash60(text.substr(i, lit(k))))
+    val mins = transform(sequence(lit(1), n - (w - 1)),
+      s => array_min(slice(grams, s, lit(w))))
+    when(n <= lit(0), lit(0))
+      .when(n <= lit(w), size(array_distinct(grams)))
+      .otherwise(size(array_distinct(mins)))
+      .cast("long")
+  }
 }

@@ -56,19 +56,23 @@ object Similarity {
     * Hyperplane component h(b, d) = mix of (b, d) — no stored model, so
     * executors recompute it identically with zero coordination.
     */
+  /** splitmix64-derived pseudo-random hyperplane component in [-1, 1),
+    * stable across JVMs. Public so oracle generation can inline the
+    * identical constants into external SQL.
+    */
+  def lshPlaneComponent(b: Int, d: Int, seed: Long): Double = {
+    var x = (b.toLong + seed * 8191L) * 0x9e3779b97f4a7c15L +
+      d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x = x ^ (x >>> 31)
+    (x.toDouble / Long.MaxValue.toDouble)
+  }
+
   def lshBucket(embedding: Column, nBits: Int, dim: Int, seed: Long = 0L): Column = {
-    def planeComponent(b: Int, d: Int): Double = {
-      // splitmix64-derived pseudo-random in [-1, 1), stable across JVMs
-      var x = (b.toLong + seed * 8191L) * 0x9e3779b97f4a7c15L +
-        d.toLong * 0xbf58476d1ce4e5b9L + 0x94d049bb133111ebL
-      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
-      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
-      x = x ^ (x >>> 31)
-      (x.toDouble / Long.MaxValue.toDouble)
-    }
     (0 until nBits).map { b =>
       val proj = (0 until dim).map { d =>
-        element_at(embedding, d + 1).cast("double") * lit(planeComponent(b, d))
+        element_at(embedding, d + 1).cast("double") * lit(lshPlaneComponent(b, d, seed))
       }.reduce(_ + _)
       when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -614,9 +614,12 @@ object LayerB {
              |       END AS cigar
              |  FROM part""".stripMargin)),
 
-    // 2C: rype minimizer extraction — hash internals aren't SQL-
-    // expressible; rows-only here, invariants in RypeSpec (rc/fwd
-    // symmetry, unsigned sort, salt sensitivity).
+    // 2C: rype minimizer extraction — the mix64 hash uses 64-bit
+    // wrapping multiplication DuckDB can't express, so the oracle pins
+    // kernel-derived expected rows over the deterministic genomes
+    // (regenerate with `runMain graft.tools.RypePin`); algorithmic
+    // invariants (rc/fwd symmetry, unsigned sort, salt sensitivity)
+    // live in RypeSpec.
     QueryDef(
       "b20_rype_extract",
       (s, d) => {
@@ -627,11 +630,15 @@ object LayerB {
           .select(col("read_id"), size(col("fwd_set")).as("n_fwd"),
             size(col("rc_set")).as("n_rc"))
       },
-      None),
+      Some("""SELECT read_id, n_fwd, n_rc FROM (VALUES
+             |  ('seq0', 128, 130), ('seq1', 133, 123), ('seq2', 121, 123))
+             |  t(read_id, n_fwd, n_rc)""".stripMargin)),
 
-    // 2C: rype classify — distributed inverted-index join; planted
-    // reads classify to their source bucket (asserted in RypeOpsSpec);
-    // rows-only here.
+    // 2C: rype classify — the oracle pins the classification RypePin
+    // re-derives from the kernel with plain Scala collections (set
+    // scores + threshold), independently of the distributed
+    // inverted-index join under test; every planted read must map to
+    // exactly its source bucket.
     QueryDef(
       "b21_rype_classify",
       (s, d) => {
@@ -646,7 +653,11 @@ object LayerB {
         graft.ops.RypeOps.rypeClassify(index, reads, k = 16, w = 5, threshold = 0.5)
           .select("read_id", "bucket_name")
       },
-      None),
+      Some("""SELECT read_id, bucket_name FROM (VALUES
+             |  ('b0_r0', 'bucket0'), ('b0_r1', 'bucket0'), ('b0_r2', 'bucket0'),
+             |  ('b1_r0', 'bucket1'), ('b1_r1', 'bucket1'), ('b1_r2', 'bucket1'),
+             |  ('b2_r0', 'bucket2'), ('b2_r1', 'bucket2'), ('b2_r2', 'bucket2'))
+             |  t(read_id, bucket_name)""".stripMargin)),
 
     // 2C: align_minimap2 — exact substrings of deterministic genomes
     // must align at their source offset with an all-match CIGAR.

@@ -23,6 +23,39 @@ object LlmPipeline {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Oracle for l10: the hyperplane matrix (4 tables × 10 bits × 64
+    * dims of splitmix64-derived constants) is inlined as one 2-D list
+    * literal — Double.toString round-trips exactly through DuckDB's
+    * literal parser, and both engines compute the projection with the
+    * same init-free left fold, so bucket sign bits match bit-for-bit.
+    */
+  private def l10Oracle: String = {
+    val planes = for {
+      t <- 0 until 4; b <- 0 until 10
+    } yield (0 until 64).map(dd => Similarity.lshPlaneComponent(b, dd, t.toLong))
+    val pLit = planes.map(_.mkString("[", ", ", "]")).mkString("[", ",\n  ", "]")
+    s"""WITH planes AS (SELECT $pLit AS P),
+       |buckets AS (
+       |  SELECT vec_id, embedding, t AS table_id,
+       |         list_sum(list_transform(generate_series(0, 9), bb ->
+       |           CASE WHEN list_reduce(list_transform(generate_series(1, 64), i ->
+       |                  CAST(embedding[i] AS DOUBLE) * P[t*10 + bb + 1][i]), (x, y) -> x + y) >= 0
+       |                THEN CAST(pow(2, bb) AS BIGINT) ELSE 0 END)) AS bucket
+       |    FROM embeddings, generate_series(0, 3) tt(t), planes),
+       |cand AS (
+       |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+       |         l.embedding AS emb_a, r.embedding AS emb_b
+       |    FROM buckets l JOIN buckets r
+       |      ON l.table_id = r.table_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |c AS (
+       |  SELECT id_a, id_b,
+       |         ${duckDot("emb_a", "emb_b")} /
+       |           (sqrt(${duckDot("emb_a", "emb_a")}) * sqrt(${duckDot("emb_b", "emb_b")})) AS cos
+       |    FROM cand)
+       |SELECT id_a, id_b, ROUND(MAX(cos), 6) AS cos
+       |  FROM c WHERE cos >= 0.3 GROUP BY id_a, id_b""".stripMargin
+  }
+
   val queries: Seq[QueryDef] = Seq(
     // Exact dedup by content hash (hash-partitioned aggregation — the
     // 100 TB-safe baseline dedup).
@@ -51,21 +84,82 @@ object LlmPipeline {
               |            - len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")}))), 6) AS jaccard
               |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
-    // MinHash + banded LSH near-dup pairs (candidates only within band
-    // buckets, exact-Jaccard verified). Probabilistic candidate set →
-    // rows-only check here; recall validated in LlmOpsSpec.
+    // MinHash + banded LSH near-dup pairs on the md5 hash family:
+    // identical pipeline shape to the fast-kernel minhashPairs
+    // (shingle → signature → band buckets → bucket join → exact-Jaccard
+    // verify) but every hash is md5-derived column arithmetic, so the
+    // oracle re-derives the ENTIRE candidate set — signatures, band
+    // keys, pairs, verification — bit-for-bit in DuckDB. The fast
+    // variant stays recall-tested in LlmOpsSpec.
     QueryDef(
       "l03_minhash_lsh",
       (s, d) =>
-        Dedup.minhashPairs(Tables.documents(s, d), "doc_id", "text",
-          shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4),
-      None),
+        Dedup.minhashPairsExact(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id AS id, text, ${duckShingles("text")} AS shs
+              |    FROM documents WHERE length(text) >= 5),
+              |sig AS (
+              |  SELECT id, text,
+              |         list_transform(generate_series(0, 63), j ->
+              |           list_min(list_transform(shs, s1 ->
+              |             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s1), 1, 15)) AS BIGINT)))) AS sig
+              |    FROM base),
+              |banded AS (
+              |  SELECT id, text, b AS band,
+              |         CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
+              |             array_to_string(list_transform(sig[b*4+1 : b*4+4],
+              |               h -> CAST(h AS VARCHAR)), ',')), 1, 15)) AS BIGINT) AS band_hash
+              |    FROM sig, generate_series(0, 15) t(b)),
+              |cand AS (
+              |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.text AS text_a, r.text AS text_b
+              |    FROM banded l JOIN banded r
+              |      ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id),
+              |jac AS (
+              |  SELECT id_a, id_b,
+              |         CAST(len(list_intersect(${duckShingles("text_a")}, ${duckShingles("text_b")})) AS DOUBLE)
+              |           / (len(${duckShingles("text_a")}) + len(${duckShingles("text_b")})
+              |              - len(list_intersect(${duckShingles("text_a")}, ${duckShingles("text_b")}))) AS jaccard
+              |    FROM cand)
+              |SELECT id_a, id_b, ROUND(MAX(jaccard), 6) AS jaccard
+              |  FROM jac WHERE jaccard >= 0.4 GROUP BY id_a, id_b""".stripMargin)),
 
-    // SimHash near-dup pairs (16-bit band buckets, Hamming-verified).
+    // SimHash near-dup pairs on the md5 hash family: 60-bit simhash
+    // (bit j = majority vote of bit j of md5(token)), 5×12-bit band
+    // buckets, exact Hamming verify — fully re-derived by the oracle.
     QueryDef(
       "l04_simhash",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 10),
-      None),
+      (s, d) => Dedup.simhashPairsExact(Tables.documents(s, d), "doc_id", "text", maxHamming = 10),
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id,
+             |         list_transform(list_filter(string_split_regex(lower(text), '\s+'),
+             |                                    x -> len(x) > 0), tk -> md5(tk)) AS ths
+             |    FROM documents),
+             |bits AS (
+             |  SELECT id,
+             |         list_transform(generate_series(0, 59), j ->
+             |           CASE WHEN list_sum(list_transform(ths, m ->
+             |                  2 * ((CAST(('0x' || substr(m, 15 - j // 4, 1)) AS BIGINT)
+             |                        // CAST(pow(2, j % 4) AS BIGINT)) % 2) - 1)) > 0
+             |                THEN 1 ELSE 0 END) AS bits
+             |    FROM t),
+             |banded AS (
+             |  SELECT id, bits, b AS band,
+             |         CAST(list_sum(list_transform(generate_series(0, 11), jj ->
+             |           bits[b*12 + jj + 1] * CAST(pow(2, jj) AS BIGINT))) AS BIGINT) AS band_bits
+             |    FROM bits, generate_series(0, 4) t2(b)),
+             |cand AS (
+             |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.bits AS bits_a, r.bits AS bits_b
+             |    FROM banded l JOIN banded r
+             |      ON l.band = r.band AND l.band_bits = r.band_bits AND l.id < r.id),
+             |ham AS (
+             |  SELECT id_a, id_b,
+             |         CAST(list_sum(list_transform(generate_series(1, 60), i ->
+             |           abs(bits_a[i] - bits_b[i]))) AS BIGINT) AS hamming
+             |    FROM cand)
+             |SELECT id_a, id_b, MIN(hamming) AS hamming
+             |  FROM ham WHERE hamming <= 10 GROUP BY id_a, id_b""".stripMargin)),
 
     // Brute-force cosine top-k (correctness baseline for ANN): 10 query
     // vectors broadcast against the corpus, top-5 each.
@@ -117,17 +211,55 @@ object LlmPipeline {
              |             / len(toks), 6) AS mean_word_len
              |  FROM t""".stripMargin)),
 
-    // Winnowing fingerprints + language-ID (kernel-validated; heuristic
-    // output has no SQL equivalent → rows-only).
+    // Winnowing fingerprints (md5 hash family, k=8 w=4) + language-ID.
+    // The fingerprint count is re-derived exactly by the oracle; the
+    // langId heuristic (stopword-profile argmax with lexicographic tie
+    // break, CJK share → zh) is replicated in SQL — the oracle's Han
+    // class covers the BMP unified block only, which is exact on this
+    // corpus (all-ASCII; the broader UnicodeScript.HAN cases are
+    // kernel-tested in TextKernelSpec).
     QueryDef(
       "l07_fingerprint_langid",
-      (s, d) => {
-        val docs = Tables.documents(s, d)
-        Dedup.fingerprints(docs, "doc_id", "text", k = 8, w = 4)
-          .join(docs.select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred")), "doc_id")
-          .select(col("doc_id"), size(col("fingerprints")).as("n_fingerprints"), col("lang_pred"))
-      },
-      None),
+      (s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          Dedup.winnowFingerprintCountExact(col("text"), 8, 4).as("n_fingerprints"),
+          TextStats.langId(col("text")).as("lang_pred")),
+      Some("""WITH g AS (
+             |  SELECT doc_id, text,
+             |         list_transform(generate_series(1, greatest(length(text) - 7, 0)), i ->
+             |           CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS grams,
+             |         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+             |    FROM documents),
+             |f AS (
+             |  SELECT doc_id, text, toks,
+             |         CASE WHEN len(grams) = 0 THEN 0
+             |              WHEN len(grams) <= 4 THEN len(list_distinct(grams))
+             |              ELSE len(list_distinct(list_transform(
+             |                     generate_series(1, len(grams) - 3), s2 ->
+             |                       list_min(grams[s2 : s2 + 3])))) END AS n_fingerprints,
+             |         length(regexp_replace(text, '\s', '', 'g')) AS total,
+             |         len(regexp_extract_all(text, '[一-鿿]')) AS han
+             |    FROM g),
+             |sc AS (
+             |  SELECT doc_id, n_fingerprints, text, total, han,
+             |         len(list_filter(toks, x -> list_contains(
+             |           ['der','die','und','das','von','zu','mit','den','ist','im','ein','nicht'], x))) AS s_de,
+             |         len(list_filter(toks, x -> list_contains(
+             |           ['the','and','of','to','in','is','that','it','was','for','a','with'], x))) AS s_en,
+             |         len(list_filter(toks, x -> list_contains(
+             |           ['el','la','de','que','y','en','un','los','se','del','las','por'], x))) AS s_es,
+             |         len(list_filter(toks, x -> list_contains(
+             |           ['le','la','de','et','les','des','en','un','du','que','est','pour'], x))) AS s_fr
+             |    FROM f)
+             |SELECT doc_id, CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
+             |       CASE WHEN length(text) = 0 THEN 'und'
+             |            WHEN total > 0 AND han * 10 >= total * 3 THEN 'zh'
+             |            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             |            WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+             |            WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+             |            WHEN s_es >= s_fr THEN 'es'
+             |            ELSE 'fr' END AS lang_pred
+             |  FROM sc""".stripMargin)),
 
     // Multimodal plumbing: binary payloads + partition-batched feature
     // extraction (decode step stubbed — see Multimodal.fakeDecode).
@@ -164,14 +296,19 @@ object LlmPipeline {
               |        sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.3""".stripMargin)),
 
     // LSH-bucketed ANN near-dup (the 100 TB path: shuffle on bucket key
-    // only) — probabilistic → rows-only; recall vs brute force asserted
-    // in LlmOpsSpec.
+    // only). The hyperplanes are deterministic splitmix64-derived
+    // constants, so the oracle SQL inlines the identical plane matrix
+    // and re-derives every bucket, candidate pair, and cosine with the
+    // same left-fold arithmetic — an exact check of the probabilistic
+    // pipeline, not just its verified output. Recall vs brute force is
+    // additionally asserted in LlmOpsSpec.
     QueryDef(
       "l10_lsh_neardup",
       (s, d) =>
         Similarity.lshNearDupPairs(Tables.embeddings(s, d), dim = 64,
-          nBits = 10, nTables = 4, threshold = 0.3),
-      None),
+          nBits = 10, nTables = 4, threshold = 0.3)
+          .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos")),
+      Some(l10Oracle)),
 
     // Near-dup cluster formation: deterministic candidate pairs
     // (consecutive-id 5-gram jaccard >= 0.2, the l02 kernel) →

@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.kernel.Rype
+import graft.queries.LayerB
+
+/** Regenerates the pinned oracle rows for b20_rype_extract /
+  * b21_rype_classify (`sbt "runMain graft.tools.RypePin"`).
+  *
+  * The rype hash (mix64 of salted RY k-mers) uses 64-bit wrapping
+  * multiplication, which DuckDB integer arithmetic cannot express, so
+  * those oracles pin expected rows as VALUES literals instead of
+  * re-deriving them. This tool recomputes the expectations from the
+  * KERNEL directly — b21's classification (set scores, threshold) is
+  * re-derived here from plain Scala collections, independently of the
+  * distributed inverted-index join the engine uses. Inputs are the
+  * deterministic synthetic genomes, so the rows are stable.
+  */
+object RypePin {
+  def main(args: Array[String]): Unit = {
+    // b20: 3 genomes of 400 bp, k=16 w=5
+    val b20 = LayerB.syntheticGenomes(3, 400).zipWithIndex.map { case (g, i) =>
+      val (f, r) = Rype.extractMinimizerSet(g, 16, 5, Rype.DefaultSalt)
+      s"('seq$i', ${f.length}, ${r.length})"
+    }
+    println("b20 VALUES: " + b20.mkString(", "))
+
+    // b21: 3 genomes of 800 bp as buckets; 3 reads of 150 bp per
+    // genome at offsets 0/120/240; threshold 0.5 on max(fwd, rc) score
+    val genomes = LayerB.syntheticGenomes(3, 800)
+    val buckets = genomes.zipWithIndex.map { case (g, i) =>
+      val (f, r) = Rype.extractMinimizerSet(g, 16, 5, Rype.DefaultSalt)
+      (s"bucket$i", (f ++ r).toSet)
+    }
+    val rows = for {
+      (g, i) <- genomes.zipWithIndex
+      j <- 0 until 3
+      read = g.substring(j * 120, j * 120 + 150)
+      (fwd, rc) = Rype.extractMinimizerSet(read, 16, 5, Rype.DefaultSalt)
+      (bname, bset) <- buckets
+      if math.max(Rype.score(fwd, bset), Rype.score(rc, bset)) >= 0.5
+    } yield s"('b${i}_r$j', '$bname')"
+    println("b21 VALUES: " + rows.mkString(", "))
+  }
+}
