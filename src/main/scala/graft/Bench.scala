@@ -22,6 +22,9 @@ object Bench {
       // 1.13s → 0.80s). AQE still falls back to SMJ when a build side
       // is too large, so this is safe at bigger SFs too.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // Override hook for A/B runs (default = Spark's default, AQE on).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // local[32] shuffles never cross a network: lz4-compressing spill
       // files only burns CPU here (measured ~7% off the suite). On a
       // real cluster this stays default-on — it trades CPU for NIC.

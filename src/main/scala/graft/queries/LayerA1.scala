@@ -69,17 +69,20 @@ object LayerA1 {
     QueryDef(
       "a06_join_agg",
       (s, d) => {
+        // Only o_orderkey survives to the output, so reduce the dim side
+        // to KEYS before broadcasting: customer(BUILDING) semi-filters
+        // orders (both broadcast — they are the small sides), and the
+        // broadcast payload against lineitem is a single int column
+        // instead of customer⋈orders rows. lineitem then streams map-side
+        // through one broadcast hash join + partial agg. Size-gate at
+        // real scale: when the filtered key set exceeds the broadcast
+        // threshold, drop the hint and let AQE plan the shuffle.
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-        val o = Tables.orders(s, d)
-        val l = Tables.lineitem(s, d)
-        // customer(BUILDING)⋈orders is the dim side of this star join —
-        // broadcast it so lineitem streams map-side (without the hint
-        // Spark's post-join size estimate picks lineitem as build side).
-        // Size-gate at real scale: when the filtered dim join exceeds the
-        // broadcast threshold this hint should be dropped and AQE left
-        // to plan the shuffle.
-        val co = broadcast(c.join(o, col("c_custkey") === col("o_custkey")))
-        l.join(co, col("l_orderkey") === col("o_orderkey"))
+          .select("c_custkey")
+        val ok = broadcast(Tables.orders(s, d)
+          .join(broadcast(c), col("c_custkey") === col("o_custkey"), "leftsemi")
+          .select("o_orderkey"))
+        Tables.lineitem(s, d).join(ok, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderkey"))
           .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
             .cast("double") / 10000.0).as("rev"))
@@ -103,12 +106,19 @@ object LayerA1 {
           .select("n_name", "r_name"),
       Some("SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey")),
 
-    // A8: self-join (pairs of lineitems within an order)
+    // A8: self-join (pairs of lineitems within an order). SHUFFLE_HASH
+    // hint: Catalyst's size estimate would broadcast one side, but the
+    // probe side then inherits the scan's parallelism — ONE task on a
+    // single-row-group file — serializing the ~2×|input| pair
+    // expansion (measured 0.82s → 0.29s at sf0.1). Shuffling both
+    // sides partitions the expansion across all cores, the two
+    // exchanges canonicalize to one (ReusedExchange), and at 100 TB a
+    // self-join's equal-sized sides should never broadcast anyway.
     QueryDef(
       "a08_self_join",
       (s, d) => {
         val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
-        l.as("a").join(l.as("b"),
+        l.as("a").hint("SHUFFLE_HASH").join(l.as("b").hint("SHUFFLE_HASH"),
             col("a.l_orderkey") === col("b.l_orderkey")
               && col("a.l_linenumber") < col("b.l_linenumber"))
           .select(col("a.l_orderkey").as("l_orderkey"),
