@@ -425,6 +425,38 @@ object LlmPipeline {
              |             (a, b) -> greatest(a, b)), 6) AS max_err
              |  FROM t""".stripMargin)),
 
+    // Two-stage ANN first pass: top-k by INTEGER dot product of the
+    // l15 int8 codes — exact in both engines (quantization arithmetic
+    // proven exact by l15, ranking is integer compares + vec_id ties).
+    QueryDef(
+      "l16_quantized_topk",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 5)
+      },
+      Some("""WITH qt AS (
+             |  SELECT vec_id, embedding,
+             |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+             |                     (a, b) -> greatest(a, b)) / 127.0 AS s
+             |    FROM embeddings),
+             |codes AS (
+             |  SELECT vec_id,
+             |         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+             |              ELSE list_transform(embedding, x ->
+             |                     CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) END AS q
+             |    FROM qt),
+             |pairs AS (
+             |  SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
+             |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
+             |           CAST(c.q[i] AS BIGINT) * CAST(qq.q[i] AS BIGINT))) AS BIGINT) AS qdot
+             |    FROM codes c, codes qq
+             |   WHERE qq.vec_id < 10 AND c.vec_id != qq.vec_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, qdot,
+             |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
+             |    FROM pairs)
+             |SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in

@@ -71,6 +71,18 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(top(100L + i) == i.toLong)
   }
 
+  test("quantizedTopK: planted dup at rank 1, integer scores symmetric-bounded") {
+    val top = Similarity.quantizedTopK(
+      plantedVectors, plantedVectors.filter(col("vec_id") >= 100), 5)
+    val rows = top.collect()
+    // int8 codes bound the dot product by 127*127*dim
+    val dim = 16
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= 127L * 127L * dim))
+    val rank1 = rows.filter(_.getLong(3) == 1L).map(r => (r.getLong(0), r.getLong(1))).toMap
+    for (i <- 0 until 5)
+      assert(rank1(100L + i) == i.toLong, s"planted dup $i not rank-1 under quantized scores")
+  }
+
   test("connectedComponents labels chains, cliques and singleton-free graphs") {
     import spark.implicits._
     // chain 1-2-3-4-5 (worst case for plain propagation), clique 10-11-12,
