@@ -264,6 +264,34 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** Two-stage ANN: int8-quantized integer top-m candidate pass, then
+    * exact float cosine re-rank of the survivors to top-k — the
+    * standard 100 TB retrieval pattern (cheap wide scan touches every
+    * vector's 4×-compressed codes, the expensive exact pass touches
+    * only m·|queries| rows). Both stages are deterministic, so the
+    * whole composition is oracle-exact.
+    */
+  def rerankedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      m: Int): DataFrame = {
+    val cand = quantizedTopK(corpus, queries, m).select("query_id", "vec_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("query_emb")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster
     * or label column): deterministic, oracle-checkable, and the same
     * shape the LSH variant produces.

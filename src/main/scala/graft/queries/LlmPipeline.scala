@@ -457,6 +457,53 @@ object LlmPipeline {
              |    FROM pairs)
              |SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Two-stage ANN end-to-end: quantized integer top-20 candidates,
+    // exact cosine re-rank to top-5. Both stages deterministic → the
+    // oracle re-derives the full composition.
+    QueryDef(
+      "l17_two_stage_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.rerankedTopK(emb, emb.filter(col("vec_id") < 10), k = 5, m = 20)
+          .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+      },
+      Some(s"""WITH qt AS (
+              |  SELECT vec_id, embedding,
+              |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+              |                     (a, b) -> greatest(a, b)) / 127.0 AS s
+              |    FROM embeddings),
+              |codes AS (
+              |  SELECT vec_id,
+              |         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+              |              ELSE list_transform(embedding, x ->
+              |                     CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) END AS q
+              |    FROM qt),
+              |qpairs AS (
+              |  SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
+              |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
+              |           CAST(c.q[i] AS BIGINT) * CAST(qq.q[i] AS BIGINT))) AS BIGINT) AS qdot
+              |    FROM codes c, codes qq
+              |   WHERE qq.vec_id < 10 AND c.vec_id != qq.vec_id),
+              |cand AS (
+              |  SELECT query_id, vec_id FROM (
+              |    SELECT query_id, vec_id,
+              |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS qrank
+              |      FROM qpairs) WHERE qrank <= 20),
+              |exact AS (
+              |  SELECT cand.query_id, cand.vec_id,
+              |         ${duckDot("c.embedding", "q.embedding")} /
+              |           (sqrt(${duckDot("c.embedding", "c.embedding")}) *
+              |            sqrt(${duckDot("q.embedding", "q.embedding")})) AS cos
+              |    FROM cand
+              |    JOIN embeddings c ON c.vec_id = cand.vec_id
+              |    JOIN embeddings q ON q.vec_id = cand.query_id),
+              |ranked AS (
+              |  SELECT query_id, vec_id, cos,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+              |    FROM exact)
+              |SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank
+              |  FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in
