@@ -128,6 +128,15 @@ object GraftFunctionBuilders {
         case other => throw new IllegalArgumentException(
           s"compress_intervals expects 2 arguments, got ${other.length}")
       }),
+    Fn("top_k_by",
+      "top_k_by(score, id, k) - k best (score DESC, id ASC) pairs, O(k) state",
+      {
+        case Seq(s, i, Literal(k: Int, IntegerType)) =>
+          TopKAgg(s, i, k).toAggregateExpression()
+        case other => throw new IllegalArgumentException(
+          "top_k_by expects (score, id, k literal int), got " +
+            other.mkString(", "))
+      }),
     Fn("miint_version", "miint_version() - library version",
       {
         case Seq() => Literal(MiintRegistry.version)

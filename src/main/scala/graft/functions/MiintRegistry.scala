@@ -20,14 +20,20 @@ object MiintRegistry {
     * probe. Returns the absolute path so callers never depend on the
     * child process inheriting a particular PATH.
     */
-  def bowtie2Binary(name: String): Option[String] = {
-    val fromProp = sys.props.get("graft.bowtie2.dir")
-      .map(d => new java.io.File(d, name)).filter(_.canExecute)
-    val fromPath = sys.env.getOrElse("PATH", "")
-      .split(java.io.File.pathSeparator).iterator
-      .map(dir => new java.io.File(dir, name)).find(_.canExecute)
-    fromProp.orElse(fromPath).map(_.getAbsolutePath)
-  }
+  def bowtie2Binary(name: String): Option[String] =
+    sys.props.get("graft.bowtie2.dir") match {
+      case Some(dir) =>
+        // explicit override is authoritative: a missing/non-executable
+        // candidate is a misconfiguration, not a cue to silently run
+        // whatever different version happens to sit on PATH
+        Some(new java.io.File(dir, name)).filter(_.canExecute)
+          .map(_.getAbsolutePath)
+      case None =>
+        sys.env.getOrElse("PATH", "")
+          .split(java.io.File.pathSeparator).iterator
+          .map(dir => new java.io.File(dir, name)).find(_.canExecute)
+          .map(_.getAbsolutePath)
+    }
 
   /** bowtie2_available() — binary probe; reference: src/align_bowtie2
     * .cpp:257-259.

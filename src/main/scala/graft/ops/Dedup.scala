@@ -103,6 +103,22 @@ object Dedup {
     when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
   }
 
+  /** Band-bucket candidate pairs — the shared core of every LSH
+    * variant: self-join the banded relation (id, band, keyCol,
+    * payloadCol) on (band, key), keep each unordered pair once
+    * (id_a < id_b), carry one payload column per side for the exact
+    * verification step. One definition so the fast and oracle-exact
+    * twins can never diverge in pipeline shape.
+    */
+  private def bandedCandidatePairs(
+      banded: DataFrame, keyCol: String, payloadCol: String): DataFrame = {
+    val left = banded.select(col("band"), col(keyCol),
+      col("id").as("id_a"), col(payloadCol).as(s"${payloadCol}_a"))
+    val right = banded.select(col("band"), col(keyCol),
+      col("id").as("id_b"), col(payloadCol).as(s"${payloadCol}_b"))
+    left.join(right, Seq("band", keyCol)).filter(col("id_a") < col("id_b"))
+  }
+
   private val minhashUdf = udf((text: String, shingleN: Int, numHashes: Int) =>
     TextKernel.minhashSignature(TextKernel.shingleHashes(text, shingleN), numHashes))
 
@@ -134,13 +150,7 @@ object Dedup {
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val left = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val right = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("text").as("text_b"))
-    left
-      .join(right, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    bandedCandidatePairs(banded, "band_hash", "text")
       .select(col("id_a"), col("id_b"),
         Dedup.ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -185,13 +195,7 @@ object Dedup {
             h => h.cast("string"))))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val left = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_a"), col("text").as("text_a"))
-    val right = banded.select(col("band"), col("band_hash"),
-      col("id").as("id_b"), col("text").as("text_b"))
-    left
-      .join(right, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    bandedCandidatePairs(banded, "band_hash", "text")
       .select(col("id_a"), col("id_b"),
         ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -219,13 +223,7 @@ object Dedup {
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
-    val left = banded.select(col("band"), col("band_bits"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val right = banded.select(col("band"), col("band_bits"),
-      col("id").as("id_b"), col("sim").as("sim_b"))
-    left
-      .join(right, Seq("band", "band_bits"))
-      .filter(col("id_a") < col("id_b"))
+    bandedCandidatePairs(banded, "band_bits", "sim")
       .select(col("id_a"), col("id_b"),
         hammingUdf(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -273,13 +271,7 @@ object Dedup {
             pow(lit(2.0), jj.cast("double")).cast("long")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
-    val left = banded.select(col("band"), col("band_bits"),
-      col("id").as("id_a"), col("bits").as("bits_a"))
-    val right = banded.select(col("band"), col("band_bits"),
-      col("id").as("id_b"), col("bits").as("bits_b"))
-    left
-      .join(right, Seq("band", "band_bits"))
-      .filter(col("id_a") < col("id_b"))
+    bandedCandidatePairs(banded, "band_bits", "bits")
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("bits_a"), col("bits_b"),
           (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("hamming"))

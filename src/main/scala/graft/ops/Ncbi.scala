@@ -60,7 +60,7 @@ object Ncbi {
     */
   def readNcbiFasta(spark: SparkSession, accessions: Seq[String],
       fetcher: Fetcher = UnavailableFetcher): DataFrame = {
-    val rows = accessions.zipWithIndex.flatMap { case (acc, _) =>
+    val rows = accessions.flatMap { acc =>
       parseFasta(fetcher.fetch(acc, "efetch_fasta"))
     }.zipWithIndex.map { case ((id, comment, seq), i) =>
       // 0-based running index (read_ncbi_fasta.cpp:31,163 post-increments

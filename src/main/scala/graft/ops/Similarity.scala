@@ -253,15 +253,18 @@ object Similarity {
     val qdot = aggregate(
       zip_with(col("q"), col("query_q"), (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (a, v) => a + v)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("qdot").desc, col("vec_id"))
+    // Bounded-state top-k aggregate, NOT a row_number window: the
+    // window form shuffles every candidate row of a query into one
+    // task, while TopKAgg prunes to k rows per partial map-side —
+    // shuffle volume O(k · partitions), not O(|corpus| · |queries|).
     c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), qdot.as("qdot"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("qdot"),
-        col("rank").cast("long").as("rank"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKBy(col("qdot"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as("qdot"), (col("pos") + 1).cast("long").as("rank"))
   }
 
   /** Two-stage ANN: int8-quantized integer top-m candidate pass, then

@@ -23,6 +23,31 @@ object LlmPipeline {
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_transform(generate_series(1, 64), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
+  /** Shared oracle CTE block for l16/l17: int8 quantization (the l15
+    * convention — per-vector max|x|/127 scale, floor(x/s + 0.5) codes)
+    * and the integer dot-product candidate scoring of every corpus
+    * vector against query vectors vec_id < 10. One definition so the
+    * two queries can never silently check different quantizers.
+    */
+  private val duckQuantCtes: String =
+    """qt AS (
+      |  SELECT vec_id, embedding,
+      |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+      |                     (a, b) -> greatest(a, b)) / 127.0 AS s
+      |    FROM embeddings),
+      |codes AS (
+      |  SELECT vec_id,
+      |         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
+      |              ELSE list_transform(embedding, x ->
+      |                     CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) END AS q
+      |    FROM qt),
+      |qpairs AS (
+      |  SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
+      |           CAST(c.q[i] AS BIGINT) * CAST(qq.q[i] AS BIGINT))) AS BIGINT) AS qdot
+      |    FROM codes c, codes qq
+      |   WHERE qq.vec_id < 10 AND c.vec_id != qq.vec_id)""".stripMargin
+
   /** Oracle for l10: the hyperplane matrix (4 tables × 10 bits × 64
     * dims of splitmix64-derived constants) is inlined as one 2-D list
     * literal — Double.toString round-trips exactly through DuckDB's
@@ -252,7 +277,8 @@ object LlmPipeline {
              |           ['le','la','de','et','les','des','en','un','du','que','est','pour'], x))) AS s_fr
              |    FROM f)
              |SELECT doc_id, CAST(n_fingerprints AS BIGINT) AS n_fingerprints,
-             |       CASE WHEN length(text) = 0 THEN 'und'
+             |       CASE WHEN text IS NULL THEN NULL
+             |            WHEN length(text) = 0 THEN 'und'
              |            WHEN total > 0 AND han * 10 >= total * 3 THEN 'zh'
              |            WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
              |            WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
@@ -434,28 +460,12 @@ object LlmPipeline {
         val emb = Tables.embeddings(s, d)
         Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 5)
       },
-      Some("""WITH qt AS (
-             |  SELECT vec_id, embedding,
-             |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-             |                     (a, b) -> greatest(a, b)) / 127.0 AS s
-             |    FROM embeddings),
-             |codes AS (
-             |  SELECT vec_id,
-             |         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
-             |              ELSE list_transform(embedding, x ->
-             |                     CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) END AS q
-             |    FROM qt),
-             |pairs AS (
-             |  SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
-             |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
-             |           CAST(c.q[i] AS BIGINT) * CAST(qq.q[i] AS BIGINT))) AS BIGINT) AS qdot
-             |    FROM codes c, codes qq
-             |   WHERE qq.vec_id < 10 AND c.vec_id != qq.vec_id),
-             |ranked AS (
-             |  SELECT query_id, vec_id, qdot,
-             |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
-             |    FROM pairs)
-             |SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 5""".stripMargin)),
+      Some(s"""WITH $duckQuantCtes,
+              |ranked AS (
+              |  SELECT query_id, vec_id, qdot,
+              |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS rank
+              |    FROM qpairs)
+              |SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 5""".stripMargin)),
 
     // Two-stage ANN end-to-end: quantized integer top-20 candidates,
     // exact cosine re-rank to top-5. Both stages deterministic → the
@@ -467,23 +477,7 @@ object LlmPipeline {
         Similarity.rerankedTopK(emb, emb.filter(col("vec_id") < 10), k = 5, m = 20)
           .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
       },
-      Some(s"""WITH qt AS (
-              |  SELECT vec_id, embedding,
-              |         list_reduce(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
-              |                     (a, b) -> greatest(a, b)) / 127.0 AS s
-              |    FROM embeddings),
-              |codes AS (
-              |  SELECT vec_id,
-              |         CASE WHEN s = 0 THEN list_transform(embedding, x -> 0)
-              |              ELSE list_transform(embedding, x ->
-              |                     CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS INTEGER)) END AS q
-              |    FROM qt),
-              |qpairs AS (
-              |  SELECT qq.vec_id AS query_id, c.vec_id AS vec_id,
-              |         CAST(list_sum(list_transform(generate_series(1, 64), i ->
-              |           CAST(c.q[i] AS BIGINT) * CAST(qq.q[i] AS BIGINT))) AS BIGINT) AS qdot
-              |    FROM codes c, codes qq
-              |   WHERE qq.vec_id < 10 AND c.vec_id != qq.vec_id),
+      Some(s"""WITH $duckQuantCtes,
               |cand AS (
               |  SELECT query_id, vec_id FROM (
               |    SELECT query_id, vec_id,
