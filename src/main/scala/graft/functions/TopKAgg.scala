@@ -46,13 +46,20 @@ final class TopKBuffer(val k: Int) {
   }
 }
 
-/** top_k_by(score, id, k) → ARRAY<STRUCT<score BIGINT, id BIGINT>>,
+/** top_k_by(score, id, k) → ARRAY<STRUCT<score, id BIGINT>>,
   * best-first. Catalyst-native TypedImperativeAggregate with O(k)
   * state: partial aggregation does the candidate pruning map-side, so
   * a top-k over N rows shuffles O(k · partitions) rows instead of N —
   * the scale-correct shape for ANN candidate selection (SCALE.md
   * round-4: row-multiplying or row-collecting operators must not
   * inherit a single reducer).
+  *
+  * Scores may be BIGINT or DOUBLE. Doubles are kept in the buffer as
+  * order-isomorphic long bits (IEEE-754 total order: magnitude bits of
+  * negatives are inverted so signed-long comparison matches double
+  * comparison), so the O(k) primitive buffer and its serialization are
+  * shared by both types; NaN orders above +Inf, matching Spark's
+  * window-sort semantics.
   */
 case class TopKAgg(
     score: Expression,
@@ -62,11 +69,28 @@ case class TopKAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
   require(k > 0, "k must be > 0")
+  // children are unresolved at construction — type-check lazily
+  private lazy val floating = score.dataType == DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (score.dataType, id.dataType) match {
+      case (LongType | DoubleType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (s, i) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by expects (BIGINT|DOUBLE score, BIGINT id), got (${s.sql}, ${i.sql})")
+    }
+  }
+
+  // self-inverse: sign bit is preserved, negative magnitudes reversed
+  private def toSortable(bits: Long): Long =
+    bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+  private def fromSortable(s: Long): Double =
+    java.lang.Double.longBitsToDouble(toSortable(s))
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("score", LongType, nullable = false),
+    StructField("score", score.dataType, nullable = false),
     StructField("id", LongType, nullable = false))))
   override def prettyName: String = "top_k_by"
 
@@ -75,8 +99,13 @@ case class TopKAgg(
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buffer.add(s.asInstanceOf[Long], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      val key =
+        if (floating)
+          toSortable(java.lang.Double.doubleToLongBits(s.asInstanceOf[Double]))
+        else s.asInstanceOf[Long]
+      buffer.add(key, i.asInstanceOf[Long])
+    }
     buffer
   }
 
@@ -88,7 +117,7 @@ case class TopKAgg(
   override def eval(buffer: TopKBuffer): Any = {
     if (buffer.isEmpty) return null
     new GenericArrayData(buffer.result().map { case (s, i) =>
-      InternalRow(s, i)
+      InternalRow(if (floating) fromSortable(s) else s, i)
     }.asInstanceOf[Array[Any]])
   }
 

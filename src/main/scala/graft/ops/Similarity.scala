@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity-search operators.
@@ -29,6 +28,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Per-query top-k of scored candidate rows (query_id, vec_id,
+    * scoreCol) under (score DESC, vec_id ASC), via the O(k)-state
+    * top_k_by aggregate rather than a row_number window: partial
+    * aggregation prunes to k rows map-side, so the shuffle carries
+    * O(k · partitions) rows instead of every scored candidate —
+    * the difference between a per-query reducer bottleneck and a
+    * flat profile at 100 TB corpus scale.
+    */
+  private def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKBy(col(scoreCol), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        col("col.score").as(scoreCol), (col("pos") + 1).cast("long").as("rank"))
+
   /** Brute-force cosine top-k: every query (small, broadcast) against
     * every corpus vector, per-query top-k by (cosine desc, vec_id).
     */
@@ -44,12 +59,7 @@ object Similarity {
         col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("query_emb")).as("cos"))
       .filter(col("query_id") =!= col("vec_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"), col("rank").cast("long").as("rank"))
+    topKPerQuery(joined, "cos", k)
   }
 
   /** Deterministic random-hyperplane LSH bucket id (nBits sign bits).
@@ -203,13 +213,7 @@ object Similarity {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("query_emb")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+    topKPerQuery(joined, "cos", k)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector
@@ -253,18 +257,10 @@ object Similarity {
     val qdot = aggregate(
       zip_with(col("q"), col("query_q"), (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (a, v) => a + v)
-    // Bounded-state top-k aggregate, NOT a row_number window: the
-    // window form shuffles every candidate row of a query into one
-    // task, while TopKAgg prunes to k rows per partial map-side —
-    // shuffle volume O(k · partitions), not O(|corpus| · |queries|).
-    c.crossJoin(broadcast(q))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"), qdot.as("qdot"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopKAgg.topKBy(col("qdot"), col("vec_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), col("col.id").as("vec_id"),
-        col("col.score").as("qdot"), (col("pos") + 1).cast("long").as("rank"))
+    topKPerQuery(scored, "qdot", k)
   }
 
   /** Two-stage ANN: int8-quantized integer top-m candidate pass, then
@@ -282,17 +278,12 @@ object Similarity {
     val cand = quantizedTopK(corpus, queries, m).select("query_id", "vec_id")
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("query_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
-    cand
+    val scored = cand
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
         cosine(col("embedding"), col("query_emb")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"), col("cos"),
-        col("rank").cast("long").as("rank"))
+    topKPerQuery(scored, "cos", k)
   }
 
   /** Exact near-duplicate pairs within a blocking key (e.g. a cluster

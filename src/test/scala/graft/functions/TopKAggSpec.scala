@@ -38,6 +38,30 @@ class TopKAggSpec extends AnyFunSuite {
     assert(viaAgg == viaWindow)
   }
 
+  test("double scores (mixed signs) match the window ranking") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // negative and positive scores exercise the IEEE-754 sortable-bits
+    // mapping on both sides of zero
+    val df = (0 until 1000).map(i =>
+      (i.toLong % 5, i.toLong, rnd.nextDouble() * 2.0 - 1.0))
+      .toDF("g", "id", "score").repartition(8)
+    val viaAgg = df.groupBy("g")
+      .agg(TopKAgg.topKBy(col("score"), col("id"), 7).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).as("rank"),
+        col("col.score").as("score"), col("col.id").as("id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 7)
+      .select("g", "rank", "score", "id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("top_k_by SQL name is registered and k bounds the output") {
     MiintRegistry.registerAll(spark)
     data.createOrReplaceTempView("topk_in")
