@@ -53,6 +53,15 @@ object Rype {
     */
   def strandMinimizers(seq: String, k: Int, w: Int, salt: Long): (Array[Long], Array[Long]) = {
     validateK(k); validateW(w)
+    strandMinimizersGeneralK(seq, k, w, salt)
+  }
+
+  /** strandMinimizers without the RYpe k ∈ {16,32,64} spec constraint —
+    * the aligner's seeding layer needs minimap2 preset k values (15,
+    * 19, 21…); any 1 ≤ k ≤ 64 packs in the u64.
+    */
+  def strandMinimizersGeneralK(seq: String, k: Int, w: Int, salt: Long): (Array[Long], Array[Long]) = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64] (got $k)"); validateW(w)
     if (seq == null || seq.length < k) return (Array.empty, Array.empty)
     val n = seq.length
     val mask = if (k == 64) -1L else (1L << k) - 1

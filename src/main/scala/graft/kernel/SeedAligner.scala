@@ -20,6 +20,11 @@ object SeedAligner {
 
   final case class Subject(name: String, sequence: String)
 
+  /** One alignment with the full tag payload the 21-col schema needs
+    * (reference: src/Minimap2Aligner.cpp:410-449 — AS=score, XS=second
+    * best or -1, XM=mismatches, XO=gap opens, XG=gap extensions
+    * (len-1 per run), NM=edit distance, MD per SAM spec).
+    */
   final case class Hit(
       subjectName: String,
       position: Long, // 1-based
@@ -27,7 +32,12 @@ object SeedAligner {
       cigar: String,
       nm: Long,
       score: Long,
-      mapq: Short)
+      mapq: Short,
+      mismatches: Long = 0L,
+      gapOpens: Long = 0L,
+      gapExtends: Long = 0L,
+      md: String = "",
+      xs: Long = -1L)
 
   /** Inverted minimizer index over subjects (driver-built, broadcast-
     * sized — the reference materializes subjects in RAM the same way).
@@ -38,7 +48,7 @@ object SeedAligner {
     val postings: Map[Long, Vector[(Int, Int)]] = {
       val m = new mutable.HashMap[Long, mutable.ArrayBuffer[(Int, Int)]]()
       for ((s, si) <- subjects.zipWithIndex) {
-        val (hs, ps) = Rype.strandMinimizers(s.sequence, k, w, salt)
+        val (hs, ps) = Rype.strandMinimizersGeneralK(s.sequence, k, w, salt)
         for (i <- hs.indices)
           m.getOrElseUpdate(hs(i), new mutable.ArrayBuffer) += ((si, ps(i).toInt))
       }
@@ -59,7 +69,7 @@ object SeedAligner {
     if (query == null || query.length < index.k) return Seq.empty
     val candidates = new mutable.HashMap[(Int, Boolean, Int), Int]() // (subj, rc, diag) -> votes
     def seed(seq: String, rc: Boolean): Unit = {
-      val (hs, ps) = Rype.strandMinimizers(seq, index.k, index.w, index.salt)
+      val (hs, ps) = Rype.strandMinimizersGeneralK(seq, index.k, index.w, index.salt)
       for (i <- hs.indices; (si, spos) <- index.postings.getOrElse(hs(i), Vector.empty)) {
         val diag = spos - ps(i).toInt
         val key = (si, rc, diag & ~15) // bucket diagonals by 16 to absorb indels
@@ -84,10 +94,12 @@ object SeedAligner {
         val window = subject.sequence.substring(start0, end0)
         val f = pairAligner.alignFull(q, window)
         // convert leading/trailing D runs into position offset / trim
-        val (cigar, posInWindow, nm, matched, penalty) = normalizeCigar(f.cigar)
-        if (matched == 0) None
-        else Some(Hit(subject.name, (start0 + posInWindow + 1).toLong,
-          if (rc) 0x10 else 0, cigar, nm, matched - penalty, 0))
+        val nc = normalizeCigar(f.cigar)
+        if (nc.matched == 0) None
+        else Some(Hit(subject.name, (start0 + nc.offset + 1).toLong,
+          if (rc) 0x10 else 0, nc.cigarString, nc.nm, nc.matched - nc.penalty, 0,
+          nc.mismatches, nc.gapOpens, nc.gapExtends,
+          mdTag(nc.runs, window, nc.offset)))
       }
     }
     val sorted = hits.sortBy(h => (-h.score, h.subjectName, h.position)).distinct
@@ -98,16 +110,30 @@ object SeedAligner {
         else 0
       h.copy(
         flags = h.flags | (if (i > 0) 0x100 else 0),
-        mapq = mapq)
+        mapq = mapq,
+        // reference: XS = subsc when > 0, else -1 (Minimap2Aligner.cpp:414)
+        xs = if (i + 1 < sorted.length && sorted(i + 1).score > 0)
+          sorted(i + 1).score else -1L)
     }
   }
 
-  /** Strip leading/trailing deletions (they are subject-only overhang,
-    * not part of the alignment span) → (cigar, 0-based offset in
-    * window, NM edit distance, matched columns, remaining gap-affine
-    * penalty at default 4/6/2 weights).
+  /** Normalized CIGAR with the derived alignment statistics the tag
+    * columns need (reference stat rules: src/Minimap2Aligner.cpp:32-70
+    * — mismatches counts X bases, gap_opens counts I/D runs,
+    * gap_extends counts (len-1) per run, edit distance counts X+I+D
+    * bases).
     */
-  private[kernel] def normalizeCigar(cigar: String): (String, Int, Long, Long, Long) = {
+  private[kernel] final case class NormCigar(
+      runs: Vector[(Int, Char)], offset: Int, nm: Long, matched: Long,
+      penalty: Long, mismatches: Long, gapOpens: Long, gapExtends: Long) {
+    def cigarString: String = runs.map { case (len, op) => s"$len$op" }.mkString
+  }
+
+  /** Strip leading/trailing deletions (they are subject-only overhang,
+    * not part of the alignment span); derive edit stats and the
+    * remaining gap-affine penalty at default 4/6/2 weights.
+    */
+  private[kernel] def normalizeCigar(cigar: String): NormCigar = {
     // parse runs
     val runs = new mutable.ArrayBuffer[(Int, Char)]()
     var n = 0
@@ -121,12 +147,47 @@ object SeedAligner {
     var nm = 0L
     var matched = 0L
     var penalty = 0L
+    var mismatches = 0L
+    var gapOpens = 0L
+    var gapExtends = 0L
     for ((len, op) <- runs) op match {
-      case 'X'       => nm += len; matched += len; penalty += 4L * len
-      case 'I' | 'D' => nm += len; penalty += 6L + 2L * len
-      case '='       => matched += len
-      case _         =>
+      case 'X' =>
+        nm += len; matched += len; penalty += 4L * len; mismatches += len
+      case 'I' | 'D' =>
+        nm += len; penalty += 6L + 2L * len
+        gapOpens += 1; gapExtends += math.max(len - 1, 0)
+      case '=' => matched += len
+      case _   =>
     }
-    (runs.map { case (len, op) => s"$len$op" }.mkString, offset, nm, matched, penalty)
+    NormCigar(runs.toVector, offset, nm, matched, penalty, mismatches,
+      gapOpens, gapExtends)
+  }
+
+  /** SAM MD tag over the normalized runs: match-run lengths
+    * interleaved with the REFERENCE base at each mismatch ('0' between
+    * adjacent mismatches), '^'+bases for deletions; insertions consume
+    * no reference and don't appear. `offset` is the 0-based start of
+    * the alignment inside `window`.
+    */
+  private[kernel] def mdTag(runs: Seq[(Int, Char)], window: String, offset: Int): String = {
+    val sb = new StringBuilder
+    var matchRun = 0
+    var refPos = offset
+    for ((len, op) <- runs) op match {
+      case '=' => matchRun += len; refPos += len
+      case 'X' =>
+        var i = 0
+        while (i < len) {
+          sb.append(matchRun).append(window.charAt(refPos))
+          matchRun = 0; refPos += 1; i += 1
+        }
+      case 'D' =>
+        sb.append(matchRun).append('^')
+          .append(window, refPos, refPos + len)
+        matchRun = 0; refPos += len
+      case _ => // 'I' and clips consume no reference
+    }
+    sb.append(matchRun)
+    sb.toString
   }
 }

@@ -829,7 +829,93 @@ object LayerB {
              |       CAST(l_quantity AS BIGINT) || 'M' AS cigar,
              |       (l_suppkey % 100) AS tag_as,
              |       CAST(l_quantity AS BIGINT) || 'A0' AS tag_md
-             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin))
+             |  FROM lineitem WHERE l_orderkey < 500""".stripMargin)),
+
+    // 2C+2F composition — the reference Quick Start pipeline
+    // (README.md:10-41): align reads → quality-filter → woltka_ogu.
+    // Two genomes share a planted 200bp region, so reads from it map
+    // to both refs and exercise the fractional multi-mapping path:
+    // 3 reads unique to refA (+1 each), 2 unique to refB, 2 shared
+    // (+0.5 to each side) → refA 4.0, refB 3.0. Junk low-identity
+    // secondaries are dropped by the Quick Start's identity filter.
+    QueryDef(
+      "b30_align_woltka_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val g0 = syntheticGenomes(2, 800).head
+        val g1base = syntheticGenomes(4, 800)(3)
+        val g1 = g1base.substring(0, 250) + g0.substring(100, 300) + g1base.substring(450)
+        val subjects = Seq(("refA", g0), ("refB", g1)).toDF("read_id", "sequence1")
+        val reads = Seq(
+          ("u0a", g0.substring(350, 470)), ("u0b", g0.substring(450, 570)),
+          ("u0c", g0.substring(600, 720)),
+          ("u1a", g1.substring(500, 620)), ("u1b", g1.substring(620, 740)),
+          ("s0", g0.substring(120, 240)), ("s1", g0.substring(160, 280)))
+          .toDF("read_id", "sequence1")
+        val aligned = graft.ops.AlignOps.alignMinimap2(reads, subjects,
+          graft.ops.AlignOps.Minimap2Params(k = 16, w = 5))
+        val hq = aligned.filter(
+          AlignmentFunctions.alignmentSeqIdentity(
+            col("cigar"), col("tag_nm"), lit(null).cast("string"), "blast") >= 0.95)
+        Woltka.woltkaOgu(hq, "read_id")
+          .select(col("feature_id"), round(col("value"), 6).as("value"))
+      },
+      Some("""SELECT * FROM (VALUES ('refA', 4.0), ('refB', 3.0))
+             |  AS t(feature_id, value)""".stripMargin)),
+
+    // 2C option parity: preset k/w bundle baked into a saved index,
+    // align-from-index, eqx=false M-CIGARs (reference:
+    // src/align_minimap2.cpp named params preset/k/w/eqx/index_path,
+    // src/save_minimap2_index.cpp).
+    QueryDef(
+      "b31_align_options",
+      (s, d) => {
+        import s.implicits._
+        val genomes = syntheticGenomes(2, 600)
+        val subjects = genomes.zipWithIndex
+          .map { case (g, i) => (s"ref$i", g) }.toDF("read_id", "sequence1")
+        graft.ops.AlignOps.saveAlignerIndex(subjects, "/tmp/graft_b31_index",
+          graft.ops.AlignOps.Minimap2Params(preset = "map-ont")).collect()
+        val queries = Seq(
+          ("q0", genomes(0).substring(100, 220)),
+          ("q1", genomes(1).substring(250, 370)))
+          .toDF("read_id", "sequence1")
+        graft.ops.AlignOps.alignMinimap2FromIndex(queries, "/tmp/graft_b31_index",
+          graft.ops.AlignOps.Minimap2Params(eqx = false))
+          .filter((col("flags").bitwiseAND(lit(0x104))) === 0)
+          .select("read_id", "reference", "position", "cigar", "tag_md", "tag_yt")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('q0', 'ref0', CAST(101 AS BIGINT), '120M', '120', 'UU'),
+             |  ('q1', 'ref1', CAST(251 AS BIGINT), '120M', '120', 'UU')
+             |) AS t(read_id, reference, position, cigar, tag_md, tag_yt)""".stripMargin)),
+
+    // 2C: rype_extract_strand_minimizers — position-preserving variant
+    // (reference: src/rype_extract.cpp, len(hashes)==len(positions)
+    // invariant). Oracle pins kernel-derived counts, 0-based position
+    // arrays (JSON) and the first/last hash per strand (regenerate
+    // with `runMain graft.tools.RypePin`).
+    QueryDef(
+      "b32_rype_strand_minimizers",
+      (s, d) => {
+        import s.implicits._
+        val seqs = syntheticGenomes(2, 150)
+          .zipWithIndex.map { case (g, i) => (s"seq$i", g) }.toDF("read_id", "sequence1")
+        graft.ops.RypeOps.rypeExtractStrandMinimizers(seqs, k = 16, w = 5)
+          .select(col("read_id"),
+            size(col("fwd_hashes")).as("n_fwd"),
+            to_json(col("fwd_positions")).as("fwd_pos"),
+            element_at(col("fwd_hashes"), 1).as("fwd_h_first"),
+            element_at(col("fwd_hashes"), -1).as("fwd_h_last"),
+            size(col("rc_hashes")).as("n_rc"),
+            to_json(col("rc_positions")).as("rc_pos"),
+            element_at(col("rc_hashes"), 1).as("rc_h_first"),
+            element_at(col("rc_hashes"), -1).as("rc_h_last"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |  ('seq0', 42, '[3,7,9,14,18,19,22,27,32,35,40,42,43,45,49,52,55,59,62,65,68,70,71,76,80,84,89,91,93,97,98,100,103,105,110,111,115,117,119,124,128,131]', 1774086253516379148, 3612329668307723803, 46, '[3,7,10,15,20,23,28,29,32,33,34,36,40,44,47,49,50,55,57,58,61,64,65,69,72,73,76,79,81,83,86,89,94,96,101,104,107,111,115,117,119,122,127,128,129,133]', 200471296139812276, 775118258975882212),
+             |  ('seq1', 43, '[2,5,6,11,12,13,18,23,26,27,32,36,41,46,47,49,53,57,59,60,65,66,71,76,78,80,85,86,90,94,98,100,103,104,106,107,109,114,118,122,125,129,131]', 5207617425986235785, 8818428683574856536, 45, '[1,4,8,10,11,13,16,20,23,27,29,33,34,37,38,41,45,46,50,54,57,61,63,68,73,74,75,79,84,89,93,96,98,101,106,107,110,113,117,119,122,124,127,130,131]', 1175020547942936643, 224887076828011736)
+             |) AS t(read_id, n_fwd, fwd_pos, fwd_h_first, fwd_h_last, n_rc, rc_pos, rc_h_first, rc_h_last)""".stripMargin))
   )
 
   /** Deterministic pseudo-random genomes (LCG — stable across JVMs). */

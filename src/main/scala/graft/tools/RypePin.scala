@@ -40,5 +40,19 @@ object RypePin {
       if math.max(Rype.score(fwd, bset), Rype.score(rc, bset)) >= 0.5
     } yield s"('b${i}_r$j', '$bname')"
     println("b21 VALUES: " + rows.mkString(", "))
+
+    // b32: strand minimizers (position-preserving variant) — 2 genomes
+    // of 150 bp, k=16 w=5; pin counts, position arrays (JSON), and the
+    // first/last hash per strand. len(hashes)==len(positions) by
+    // construction in the kernel (rype_extract.cpp invariant).
+    val b32 = LayerB.syntheticGenomes(2, 150).zipWithIndex.map { case (g, i) =>
+      val (fh, fp) = Rype.strandMinimizers(g, 16, 5, Rype.DefaultSalt)
+      val (rh, rp) = Rype.strandMinimizers(
+        Rype.reverseComplementLenient(g), 16, 5, Rype.DefaultSalt)
+      def js(a: Array[Long]) = "[" + a.mkString(",") + "]"
+      s"('seq$i', ${fh.length}, '${js(fp)}', ${fh.head}, ${fh.last}, " +
+        s"${rh.length}, '${js(rp)}', ${rh.head}, ${rh.last})"
+    }
+    println("b32 VALUES: " + b32.mkString(", "))
   }
 }

@@ -29,8 +29,121 @@ class AlignOpsSpec extends AnyFunSuite {
     assert(primary("q1").head._3 == "ref1" && primary("q1").head._4 == 101L)
     assert(primary("q2").head._3 == "ref2" && primary("q2").head._4 == 301L)
     assert(primary("q1").head._5 == "120=")
-    val unmapped = out.filter(_._1 == "q3")
-    assert(unmapped.exists(h => (h._2 & 4) != 0))
+    // unmapped reads emit no rows (reference align_single skips them)
+    assert(!out.exists(_._1 == "q3"))
+  }
+
+  test("alignMinimap2: full 21-col schema with tag and YT conventions") {
+    import spark.implicits._
+    val g = genome(40, 600)
+    val subjects = Seq(("ref", g)).toDF("read_id", "sequence1")
+    val out = AlignOps.alignMinimap2(
+      Seq(("q", g.substring(100, 220))).toDF("read_id", "sequence1"),
+      subjects, k = 16, w = 5)
+    assert(out.schema.fieldNames.toSeq == AlignOps.outputSchema.fieldNames.toSeq)
+    val r = out.collect().filter(r => (r.getInt(1) & 0x104) == 0).head
+    assert(r.getAs[Long]("tag_as") == 120L)       // full-match score
+    assert(r.getAs[Long]("tag_xs") == -1L)        // no second-best
+    assert(r.getAs[Long]("tag_ys") == -1L && r.getAs[Long]("tag_xn") == -1L)
+    assert(r.getAs[Long]("tag_xm") == 0L && r.getAs[Long]("tag_xo") == 0L
+      && r.getAs[Long]("tag_xg") == 0L)
+    assert(r.getAs[String]("tag_yt") == "UU")
+    assert(r.getAs[String]("tag_md") == "120")    // all-match MD
+    assert(r.getAs[String]("tag_sa") == "")
+  }
+
+  test("alignMinimap2: MD tag names the reference base at a mismatch") {
+    import spark.implicits._
+    val g = genome(41, 600)
+    val refBase = g(150)
+    val read = g.substring(100, 220).updated(50, if (refBase == 'A') 'C' else 'A')
+    val out = AlignOps.alignMinimap2(
+      Seq(("m", read)).toDF("read_id", "sequence1"),
+      Seq(("ref", g)).toDF("read_id", "sequence1"), k = 16, w = 5)
+      .collect().filter(r => (r.getInt(1) & 0x104) == 0).head
+    assert(out.getAs[String]("tag_md") == s"50${refBase}69")
+    assert(out.getAs[Long]("tag_xm") == 1L)
+    assert(out.getAs[Long]("tag_nm") == 1L)
+  }
+
+  test("alignMinimap2: eqx=false collapses =/X runs to M") {
+    import spark.implicits._
+    val g = genome(42, 600)
+    val read = g.substring(100, 220).updated(50, if (g(150) == 'A') 'C' else 'A')
+    val out = AlignOps.alignMinimap2(
+      Seq(("m", read)).toDF("read_id", "sequence1"),
+      Seq(("ref", g)).toDF("read_id", "sequence1"),
+      AlignOps.Minimap2Params(k = 16, w = 5, eqx = false))
+      .collect().filter(r => (r.getInt(1) & 0x104) == 0).head
+    assert(out.getString(6) == "120M")
+    assert(out.getAs[Long]("tag_nm") == 1L) // stats from the =/X form
+  }
+
+  test("Minimap2Params presets resolve k/w bundles; unknown preset errors") {
+    assert(AlignOps.Minimap2Params().resolvedK == 21) // 'sr' default
+    assert(AlignOps.Minimap2Params().resolvedW == 11)
+    assert(AlignOps.Minimap2Params(preset = "map-ont").resolvedK == 15)
+    assert(AlignOps.Minimap2Params(preset = "map-ont", k = 17).resolvedK == 17)
+    val e = intercept[IllegalArgumentException](
+      AlignOps.Minimap2Params(preset = "bogus").resolvedK)
+    assert(e.getMessage.contains("Unknown minimap2 preset"))
+  }
+
+  test("per_subject_database aligns each query against every subject independently") {
+    import spark.implicits._
+    val g1 = genome(43, 600)
+    // g2 contains a copy of g1[100,300) — a read from there maps to both
+    val g2base = genome(44, 600)
+    val g2 = g2base.substring(0, 250) + g1.substring(100, 300) + g2base.substring(450)
+    val subjects = Seq(("refA", g1), ("refB", g2)).toDF("read_id", "sequence1")
+    val queries = Seq(("q", g1.substring(120, 260))).toDF("read_id", "sequence1")
+    val params = AlignOps.Minimap2Params(k = 16, w = 5)
+    // combined index: one primary, the other hit secondary
+    val combined = AlignOps.alignMinimap2(queries, subjects, params)
+      .collect().filter(r => (r.getInt(1) & 4) == 0)
+    assert(combined.count(r => (r.getInt(1) & 0x100) == 0) == 1)
+    // per-subject: a primary alignment per subject database
+    val perSubj = AlignOps.alignMinimap2(queries, subjects, params,
+      perSubjectDatabase = true)
+      .collect().filter(r => (r.getInt(1) & 0x104) == 0)
+    assert(perSubj.map(_.getString(2)).sorted.toSeq == Seq("refA", "refB"))
+  }
+
+  test("align from a saved index uses the baked-in k/w and rejects overrides") {
+    import spark.implicits._
+    val g = genome(45, 600)
+    val subjects = Seq(("ref", g)).toDF("read_id", "sequence1")
+    val dir = "/tmp/graft_aligner_index_kw"
+    AlignOps.saveAlignerIndex(subjects, dir,
+      AlignOps.Minimap2Params(k = 16, w = 5)).collect()
+    val queries = Seq(("q", g.substring(200, 320))).toDF("read_id", "sequence1")
+    val out = AlignOps.alignMinimap2FromIndex(queries, dir)
+      .collect().filter(r => (r.getInt(1) & 0x104) == 0)
+    assert(out.head.getString(2) == "ref" && out.head.getLong(3) == 201L)
+    val e = intercept[IllegalArgumentException](
+      AlignOps.alignMinimap2FromIndex(queries, dir,
+        AlignOps.Minimap2Params(k = 21)))
+    assert(e.getMessage.contains("baked into"))
+    val e2 = intercept[IllegalArgumentException](
+      AlignOps.alignMinimap2FromIndex(queries, "/tmp/definitely_not_an_index"))
+    assert(e2.getMessage.contains("saved aligner index"))
+  }
+
+  test("paired alignment with one unmapped mate: mapped rows only, 0x8 flag, YT=UP") {
+    import spark.implicits._
+    val g = genome(46, 800)
+    val subjects = Seq(("ref", g)).toDF("read_id", "sequence1")
+    val out = AlignOps.alignMinimap2(
+      Seq(("p", g.substring(100, 220), "TTTT"))
+        .toDF("read_id", "sequence1", "sequence2"),
+      subjects, AlignOps.Minimap2Params(k = 16, w = 5))
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => (r.getInt(1) & 0x40) != 0)) // only mate-1 rows
+    val r = out.filter(r => (r.getInt(1) & 0x100) == 0).head
+    assert((r.getInt(1) & 0x8) != 0 && (r.getInt(1) & 0x2) == 0)
+    assert(r.getAs[String]("tag_yt") == "UP")
+    assert(r.getString(7) == "*" && r.getLong(8) == 0L && r.getLong(9) == 0L)
   }
 
   test("alignMinimap2: reverse-complement reads get flag 0x10") {
@@ -87,7 +200,8 @@ class AlignOpsSpec extends AnyFunSuite {
     val r2 = graft.kernel.Rype.reverseComplementLenient(g.substring(300, 420))
     val out = AlignOps.alignMinimap2Paired(
       Seq(("p1", r1, r2)).toDF("read_id", "sequence1", "sequence2"), subjects,
-      k = 16, w = 5).collect().sortBy(r => r.getInt(1) & 0x40)
+      k = 16, w = 5).collect()
+      .filter(r => (r.getInt(1) & 0x100) == 0).sortBy(r => r.getInt(1) & 0x40)
     assert(out.length == 2)
     val first = out.find(r => (r.getInt(1) & 0x40) != 0).get
     val second = out.find(r => (r.getInt(1) & 0x80) != 0).get
