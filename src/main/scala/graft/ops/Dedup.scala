@@ -44,47 +44,57 @@ object Dedup {
     * Output: (id, component) with component = min id in the component.
     * NOTE: the returned DataFrame is persisted (it is the last
     * iteration's cache) — callers owning a long-lived session should
-    * unpersist() it when done. At 100 TB additionally localCheckpoint
-    * each round to truncate lineage.
+    * unpersist() it when done. `edges` is persisted for the loop's
+    * lifetime (every round references it; without the cache each round
+    * would replay the entire upstream candidate-pair pipeline), and
+    * each round's labels are localCheckpoint'ed so the logical plan
+    * stays O(1) across iterations instead of nesting one join tree per
+    * round.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIters) {
-      // min label among neighbors
-      val viaNeighbor = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
-      // label of own label (path halving)
-      val parentLabels = labels.select(col("id").as("label"), col("label").as("pl"))
-      val viaParent = labels.join(parentLabels, Seq("label"))
-        .select(col("id"), col("pl"))
-      val next = labels
-        .join(viaNeighbor, Seq("id"), "left")
-        .join(viaParent, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nmin"), col("label")),
-            coalesce(col("pl"), col("label"))).as("label"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist(blocking = false)
-      labels = next
-      converged = changed == 0
-      it += 1
-    }
-    // Partially-propagated labels are silently wrong — refuse to hand
-    // them back. Path-halving converges in O(log diameter) rounds, so
-    // hitting this means the iteration budget is genuinely too small.
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIters iterations; " +
-        "raise maxIters (rounds needed grow with log of the graph diameter)")
-    labels.select(col("id"), col("label").as("component"))
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      var it = 0
+      var converged = false
+      while (!converged && it < maxIters) {
+        // min label among neighbors
+        val viaNeighbor = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nl")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("nl")).as("nmin"))
+        // label of own label (path halving)
+        val parentLabels = labels.select(col("id").as("label"), col("label").as("pl"))
+        val viaParent = labels.join(parentLabels, Seq("label"))
+          .select(col("id"), col("pl"))
+        // lazy localCheckpoint: the `changed` count below materializes
+        // it; the round's result becomes a LogicalRDD (truncated plan
+        // AND truncated RDD lineage). Old rounds' blocks are reclaimed
+        // by the ContextCleaner once unreferenced.
+        val next = labels
+          .join(viaNeighbor, Seq("id"), "left")
+          .join(viaParent, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nmin"), col("label")),
+              coalesce(col("pl"), col("label"))).as("label"))
+          .localCheckpoint(eager = false)
+        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+          .filter(col("label") =!= col("old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        it += 1
+      }
+      // Partially-propagated labels are silently wrong — refuse to hand
+      // them back. Path-halving converges in O(log diameter) rounds, so
+      // hitting this means the iteration budget is genuinely too small.
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters iterations; " +
+          "raise maxIters (rounds needed grow with log of the graph diameter)")
+      labels.select(col("id"), col("label").as("component"))
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Character n-gram shingle array (distinct) — a pure column
@@ -104,19 +114,30 @@ object Dedup {
   }
 
   /** Band-bucket candidate pairs — the shared core of every LSH
-    * variant: self-join the banded relation (id, band, keyCol,
-    * payloadCol) on (band, key), keep each unordered pair once
-    * (id_a < id_b), carry one payload column per side for the exact
-    * verification step. One definition so the fast and oracle-exact
-    * twins can never diverge in pipeline shape.
+    * variant, and payload-free by construction: the self-join on
+    * (band, key) moves only (band, key, id) triples, so the shuffle
+    * never carries document text (at 100 TB the old
+    * payload-on-both-sides shape wrote every document ~2×bands times).
+    * Distinct (id_a, id_b) pairs (id_a < id_b, each pair verified once
+    * however many bands it collides in) are then joined back to
+    * `payloads` (id, payloadCol) per side — two narrow hash joins on
+    * id — for the exact verification step. One definition so the fast
+    * and oracle-exact twins can never diverge in pipeline shape.
     */
   private def bandedCandidatePairs(
-      banded: DataFrame, keyCol: String, payloadCol: String): DataFrame = {
-    val left = banded.select(col("band"), col(keyCol),
-      col("id").as("id_a"), col(payloadCol).as(s"${payloadCol}_a"))
-    val right = banded.select(col("band"), col(keyCol),
-      col("id").as("id_b"), col(payloadCol).as(s"${payloadCol}_b"))
-    left.join(right, Seq("band", keyCol)).filter(col("id_a") < col("id_b"))
+      banded: DataFrame, keyCol: String,
+      payloads: DataFrame, payloadCol: String): DataFrame = {
+    val keys = banded.select(col("band"), col(keyCol), col("id"))
+    val pairs = keys.select(col("band"), col(keyCol), col("id").as("id_a"))
+      .join(keys.select(col("band"), col(keyCol), col("id").as("id_b")),
+        Seq("band", keyCol))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    pairs
+      .join(payloads.select(col("id").as("id_a"),
+        col(payloadCol).as(s"${payloadCol}_a")), "id_a")
+      .join(payloads.select(col("id").as("id_b"),
+        col(payloadCol).as(s"${payloadCol}_b")), "id_b")
   }
 
   private val minhashUdf = udf((text: String, shingleN: Int, numHashes: Int) =>
@@ -140,17 +161,18 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val sigs = docs.select(
-      col(idCol).as("id"), col(textCol).as("text"),
+      col(idCol).as("id"),
       minhashUdf(col(textCol), lit(shingleN), lit(numHashes)).as("sig"))
     // band key = (band index, hash of that band's slice of the signature)
     val banded = sigs.select(
-      col("id"), col("text"),
+      col("id"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    bandedCandidatePairs(banded, "band_hash", "text")
+    val texts = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    bandedCandidatePairs(banded, "band_hash", texts, "text")
       .select(col("id_a"), col("id_b"),
         Dedup.ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -187,7 +209,7 @@ object Dedup {
           s => md5Hash60(concat(j.cast("string"), lit(":"), s))))))
     // band key = md5-hash("b|" + comma-joined slice of the signature)
     val banded = sigs.select(
-      col("id"), col("text"),
+      col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5Hash60(concat(b.cast("string"), lit("|"),
           concat_ws(",", transform(
@@ -195,7 +217,7 @@ object Dedup {
             h => h.cast("string"))))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    bandedCandidatePairs(banded, "band_hash", "text")
+    bandedCandidatePairs(banded, "band_hash", base.select("id", "text"), "text")
       .select(col("id_a"), col("id_b"),
         ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -223,7 +245,7 @@ object Dedup {
         shiftright(col("sim"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
-    bandedCandidatePairs(banded, "band_bits", "sim")
+    bandedCandidatePairs(banded, "band_bits", sigs.select("id", "sim"), "sim")
       .select(col("id_a"), col("id_b"),
         hammingUdf(col("sim_a"), col("sim_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -271,7 +293,7 @@ object Dedup {
             pow(lit(2.0), jj.cast("double")).cast("long")))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
-    bandedCandidatePairs(banded, "band_bits", "bits")
+    bandedCandidatePairs(banded, "band_bits", sigs.select("id", "bits"), "bits")
       .select(col("id_a"), col("id_b"),
         aggregate(zip_with(col("bits_a"), col("bits_b"),
           (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("hamming"))
