@@ -6,11 +6,14 @@ import scala.collection.mutable.ArrayBuffer
   *
   * Emits the simplest valid member of the subset Hdf5Biom reads:
   * superblock v0, symbol-table groups, object header v1, contiguous
-  * unfiltered datasets, fixed-width strings (no global heap needed),
-  * root attributes (format-version=[2,1], shape, nnz). Both CSR
-  * orientations are written (sample/matrix and observation/matrix),
-  * matching the reference's dual-group output
-  * (reference: src/copy_biom.cpp:427-462).
+  * unfiltered OR single-chunk deflate-filtered datasets, fixed-width
+  * strings (no global heap needed), root attributes
+  * (format-version=[2,1], shape, nnz). Both CSR orientations are
+  * written (sample/matrix and observation/matrix), matching the
+  * reference's dual-group output (reference: src/copy_biom.cpp:427-462).
+  * Compression follows the reference's COPY FORMAT BIOM semantics
+  * (src/copy_biom.cpp:22,105-112,358-363): default gzip level 4,
+  * accepted values 'gzip'/'gz'/'none', empty datasets stay unfiltered.
   */
 object Hdf5BiomWriter {
 
@@ -106,23 +109,57 @@ object Hdf5BiomWriter {
     b.result
   }
 
-  /** Dataset object header; layout address patched later. */
-  private def datasetHeader(b: Buf, p: Payload): (Long, Long) = {
+  private def elemSize(p: Payload): Int = p match {
+    case _: F64 | _: I64 => 8
+    case FixedStr(_, w)  => w
+  }
+
+  /** Filter pipeline v1 message: single mandatory deflate filter
+    * (id 1) with one client value = compression level (reference:
+    * src/copy_biom.cpp:363 setDeflate(4)).
+    */
+  private def filterPipeline(level: Int): Array[Byte] = {
+    val b = new Buf
+    b.u8(1); b.u8(1); b.zeros(6) // version, nfilters, reserved
+    b.u16(1) // filter id: deflate
+    b.u16(0) // name length
+    b.u16(0) // flags: mandatory
+    b.u16(1) // one client value
+    b.u32(level.toLong)
+    b.u32(0) // client values padded to an even count
+    b.result
+  }
+
+  /** Dataset object header; returns (headerAddr, patchAddr). The patch
+    * slot is the contiguous data address (uncompressed) or the chunk
+    * B-tree address (gzip; pre-set to undefined −1 so empty datasets
+    * need no chunks).
+    */
+  private def datasetHeader(b: Buf, p: Payload, gzipLevel: Option[Int]): (Long, Long) = {
     val layout = new Buf
-    layout.u8(3); layout.u8(1) // v3 contiguous
-    val patchRel = layout.pos
-    layout.u64(0) // data address (patched)
-    layout.u64(payloadBytes(p).length.toLong)
+    val patchRel = gzipLevel match {
+      case None =>
+        layout.u8(3); layout.u8(1) // v3 contiguous
+        val pr = layout.pos
+        layout.u64(0) // data address (patched)
+        layout.u64(payloadBytes(p).length.toLong)
+        pr
+      case Some(_) =>
+        layout.u8(3); layout.u8(2) // v3 chunked
+        layout.u8(2) // dimensionality = rank + 1 (element-size dim)
+        val pr = layout.pos
+        layout.u64(-1L) // chunk B-tree address (patched; −1 = no chunks)
+        layout.u32(math.max(p.elemCount, 1L)) // one chunk spans the dataset
+        layout.u32(elemSize(p).toLong)
+        pr
+    }
     layout.pad8()
-    val addr = objectHeader(b, Seq(
-      0x1 -> dataspace1d(p.elemCount),
-      0x3 -> datatypeBody(p),
-      0x8 -> layout.result))
-    // locate the absolute patch position: header msgs start at addr+16;
-    // layout is the 3rd message: skip msg1 (8+len) + msg2 (8+len) + 8
-    val off = addr + 16 +
-      (8 + dataspace1d(p.elemCount).length) +
-      (8 + datatypeBody(p).length) + 8 + patchRel
+    val msgs = Seq(0x1 -> dataspace1d(p.elemCount), 0x3 -> datatypeBody(p)) ++
+      gzipLevel.map(lv => 0xB -> filterPipeline(lv)) :+ (0x8 -> layout.result)
+    val addr = objectHeader(b, msgs)
+    // absolute patch position: messages start at addr+16, each 8-byte
+    // message header + body; the layout message is last
+    val off = addr + 16 + msgs.init.map(m => 8 + m._2.length).sum + 8 + patchRel
     (addr, off)
   }
 
@@ -195,8 +232,18 @@ object Hdf5BiomWriter {
     b.result
   }
 
-  /** Write a BIOM v2.1 HDF5 image from COO rows. */
-  def write(coo: Seq[(String, String, Double)], id: String = "graft-biom"): Array[Byte] = {
+  /** Write a BIOM v2.1 HDF5 image from COO rows. `compression` follows
+    * the reference's COPY FORMAT BIOM option: 'gzip'/'gz' (default,
+    * deflate level 4) or 'none'.
+    */
+  def write(coo: Seq[(String, String, Double)], id: String = "graft-biom",
+      compression: String = "gzip"): Array[Byte] = {
+    val gzipLevel: Option[Int] = compression.toLowerCase match {
+      case "gzip" | "gz" => Some(4) // h5py/BIOM default level, copy_biom.cpp:363
+      case "none"        => None
+      case other => throw new IllegalArgumentException(
+        s"COPY FORMAT BIOM: compression must be 'gzip', 'gz', or 'none' (got '$other')")
+    }
     val sampleIds = coo.map(_._1).distinct.sorted
     val obsIds = coo.map(_._2).distinct.sorted
     val sIdx = sampleIds.zipWithIndex.toMap
@@ -244,9 +291,9 @@ object Hdf5BiomWriter {
       math.max(1, if (ss.isEmpty) 1 else ss.map(_.getBytes("UTF-8").length).max)
 
     def writeMatrixGroup(data: Array[Double], ind: Array[Long], ptr: Array[Long]) = {
-      val (dH, dP) = datasetHeader(b, F64(data))
-      val (iH, iP) = datasetHeader(b, I64(ind))
-      val (pH, pP) = datasetHeader(b, I64(ptr))
+      val (dH, dP) = datasetHeader(b, F64(data), gzipLevel)
+      val (iH, iP) = datasetHeader(b, I64(ind), gzipLevel)
+      val (pH, pP) = datasetHeader(b, I64(ptr), gzipLevel)
       val (bt, hp) = group(b, Seq(
         ("data", dH, None), ("indices", iH, None), ("indptr", pH, None)))
       val hdr = objectHeader(b, Seq(0x11 -> stabMessage(bt, hp)))
@@ -256,7 +303,7 @@ object Hdf5BiomWriter {
     def writeBiomGroup(ids: Seq[String], data: Array[Double],
         ind: Array[Long], ptr: Array[Long]) = {
       val idsPayload = FixedStr(ids, strWidth(ids))
-      val (idsH, idsP) = datasetHeader(b, idsPayload)
+      val (idsH, idsP) = datasetHeader(b, idsPayload, gzipLevel)
       val ((mHdr, mBt, mHp), patches) = writeMatrixGroup(data, ind, ptr)
       val (bt, hp) = group(b, Seq(
         ("ids", idsH, None), ("matrix", mHdr, Some((mBt, mHp)))))
@@ -278,12 +325,39 @@ object Hdf5BiomWriter {
       ("observation", obsHdr, Some((obsBt, obsHp))),
       ("sample", samHdr, Some((samBt, samHp)))))
 
-    // dataset payloads at the end; patch layout addresses
-    for ((patchPos, payload) <- obsPatches ++ samPatches) {
-      b.pad8()
-      val addr = b.pos
-      b.raw(payloadBytes(payload))
-      b.patch64(patchPos, addr)
+    // dataset payloads at the end; patch layout addresses. gzip mode
+    // writes one deflated chunk + a 1-entry chunk B-tree per dataset
+    // and patches the B-tree address; empty datasets keep the −1
+    // (undefined) address the layout message was written with.
+    for ((patchPos, payload) <- obsPatches ++ samPatches) gzipLevel match {
+      case None =>
+        b.pad8()
+        val addr = b.pos
+        b.raw(payloadBytes(payload))
+        b.patch64(patchPos, addr)
+      case Some(level) if payload.elemCount > 0 =>
+        val raw = payloadBytes(payload)
+        val defl = new java.util.zip.Deflater(level)
+        defl.setInput(raw); defl.finish()
+        val outBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+        val tmp = new Array[Byte](8192)
+        while (!defl.finished()) outBuf.write(tmp, 0, defl.deflate(tmp))
+        defl.end()
+        val comp = outBuf.toByteArray
+        b.pad8()
+        val chunkAddr = b.pos
+        b.raw(comp)
+        b.pad8()
+        val btree = b.pos
+        b.str("TREE"); b.u8(1); b.u8(0); b.u16(1) // type 1 (chunks), leaf, 1 entry
+        b.u64(-1L); b.u64(-1L) // siblings undefined
+        // key 0: stored (filtered) size, filter mask, offsets (0, 0)
+        b.u32(comp.length.toLong); b.u32(0); b.u64(0); b.u64(0)
+        b.u64(chunkAddr)
+        // final key: the past-the-end chunk offset
+        b.u32(0); b.u32(0); b.u64(payload.elemCount); b.u64(0)
+        b.patch64(patchPos, btree)
+      case Some(_) => // empty dataset: no chunks, address stays undefined
     }
 
     b.patch64(rootHdrPatch, rootHdr)

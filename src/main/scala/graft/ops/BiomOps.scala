@@ -20,9 +20,11 @@ object BiomOps {
   /** COPY ... (FORMAT BIOM) semantics over the parquet container
     * (reference: src/copy_biom.cpp, README.md:2588-2594): duplicate
     * (feature, sample) pairs are SUMMED, zero values dropped, NULL in
-    * any column is an error.
+    * any column is an error. `compression` ('gzip'/'gz'/'none',
+    * default gzip — reference src/copy_biom.cpp:22,105-112) applies to
+    * the HDF5 (.biom) container's datasets.
     */
-  def copyBiom(df: DataFrame, path: String): Unit = {
+  def copyBiom(df: DataFrame, path: String, compression: String = "gzip"): Unit = {
     val cols = df.schema.fieldNames.toSet
     for (c <- Seq("sample_id", "feature_id", "value"))
       require(cols.contains(c), s"BIOM output requires column $c")
@@ -42,7 +44,7 @@ object BiomOps {
       canonical.toLocalIterator().forEachRemaining(r =>
         coo += ((r.getString(0), r.getString(1), r.getDouble(2))))
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
-        graft.kernel.Hdf5BiomWriter.write(coo.toSeq))
+        graft.kernel.Hdf5BiomWriter.write(coo.toSeq, compression = compression))
     } else canonical.write.mode("overwrite").parquet(path)
   }
 

@@ -94,7 +94,9 @@ class BiomSpec extends AnyFunSuite {
       (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
     def sig(off: Int, s: String): Boolean =
       s.zipWithIndex.forall { case (c, i) => bytes(off + i) == c.toByte }
-    // walk every HEAP header in the file
+    // walk every HEAP header in the file; group B-trees are node type
+    // 0 (chunk B-trees from the gzip-compressed datasets are type 1
+    // and keyed differently)
     var heaps = 0; var trees = 0
     for (off <- 0 until bytes.length - 32) {
       if (sig(off, "HEAP")) {
@@ -103,7 +105,7 @@ class BiomSpec extends AnyFunSuite {
         val dataAddr = u64(off + 24)
         assert(bytes(dataAddr.toInt) == 0, s"heap head at $dataAddr not empty string")
       }
-      if (sig(off, "TREE")) {
+      if (sig(off, "TREE") && bytes(off + 4) == 0) {
         trees += 1
         val entries = u16(off + 6)
         assert(u64(off + 8 + 16) == 0L, s"TREE@$off low key not 0")
@@ -112,6 +114,27 @@ class BiomSpec extends AnyFunSuite {
       }
     }
     assert(heaps == 5 && trees == 5) // root + 2×(biom group + matrix group)
+  }
+
+  test("gzip (default) vs none: both round-trip, gzip is smaller, bad value rejected") {
+    // enough repetitive values that deflate visibly wins
+    val coo = (0 until 200).map(i => (s"S${i % 10}", f"OTU_$i%04d", (i % 7).toDouble + 1.0))
+    val gz = graft.kernel.Hdf5BiomWriter.write(coo, compression = "gzip")
+    val none = graft.kernel.Hdf5BiomWriter.write(coo, compression = "none")
+    assert(Hdf5Biom.readCoo(gz, "gz.biom").sorted == coo.sorted.toVector)
+    assert(Hdf5Biom.readCoo(none, "none.biom").sorted == coo.sorted.toVector)
+    assert(gz.length < none.length,
+      s"gzip image (${gz.length}) not smaller than uncompressed (${none.length})")
+    // 'gz' alias accepted (reference: copy_biom.cpp:107)
+    assert(graft.kernel.Hdf5BiomWriter.write(coo, compression = "gz").sameElements(gz))
+    val e = intercept[IllegalArgumentException](
+      graft.kernel.Hdf5BiomWriter.write(coo, compression = "lzf"))
+    assert(e.getMessage.contains("compression must be"))
+  }
+
+  test("gzip writer: empty table round-trips (no chunks written)") {
+    val bytes = graft.kernel.Hdf5BiomWriter.write(Seq.empty, compression = "gzip")
+    assert(Hdf5Biom.readCoo(bytes, "empty_gz.biom").isEmpty)
   }
 
   test("non-HDF5 bytes rejected") {
