@@ -151,16 +151,33 @@ class SamPartitionReader(
 
   // Format auto-detect: .bam → binary BGZF codec; anything else → SAM
   // text (gzip-transparent), matching the reference's htslib autodetect
-  // (reference: src/read_alignments.cpp format handling).
+  // (reference: src/read_alignments.cpp format handling). CRAM is
+  // detected by its 4-byte magic (and extension) like htslib
+  // (reference: src/SAMReader.cpp:134 "r" auto-detect covers
+  // SAM/BAM/CRAM) but is outside the supported subset — a from-scratch
+  // CRAM codec needs rANS decoders plus the reference FASTA for
+  // reference-based decode — so it fails with a clear message instead
+  // of parsing the container as SAM text.
+  private val stream = {
+    val s = new java.io.BufferedInputStream(FileSourceCommon.openStream(part.path))
+    s.mark(4)
+    val magic = new Array[Byte](4)
+    val n = s.readNBytes(magic, 0, 4)
+    s.reset()
+    if ((n == 4 && magic.sameElements("CRAM".getBytes("US-ASCII"))) ||
+        part.path.endsWith(".cram"))
+      throw new IllegalArgumentException(
+        "CRAM input is not supported (the pure-JVM codec subset covers SAM " +
+          s"text and BAM); convert to BAM, e.g. `samtools view -b`: ${part.path}")
+    s
+  }
   private val isBam = part.path.endsWith(".bam")
   private val bamReader =
-    if (isBam) new graft.kernel.BamCodec.Reader(
-      FileSourceCommon.openStream(part.path), includeSeqQual)
+    if (isBam) new graft.kernel.BamCodec.Reader(stream, includeSeqQual)
     else null
   private val reader =
     if (isBam) null
-    else graft.kernel.FastxCodec.open(part.path,
-      FileSourceCommon.openStream(part.path)) // gzip-transparent line reader
+    else graft.kernel.FastxCodec.open(part.path, stream) // gzip-transparent line reader
   private var current: InternalRow = _
 
   private def toRow(r: SamCodec.SamRecord): InternalRow = {

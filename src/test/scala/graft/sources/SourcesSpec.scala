@@ -157,6 +157,27 @@ class SourcesSpec extends AnyFunSuite {
       Seq((2147483648L, 2147483748L)))
   }
 
+  test("CRAM input rejected with a clear message (magic- and extension-detected)") {
+    // htslib auto-detects SAM/BAM/CRAM (reference src/SAMReader.cpp:134);
+    // CRAM is outside our codec subset — both detection paths must fail
+    // loudly instead of parsing the container as SAM text.
+    val byMagic = "/tmp/graft_cram_magic.sam"
+    java.nio.file.Files.write(java.nio.file.Paths.get(byMagic),
+      "CRAM".getBytes ++ Array[Byte](3, 0) ++ Array.fill[Byte](32)(0))
+    val e1 = intercept[Exception](
+      spark.read.format("alignments").load(byMagic).collect())
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e1).contains("CRAM input is not supported"))
+    val byExt = "/tmp/graft_cram_ext.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(byExt),
+      "@HD\tVN:1.6\n".getBytes)
+    val e2 = intercept[Exception](
+      spark.read.format("alignments").load(byExt).collect())
+    assert(rootMsg(e2).contains("CRAM input is not supported"))
+  }
+
   test("alignments: projection pushdown reaches the reader") {
     val df = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
       .select("read_id")
