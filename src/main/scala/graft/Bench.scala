@@ -49,6 +49,11 @@ object Bench {
     var errors = Vector.empty[(String, String)]
     defs.foreach { q =>
       try {
+        // GC between queries: without this, garbage from the previous
+        // query's shuffle/window buffers lands as a major collection
+        // inside the NEXT query's timed runs (observed: a01 0.19s →
+        // 4.2s when timed right after the warm-up pass at sf10).
+        System.gc()
         val runs = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
