@@ -13,7 +13,10 @@ import java.util.zip.GZIPInputStream
   * to first whitespace with the remainder as `comment` (NULL when
   * absent), paired-end R1/R2 matched by position with an ID sanity
   * check (strip `/1`,`/2` suffixes), FASTA/FASTQ mix across a pair is
-  * an error, gzip by `.gz` extension.
+  * an error, gzip by magic-byte sniff (kseq++ behavior: a gzipped
+  * stream is decompressed whatever the path says — this is what makes
+  * `cat x.fq.gz | … read_fastx('-')` work, where the snapshot path has
+  * no .gz extension).
   */
 object FastxCodec {
 
@@ -26,7 +29,16 @@ object FastxCodec {
   final class FastxParseException(msg: String) extends IllegalArgumentException(msg)
 
   def open(path: String, in: InputStream): BufferedReader = {
-    val stream = if (path.endsWith(".gz")) new GZIPInputStream(in) else in
+    // Sniff the 2-byte gzip magic instead of trusting the extension —
+    // text formats can never start with 0x1f 0x8b, so this is safe and
+    // covers gzipped bytes arriving via stdin. GZIPInputStream handles
+    // concatenated members (incl. BGZF blocks).
+    val buf = new java.io.BufferedInputStream(in)
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    val stream =
+      if (b0 == 0x1f && b1 == 0x8b) new GZIPInputStream(buf) else buf
     new BufferedReader(new InputStreamReader(stream, StandardCharsets.UTF_8))
   }
 

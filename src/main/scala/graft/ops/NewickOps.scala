@@ -32,7 +32,7 @@ object NewickOps {
 
   /** read_newick(path) → node table (NaN branch lengths preserved). */
   def readNewick(spark: SparkSession, path: String): DataFrame = {
-    val rows = FileSourceCommon.expandPaths(path).flatMap { p =>
+    val rows = FileSourceCommon.expandPaths(path, allowStdin = true).flatMap { p =>
       val reader = graft.kernel.FastxCodec.open(p, FileSourceCommon.openStream(p))
       val content =
         try Iterator.continually(reader.readLine()).takeWhile(_ != null).mkString("\n")

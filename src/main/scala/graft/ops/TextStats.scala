@@ -48,6 +48,64 @@ object TextStats {
   /** Heuristic language-ID (stopword profiles + CJK script share). */
   def langId(text: Column): Column = langIdUdf(text)
 
+  /** Word n-gram array of `text` (space-joined windows), empty when
+    * the document has fewer than n words. */
+  private def wordGrams(text: Column, n: Int): Column = {
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    when(size(words) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /** Count of the most frequent element / total elements (0 for empty).
+    * Pure column expressions: O(distinct × n) per document, map-only —
+    * no shuffle, stays in WholeStageCodegen at any corpus size. */
+  private def topRatio(grams: Column): Column =
+    when(size(grams) === 0, 0.0).otherwise(
+      aggregate(array_distinct(grams), lit(0L),
+        (acc, g) => greatest(acc, size(filter(grams, x => x === g)).cast("long")))
+        .cast("double") / size(grams).cast("double"))
+
+  /** Fraction of n-grams that are repeats of an earlier one. */
+  private def dupRatio(grams: Column): Column =
+    when(size(grams) === 0, 0.0).otherwise(
+      lit(1.0) - size(array_distinct(grams)).cast("double")
+        / size(grams).cast("double"))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted
+    * to word n-grams): documents dominated by a few repeated phrases
+    * (boilerplate, SEO spam, template text) show a high top-bigram /
+    * top-trigram fraction and a high duplicate-5-gram fraction; the
+    * standard Gopher cut is e.g. top-2-gram > 0.20, dup-5-gram > 0.15.
+    */
+  def repetitionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol).as("doc_id"),
+      tokenCount(t).as("n_words"),
+      round(topRatio(wordGrams(t, 2)), 6).as("top_bigram_ratio"),
+      round(topRatio(wordGrams(t, 3)), 6).as("top_trigram_ratio"),
+      round(dupRatio(wordGrams(t, 5)), 6).as("dup_5gram_ratio"))
+  }
+
+  /** PII patterns — ASCII-only constructs with identical semantics in
+    * Java regex and RE2, so the DuckDB oracle applies the exact same
+    * automata. Redaction order matters (emails contain dots/digits):
+    * email → IPv4 → phone.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Redact emails / IPv4s / phone numbers to typed placeholders — the
+    * standard pre-training scrub pass. Global replace, codegen'd. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      PhonePattern, "<PHONE>")
+
   /** Composite quality report per document. */
   def qualityReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val en = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "with")

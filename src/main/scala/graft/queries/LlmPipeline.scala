@@ -498,6 +498,88 @@ object LlmPipeline {
               |SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank
               |  FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Gopher-style repetition signals (Rae et al. 2021 §A1.1 adapted
+    // to word n-grams): top-bigram/trigram fraction + duplicate-5-gram
+    // fraction. Map-only column expressions — no shuffle at any corpus
+    // size; the oracle re-derives every ratio with DuckDB list
+    // functions.
+    QueryDef(
+      "l18_repetition_signals",
+      (s, d) =>
+        TextStats.repetitionReport(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS words
+             |    FROM documents),
+             |g AS (
+             |  SELECT doc_id, words,
+             |         CASE WHEN len(words) < 2 THEN CAST([] AS VARCHAR[])
+             |              ELSE list_transform(generate_series(1, len(words) - 1),
+             |                     i -> array_to_string(words[i:i+1], ' ')) END AS g2,
+             |         CASE WHEN len(words) < 3 THEN CAST([] AS VARCHAR[])
+             |              ELSE list_transform(generate_series(1, len(words) - 2),
+             |                     i -> array_to_string(words[i:i+2], ' ')) END AS g3,
+             |         CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+             |              ELSE list_transform(generate_series(1, len(words) - 4),
+             |                     i -> array_to_string(words[i:i+4], ' ')) END AS g5
+             |    FROM w)
+             |SELECT doc_id,
+             |       CAST(len(words) AS BIGINT) AS n_words,
+             |       ROUND(CASE WHEN len(g2) = 0 THEN 0.0
+             |                  ELSE CAST(list_max(list_transform(list_distinct(g2),
+             |                         b -> len(list_filter(g2, x -> x = b)))) AS DOUBLE)
+             |                       / len(g2) END, 6) AS top_bigram_ratio,
+             |       ROUND(CASE WHEN len(g3) = 0 THEN 0.0
+             |                  ELSE CAST(list_max(list_transform(list_distinct(g3),
+             |                         b -> len(list_filter(g3, x -> x = b)))) AS DOUBLE)
+             |                       / len(g3) END, 6) AS top_trigram_ratio,
+             |       ROUND(CASE WHEN len(g5) = 0 THEN 0.0
+             |                  ELSE 1.0 - CAST(len(list_distinct(g5)) AS DOUBLE)
+             |                             / len(g5) END, 6) AS dup_5gram_ratio
+             |  FROM g""".stripMargin)),
+
+    // PII scrub: email / IPv4 / phone redaction to typed placeholders.
+    // The synthetic corpus has no PII, so both sides append the SAME
+    // deterministic doc_id-derived contact block before redacting —
+    // every pattern is exercised on every row, and the oracle applies
+    // the identical regexes (ASCII-only constructs, equal semantics in
+    // Java regex and RE2).
+    QueryDef(
+      "l19_pii_redaction",
+      (s, d) => {
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"),
+          lit(".7 call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-0199."))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextStats.redactPii(pii).as("redacted"),
+          regexp_count(pii, lit(TextStats.EmailPattern)).cast("long").as("n_emails"),
+          regexp_count(pii, lit(TextStats.Ipv4Pattern)).cast("long").as("n_ips"),
+          regexp_count(pii, lit(TextStats.PhonePattern)).cast("long").as("n_phones"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         text || ' contact user' || doc_id || '@example.com from 10.0.'
+             |              || (doc_id % 256) || '.7 call 555-'
+             |              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199.' AS t
+             |    FROM documents)
+             |SELECT doc_id,
+             |       regexp_replace(regexp_replace(regexp_replace(t,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |         '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |         '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted,
+             |       CAST(len(regexp_extract_all(t,
+             |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+             |       CAST(len(regexp_extract_all(t,
+             |         '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+             |       CAST(len(regexp_extract_all(t,
+             |         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
+             |  FROM p""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in

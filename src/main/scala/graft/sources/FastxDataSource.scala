@@ -79,8 +79,15 @@ class FastxScan(options: Map[String, String], required: StructType) extends Scan
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val r1 = FileSourceCommon.expandPaths(
-      FileSourceCommon.pathSpec(options, "fastx"))
+    val r1spec = FileSourceCommon.pathSpec(options, "fastx")
+    // reference: read_fastx rejects paired-end over stdin — R1/R2 are
+    // two streams and there is only one stdin (read_fastx_stdin.sh
+    // tests 10-11).
+    if (options.contains("sequence2") &&
+        (r1spec +: options.get("sequence2").toSeq)
+          .flatMap(_.split(",")).exists(FileSourceCommon.isStdinToken))
+      throw new IllegalArgumentException("stdin cannot be used with sequence2")
+    val r1 = FileSourceCommon.expandPaths(r1spec, allowStdin = true)
     options.get("sequence2") match {
       case Some(spec) =>
         val r2 = FileSourceCommon.expandPaths(spec)

@@ -97,7 +97,7 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
 
   override def planInputPartitions(): Array[InputPartition] =
     FileSourceCommon.expandPaths(
-      FileSourceCommon.pathSpec(options, "alignments"))
+      FileSourceCommon.pathSpec(options, "alignments"), allowStdin = true)
       .map(SamFilePartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -54,7 +54,7 @@ class SamSequencesScan(options: Map[String, String], required: StructType)
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
     FileSourceCommon.expandPaths(
-      FileSourceCommon.pathSpec(options, "sam_sequences"))
+      FileSourceCommon.pathSpec(options, "sam_sequences"), allowStdin = true)
       .map(SamFilePartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val req = required
