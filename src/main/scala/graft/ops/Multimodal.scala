@@ -43,12 +43,11 @@ object Multimodal {
         (col("n_chars") * 10).cast("long").as("duration_ms"),
         lit("fake/1").as("codec")).as("meta"))
 
-  private val featureSchema = StructType(Seq(
-    StructField("media_id", LongType, nullable = false),
-    StructField("kind", StringType, nullable = false),
-    StructField("n_bytes", LongType, nullable = false),
-    StructField("checksum", LongType, nullable = false),
-    StructField("feature", ArrayType(DoubleType), nullable = true)))
+  // public: Catalyst's generated (de)serializer code must access these
+  case class MediaIn(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long, checksum: Long,
+      feature: Array[Double])
 
   /** STUB: deterministic fake "decode + feature extraction". A real
     * implementation would replace the body of `fakeDecode` with the
@@ -71,23 +70,33 @@ object Multimodal {
     bins
   }
 
-  /** Decode/extract features over media rows, batched per partition. */
+  /** Decode/extract features over media rows, batched per partition.
+    *
+    * Typed `Dataset.mapPartitions`, not an `.rdd` exit: the object
+    * boundary stays inside the Catalyst plan (Deserialize/Serialize
+    * nodes the planner and AQE can see), lineage is preserved for
+    * re-optimization, and the iterator-per-partition shape is exactly
+    * where a native codec binds (one library handle per task, not per
+    * row).
+    */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rdd = media.select("media_id", "kind", "payload").rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val nBytes = if (payload == null) 0L else payload.length.toLong
-        var checksum = 0L
-        if (payload != null) {
-          var i = 0
-          while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[MediaIn]
+      .mapPartitions { rows =>
+        rows.map { m =>
+          val nBytes = if (m.payload == null) 0L else m.payload.length.toLong
+          var checksum = 0L
+          if (m.payload != null) {
+            var i = 0
+            while (i < m.payload.length) {
+              checksum = checksum * 31 + (m.payload(i) & 0xff); i += 1
+            }
+          }
+          MediaFeatures(m.media_id, m.kind, nBytes, checksum, fakeDecode(m.payload))
         }
-        Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"), nBytes,
-          checksum, fakeDecode(payload))
       }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+      .toDF()
   }
 
   /** Deterministic frame sampling: slice the payload into fixed-size
