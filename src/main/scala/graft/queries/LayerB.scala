@@ -915,7 +915,45 @@ object LayerB {
       Some("""SELECT * FROM (VALUES
              |  ('seq0', 42, '[3,7,9,14,18,19,22,27,32,35,40,42,43,45,49,52,55,59,62,65,68,70,71,76,80,84,89,91,93,97,98,100,103,105,110,111,115,117,119,124,128,131]', 1774086253516379148, 3612329668307723803, 46, '[3,7,10,15,20,23,28,29,32,33,34,36,40,44,47,49,50,55,57,58,61,64,65,69,72,73,76,79,81,83,86,89,94,96,101,104,107,111,115,117,119,122,127,128,129,133]', 200471296139812276, 775118258975882212),
              |  ('seq1', 43, '[2,5,6,11,12,13,18,23,26,27,32,36,41,46,47,49,53,57,59,60,65,66,71,76,78,80,85,86,90,94,98,100,103,104,106,107,109,114,118,122,125,129,131]', 5207617425986235785, 8818428683574856536, 45, '[1,4,8,10,11,13,16,20,23,27,29,33,34,37,38,41,45,46,50,54,57,61,63,68,73,74,75,79,84,89,93,96,98,101,106,107,110,113,117,119,122,124,127,130,131]', 1175020547942936643, 224887076828011736)
-             |) AS t(read_id, n_fwd, fwd_pos, fwd_h_first, fwd_h_last, n_rc, rc_pos, rc_h_first, rc_h_last)""".stripMargin))
+             |) AS t(read_id, n_fwd, fwd_pos, fwd_h_first, fwd_h_last, n_rc, rc_pos, rc_h_first, rc_h_last)""".stripMargin)),
+
+    // 2B: read_alignments over BGZF BAM — the reference's committed
+    // binary fixture decoded by the pure-JVM BamCodec; oracle pins the
+    // rows from the fixture's SAM twin (foo_has_header.sam): endpos+1
+    // stop, '=' mate normalization, untyped tags (DE:f, RL:i) dropped.
+    QueryDef(
+      "b33_read_bam",
+      (s, d) =>
+        s.read.format("alignments")
+          .load("/root/reference/data/sam/foo_has_header.bam"),
+      Some("""SELECT * FROM (VALUES
+             |  ('foo-1', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), CAST(60 AS SMALLINT),
+             |   '10M', '*', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             |  ('foo-2', 0, 'G1234', CAST(2 AS BIGINT), CAST(12 AS BIGINT), CAST(60 AS SMALLINT),
+             |   '10M', '*', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             |  ('foo-3', 99, 'G000144735', CAST(76020 AS BIGINT), CAST(76170 AS BIGINT), CAST(1 AS SMALLINT),
+             |   '150M', '=', CAST(76146 AS BIGINT), CAST(276 AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+             |  ('foo-3', 147, 'G000144735', CAST(76146 AS BIGINT), CAST(76296 AS BIGINT), CAST(1 AS SMALLINT),
+             |   '150M', '=', CAST(76020 AS BIGINT), CAST(-276 AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |   CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+             |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
+             |) AS t(read_id, flags, reference, position, stop_position, mapq, cigar,
+             |       mate_reference, mate_position, template_length, tag_as, tag_xs, tag_ys,
+             |       tag_xn, tag_xm, tag_xo, tag_xg, tag_nm, tag_yt, tag_md, tag_sa)""".stripMargin))
   )
 
   /** Deterministic pseudo-random genomes (LCG — stable across JVMs). */

@@ -40,6 +40,12 @@ class SamDataSource extends TableProvider with DataSourceRegister {
     new SamTable(new CaseInsensitiveStringMap(properties))
 }
 
+/** `read_sam` alias of read_alignments (reference:
+  * src/read_alignments.cpp:273-277) — `spark.read.format("sam")`. */
+class SamAliasDataSource extends SamDataSource {
+  override def shortName(): String = "sam"
+}
+
 object SamTable {
   def schema(includeSeqQual: Boolean, includeFilepath: Boolean): StructType = {
     var s = StructType(Seq(

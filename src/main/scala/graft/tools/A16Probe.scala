@@ -44,6 +44,13 @@ object A16Probe {
         .select(col("l_orderkey"), col("l_linenumber"), col("cnt"))
         .write.format("noop").mode("overwrite").save()
     }
+    time("broadcast_joinback") {
+      val base = li.select("l_orderkey", "l_linenumber")
+      val cnts = base.groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      base.join(broadcast(cnts), "l_orderkey")
+        .select(col("l_orderkey"), col("l_linenumber"), col("cnt"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -37,6 +37,12 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(4) && rows(0).isNullAt(6))
   }
 
+  test("format 'sam' is an alias of 'alignments' (reference read_sam)") {
+    val a = spark.read.format("alignments").load(s"$sam/foo_has_header.sam").collect().toSeq
+    val b = spark.read.format("sam").load(s"$sam/foo_has_header.sam").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("fastx FASTA: qual NULL") {
     val rows = spark.read.format("fastx").load(s"$fq/test.fa").collect()
     assert(rows.nonEmpty)
