@@ -50,12 +50,12 @@ object AlignOps {
       eqx: Boolean = true,
       k: Int = 0,
       w: Int = 0) {
-    def resolvedK: Int = if (k > 0) k else presetDefaults(preset)._1
-    def resolvedW: Int = if (w > 0) w else presetDefaults(preset)._2
-    private def presetDefaults(p: String): (Int, Int) =
-      presetKW.getOrElse(p,
-        // reference: mm_set_opt != 0 → runtime_error "Unknown minimap2 preset"
-        throw new IllegalArgumentException(s"Unknown minimap2 preset: $p"))
+    // Validated at construction even when explicit k/w would shadow the
+    // preset defaults — the reference errors on any unknown preset
+    // (mm_set_opt != 0 → runtime_error "Unknown minimap2 preset").
+    require(presetKW.contains(preset), s"Unknown minimap2 preset: $preset")
+    def resolvedK: Int = if (k > 0) k else presetKW(preset)._1
+    def resolvedW: Int = if (w > 0) w else presetKW(preset)._2
   }
 
   /** (k, w) bundles per preset — the published minimap2 mm_set_opt
@@ -271,9 +271,15 @@ object AlignOps {
       .parquet(s"$outputPath/subjects")
     val n = spark.read.parquet(s"$outputPath/subjects").count()
     val meta = s"""{"k":${params.resolvedK},"w":${params.resolvedW},"preset":"${params.preset}"}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(outputPath, indexMetaFile),
-      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // through the Hadoop FS, like the subjects parquet next to it — a
+    // java.nio write would land on the driver's local disk when
+    // outputPath is hdfs://… and the index would be unreadable
+    // elsewhere
+    val metaPath = new org.apache.hadoop.fs.Path(outputPath, indexMetaFile)
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(true, outputPath, n)), 1),
       StructType(Seq(
@@ -295,17 +301,21 @@ object AlignOps {
     require(params.k == 0 && params.w == 0,
       "k/w are baked into a pre-built index and cannot be overridden " +
         "(reference: align_minimap2 index_path mode)")
-    val metaPath = java.nio.file.Paths.get(indexPath, indexMetaFile)
-    require(java.nio.file.Files.exists(metaPath),
+    val spark = queries.sparkSession
+    val metaPath = new org.apache.hadoop.fs.Path(indexPath, indexMetaFile)
+    val metaFs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(metaFs.exists(metaPath),
       s"Not a valid saved aligner index (missing $indexMetaFile): $indexPath")
-    val meta = new String(java.nio.file.Files.readAllBytes(metaPath),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val meta = {
+      val in = metaFs.open(metaPath)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
     def intField(name: String): Int =
       s""""$name":(\\d+)""".r.findFirstMatchIn(meta)
         .map(_.group(1).toInt)
         .getOrElse(throw new IllegalArgumentException(
           s"Corrupt index metadata (no $name): $indexPath"))
-    val spark = queries.sparkSession
     val subj = collectSubjects(spark.read.parquet(s"$indexPath/subjects"))
     runAlignment(queries,
       SeedAligner.buildIndex(subj, intField("k"), intField("w")), params)
@@ -337,8 +347,10 @@ object AlignOps {
         withShard.filter(col("shard_name") === shard).select("read_id", "sequence1"),
         subjects, params)
     }.reduce(_ unionAll _)
-      // unmapped reads are filtered in sharded mode (README.md:1332)
-      .filter((col("flags").bitwiseAND(lit(4))) === 0)
+    // No 0x4 filter needed: the aligner emits no rows for zero-hit
+    // reads (reference parity — Minimap2Aligner.cpp's loop over
+    // n_regs just doesn't run), so the sharded mode's documented
+    // "unmapped filtered" behavior (README.md:1332) holds vacuously.
   }
 
   /** align_bowtie2_sharded: same per-shard sub-job schedule as the

@@ -58,13 +58,24 @@ object TextStats {
   }
 
   /** Count of the most frequent element / total elements (0 for empty).
-    * Pure column expressions: O(distinct × n) per document, map-only —
-    * no shuffle, stays in WholeStageCodegen at any corpus size. */
-  private def topRatio(grams: Column): Column =
+    * Pure column expressions, map-only (no shuffle at any corpus size):
+    * sort the grams then take the longest run — O(n log n) per document
+    * instead of the naive O(distinct × n) count-per-distinct, which
+    * stalls a task on one long repetitive document. The fold state is
+    * (previous element, current run, max run). */
+  private def topRatio(grams: Column): Column = {
+    val runStats = aggregate(
+      array_sort(grams),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("max")),
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("max"), run).as("max"))
+      })
     when(size(grams) === 0, 0.0).otherwise(
-      aggregate(array_distinct(grams), lit(0L),
-        (acc, g) => greatest(acc, size(filter(grams, x => x === g)).cast("long")))
-        .cast("double") / size(grams).cast("double"))
+      runStats.getField("max").cast("double") / size(grams).cast("double"))
+  }
 
   /** Fraction of n-grams that are repeats of an earlier one. */
   private def dupRatio(grams: Column): Column =

@@ -580,6 +580,44 @@ object LlmPipeline {
              |         '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones
              |  FROM p""".stripMargin)),
 
+    // Semantic dedup end-to-end (SemDeDup, Abbas et al. 2023): cosine
+    // near-dup pairs over embeddings → connected components → keep one
+    // representative (min id) per cluster; singletons keep themselves.
+    // Composition of the l09 pair generator and the l12 clustering —
+    // the full "which rows survive" decision a curation pipeline ships.
+    QueryDef(
+      "l20_semantic_dedup",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).withColumn("label", col("label").cast("int"))
+        val pairs = Similarity.blockedNearDupPairs(emb, "label", 0.3)
+          .select(col("id_a"), col("id_b"))
+        val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
+        emb.select(col("vec_id"))
+          .join(cc, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("component"),
+            (coalesce(col("component"), col("vec_id")) === col("vec_id")).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |    FROM embeddings a JOIN embeddings b
+              |      ON a.label = b.label AND a.vec_id < b.vec_id
+              |   WHERE ${duckDot("a.embedding", "b.embedding")} /
+              |         (sqrt(${duckDot("a.embedding", "a.embedding")}) *
+              |          sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.3),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
+              |cc AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+              |SELECT e.vec_id,
+              |       COALESCE(cc.component, e.vec_id) AS component,
+              |       COALESCE(cc.component, e.vec_id) = e.vec_id AS keep
+              |  FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in

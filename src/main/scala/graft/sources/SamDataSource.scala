@@ -177,7 +177,28 @@ class SamPartitionReader(
           s"text and BAM); convert to BAM, e.g. `samtools view -b`: ${part.path}")
     s
   }
-  private val isBam = part.path.endsWith(".bam")
+  // BAM by content, not extension: BGZF is gzip, so decompress the
+  // first block and look for the "BAM\1" magic (htslib's autodetect —
+  // this is what makes `cat x.bam | … read_alignments('-')` work,
+  // where the path carries no extension). mark limit 1 MiB covers the
+  // max 64 KiB BGZF block plus gzip read-ahead.
+  private val isBam = part.path.endsWith(".bam") || {
+    stream.mark(1 << 20)
+    val head = new Array[Byte](2)
+    val n2 = stream.readNBytes(head, 0, 2)
+    val bam =
+      if (n2 == 2 && (head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b) {
+        stream.reset(); stream.mark(1 << 20)
+        try {
+          val gz = new java.util.zip.GZIPInputStream(stream) // not closed: would close `stream`
+          val m4 = new Array[Byte](4)
+          gz.readNBytes(m4, 0, 4) == 4 &&
+            m4.sameElements(Array[Byte]('B', 'A', 'M', 1))
+        } catch { case _: java.io.IOException => false } // corrupt gzip → let the text path report it
+      } else false
+    stream.reset()
+    bam
+  }
   private val bamReader =
     if (isBam) new graft.kernel.BamCodec.Reader(stream, includeSeqQual)
     else null

@@ -16,7 +16,7 @@ object OracleDump {
     val json = graft.SparkEntry.benchQueries
       .flatMap(d => d.oracle.map(sql => s"${q(d.name)}: ${q(sql)}"))
       .mkString("{", ",", "}")
-    Files.createDirectories(Paths.get(out).getParent)
+    Option(Paths.get(out).getParent).foreach(Files.createDirectories(_))
     Files.writeString(Paths.get(out), json)
     println(s"[oracledump] wrote $out")
   }

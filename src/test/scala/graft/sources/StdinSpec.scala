@@ -94,6 +94,17 @@ class StdinSpec extends AnyFunSuite {
     assert(viaStdin == viaFile && viaFile.nonEmpty)
   }
 
+  test("BAM bytes on stdin are detected by magic, not extension") {
+    val bamFile = "/root/reference/data/sam/foo_has_header.bam"
+    val viaFile = spark.read.format("alignments").load(bamFile)
+      .select("read_id", "flags", "reference", "position").collect().toSeq
+    val viaStdin = withStdin(fileBytes(bamFile)) {
+      spark.read.format("alignments").load("-")
+        .select("read_id", "flags", "reference", "position").collect().toSeq
+    }
+    assert(viaStdin == viaFile && viaFile.nonEmpty)
+  }
+
   test("read_newick from stdin matches the file read") {
     val nwk = "/root/reference/data/newick/simple.nwk"
     val viaFile = graft.ops.NewickOps.readNewick(spark, nwk)
