@@ -70,17 +70,25 @@ object Dedup {
         val parentLabels = labels.select(col("id").as("label"), col("label").as("pl"))
         val viaParent = labels.join(parentLabels, Seq("label"))
           .select(col("id"), col("pl"))
-        // lazy localCheckpoint: the `changed` count below materializes
-        // it; the round's result becomes a LogicalRDD (truncated plan
-        // AND truncated RDD lineage). Old rounds' blocks are reclaimed
-        // by the ContextCleaner once unreferenced.
-        val next = labels
+        // Eager localCheckpoint materializes the round (truncated plan
+        // AND truncated RDD lineage; old rounds' blocks reclaimed by
+        // the ContextCleaner) — but checkpoint REWRITES the old plan's
+        // statistics onto the new LogicalRDD, and join sizeInBytes
+        // estimates roughly SQUARE each round: by ~iteration 13 the
+        // stat is a BigInt with ~100k digits and the driver spends
+        // minutes inside BigInteger.multiply during planning (observed
+        // live at sf0.1's ~5000-node chain). Rebuilding the DataFrame
+        // from the checkpointed RDD resets stats to the default
+        // estimate, severing the exponential growth; the Row serde it
+        // costs is per-round over the narrow (id, label) table only.
+        val ck = labels
           .join(viaNeighbor, Seq("id"), "left")
           .join(viaParent, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label")),
               coalesce(col("pl"), col("label"))).as("label"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
+        val next = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
         val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
           .filter(col("label") =!= col("old")).limit(1).count()
         labels = next
@@ -105,13 +113,23 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(0))),
       i => text.substr(i, lit(n))))
 
-  /** Exact n-gram Jaccard similarity between two text columns. */
-  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
-    def sh(t: Column): Column = shingles(t, n)
-    val inter = size(array_intersect(sh(a), sh(b)))
-    val union = size(array_union(sh(a), sh(b)))
-    when(union === 0, lit(1.0)).otherwise(inter.cast("double") / union.cast("double"))
-  }
+  private val ngramJaccardUdf = udf(
+    (a: String, b: String, n: Int) =>
+      if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+      else java.lang.Double.valueOf(graft.kernel.TextKernel.ngramJaccard(a, b, n)))
+
+  /** Exact n-gram Jaccard similarity between two text columns.
+    *
+    * Kernel UDF, not column expressions: the higher-order-function
+    * shingle construction (transform over sequence) is INTERPRETED by
+    * Catalyst, ~7 µs per element — at 500-char docs that was ~2 ms per
+    * pair vs ~30 µs for the single-pass hash-set kernel (measured via
+    * tools/L18Probe methodology; l02 10.9 s → 0.6 s at sf0.1). Values
+    * are bit-identical (code-point windows, integer counts, one double
+    * division), so the DuckDB re-derivation oracles stay green.
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column =
+    ngramJaccardUdf(a, b, lit(n))
 
   /** Band-bucket candidate pairs — the shared core of every LSH
     * variant, and payload-free by construction: the self-join on

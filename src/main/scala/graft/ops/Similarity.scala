@@ -14,15 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right double-accumulated dot product of two float arrays —
-    * written as higher-order functions (codegen'd, no UDF). The strict
-    * sequential order makes the result bit-reproducible and
-    * oracle-comparable.
+  private val dotUdf = udf((a: Array[Float], b: Array[Float]) =>
+    if (a == null || b == null || a.length != b.length)
+      null.asInstanceOf[java.lang.Double] // zip_with null-pads unequal lengths → null sum
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      java.lang.Double.valueOf(s)
+    })
+
+  /** Left-to-right double-accumulated dot product of two float arrays.
+    * Kernel UDF: the aggregate(zip_with(…)) formulation is INTERPRETED
+    * by Catalyst (HOF lambdas don't codegen) at ~7 µs/element — ~0.5 ms
+    * per 64-dim dot vs ~1 µs for this loop (l20's pair generation
+    * measured 9.3 s → see SCALE.md). The loop accumulates in the same
+    * strict left-to-right double order (float→double widening per
+    * element), so results stay bit-identical to the fold and to the
+    * DuckDB oracles that replicate it.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -48,56 +48,33 @@ object TextStats {
   /** Heuristic language-ID (stopword profiles + CJK script share). */
   def langId(text: Column): Column = langIdUdf(text)
 
-  /** Word n-gram array of `text` (space-joined windows), empty when
-    * the document has fewer than n words. */
-  private def wordGrams(text: Column, n: Int): Column = {
-    val words = filter(split(text, "\\s+"), w => length(w) > 0)
-    when(size(words) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-  }
-
-  /** Count of the most frequent element / total elements (0 for empty).
-    * Pure column expressions, map-only (no shuffle at any corpus size):
-    * sort the grams then take the longest run — O(n log n) per document
-    * instead of the naive O(distinct × n) count-per-distinct, which
-    * stalls a task on one long repetitive document. The fold state is
-    * (previous element, current run, max run). */
-  private def topRatio(grams: Column): Column = {
-    val runStats = aggregate(
-      array_sort(grams),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("max")),
-      (acc, g) => {
-        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
-          .otherwise(lit(1L))
-        struct(g.as("prev"), run.as("run"),
-          greatest(acc.getField("max"), run).as("max"))
-      })
-    when(size(grams) === 0, 0.0).otherwise(
-      runStats.getField("max").cast("double") / size(grams).cast("double"))
-  }
-
-  /** Fraction of n-grams that are repeats of an earlier one. */
-  private def dupRatio(grams: Column): Column =
-    when(size(grams) === 0, 0.0).otherwise(
-      lit(1.0) - size(array_distinct(grams)).cast("double")
-        / size(grams).cast("double"))
+  private val repetitionUdf = udf((text: String) =>
+    if (text == null) null else TextKernel.repetitionStats(text))
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted
     * to word n-grams): documents dominated by a few repeated phrases
     * (boilerplate, SEO spam, template text) show a high top-bigram /
     * top-trigram fraction and a high duplicate-5-gram fraction; the
     * standard Gopher cut is e.g. top-2-gram > 0.20, dup-5-gram > 0.15.
+    *
+    * One single-pass kernel UDF per document rather than column
+    * expressions: building word n-gram arrays with interpreted
+    * higher-order functions measured ~6 ms/doc (tools/L18Probe — the
+    * HOF lambda interpreter pays ~7 µs per element, and the naive
+    * count-per-distinct topRatio was another 25× over that); the
+    * hash-map kernel is ~0.1 ms/doc with identical semantics. Still
+    * map-only — no shuffle at any corpus size.
     */
-  def repetitionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  def repetitionReport(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(
       col(idCol).as("doc_id"),
-      tokenCount(t).as("n_words"),
-      round(topRatio(wordGrams(t, 2)), 6).as("top_bigram_ratio"),
-      round(topRatio(wordGrams(t, 3)), 6).as("top_trigram_ratio"),
-      round(dupRatio(wordGrams(t, 5)), 6).as("dup_5gram_ratio"))
-  }
+      repetitionUdf(col(textCol)).as("r"))
+      .select(
+        col("doc_id"),
+        col("r._1").as("n_words"),
+        round(col("r._2"), 6).as("top_bigram_ratio"),
+        round(col("r._3"), 6).as("top_trigram_ratio"),
+        round(col("r._4"), 6).as("dup_5gram_ratio"))
 
   /** PII patterns — ASCII-only constructs with identical semantics in
     * Java regex and RE2, so the DuckDB oracle applies the exact same

@@ -55,6 +55,30 @@ class TextKernelSpec extends AnyFunSuite {
     assert(winnowFingerprints("short", 8, 4).isEmpty)
   }
 
+  test("ngramJaccard: hand-computed values, code-point windows, short inputs") {
+    // "abcd" 2-grams {ab,bc,cd}; "bcde" 2-grams {bc,cd,de}: |∩|=2, |∪|=4
+    assert(ngramJaccard("abcd", "bcde", 2) == 0.5)
+    assert(ngramJaccard("abc", "abc", 2) == 1.0)
+    assert(ngramJaccard("abc", "xyz", 2) == 0.0)
+    // both shorter than n: empty∪empty → 1.0 (matches the SQL CASE)
+    assert(ngramJaccard("a", "b", 5) == 1.0)
+    // one empty, one not: 0/|B| = 0.0
+    assert(ngramJaccard("", "abcdef", 3) == 0.0)
+    // astral-plane code points count as ONE character (Spark/DuckDB substr
+    // semantics): "😀😀ab" has 3 distinct 2-gram windows over 4 code points
+    val s = "😀😀ab"
+    assert(ngramJaccard(s, s, 2) == 1.0)
+    assert(ngramJaccard(s, "😀😀ax", 2) == 2.0 / 4.0)
+  }
+
+  test("repetitionStats: hand-computed signals") {
+    val (n, top2, top3, dup5) = repetitionStats("a b a b a")
+    assert(n == 5 && top2 == 0.5 && math.abs(top3 - 2.0 / 3) < 1e-12 && dup5 == 0.0)
+    assert(repetitionStats("") == ((0L, 0.0, 0.0, 0.0)))
+    val spam = repetitionStats(Array.fill(20)("spam").mkString(" "))
+    assert(spam._2 == 1.0 && spam._4 == 1.0 - 1.0 / 16)
+  }
+
   test("langId: stopword profiles + CJK detection") {
     assert(langId("the cat sat on the mat and it was happy for a while") == "en")
     assert(langId("el perro corre en la casa y los gatos se van del lugar") == "es")
