@@ -109,9 +109,23 @@ object TextKernel {
     out.toArray.sorted
   }
 
+  /** The tokenizer whitespace set, spelled as an explicit character
+    * class so Java regex (Spark side) and RE2 (DuckDB oracle side) are
+    * identical BY CONSTRUCTION — Java's `\s` includes U+000B where
+    * RE2's does not, so a bare `\s+` on both sides is only latently
+    * equal. One definition, appended verbatim into both engines'
+    * patterns. */
+  val WsChars = " \\t\\n\\x0B\\f\\r"
+  val Ws = s"[$WsChars]"
+  val WsPlus: String = Ws + "+"
+
+  /** Character-level twin of [[Ws]] for non-regex kernel loops. */
+  def isWsChar(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   /** Whitespace tokens, lowercased. */
   def tokens(text: String): Array[String] =
-    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    text.toLowerCase.split(WsPlus).filter(_.nonEmpty)
 
   private val stopwordProfiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "with"),
@@ -128,7 +142,7 @@ object TextKernel {
     var cjk = 0
     var total = 0
     for (c <- text) {
-      if (!c.isWhitespace) {
+      if (!isWsChar(c)) { // explicit set, == the oracle's regex class
         total += 1
         if (Character.UnicodeScript.of(c) == Character.UnicodeScript.HAN) cjk += 1
       }
@@ -144,10 +158,14 @@ object TextKernel {
   /** Exact character-n-gram Jaccard similarity — the kernel behind
     * Dedup.ngramJaccard's verify step. Distinct n-gram windows are
     * counted over CODE POINTS (matching Spark's length()/substr() and
-    * DuckDB's substr(), which are code-point based, not UTF-16), so
-    * the value is identical to the column-expression formulation this
-    * replaced; integer counts then one double division keeps IEEE
-    * equality. Empty∪empty → 1.0 (two too-short docs are identical).
+    * DuckDB's substr(), which are code-point based, not UTF-16);
+    * integer counts then one double division keeps IEEE equality with
+    * the list-function oracles. For docs shorter than n the shingle
+    * set is empty and empty∪empty is DEFINED as 1.0 (two too-short
+    * docs have identical shingle sets); the DuckDB oracles make the
+    * same choice explicit via a CASE (LlmPipeline.duckJaccard) — note
+    * this differs from the pre-kernel column formulation, whose
+    * sequence(1,0) artifact scored two distinct short docs 0.0.
     */
   def ngramJaccard(a: String, b: String, n: Int): Double = {
     def grams(s: String): java.util.HashSet[String] = {
@@ -179,14 +197,14 @@ object TextKernel {
   /** Repetition signals in one pass (Gopher A1.1 on word n-grams):
     * (n_words, top-bigram ratio, top-trigram ratio, dup-5-gram ratio).
     * Words = whitespace-split non-empty tokens (same set as Spark's
-    * `filter(split(text, "\\s+"), len > 0)`); n-grams are space-joined
+    * `filter(split(text, WsPlus), len > 0)`); n-grams are space-joined
     * windows. One HashMap count per gram size — ~60× faster than the
     * interpreted higher-order-function formulation this replaced
     * (measured 6 ms/doc → 0.1 ms/doc at sf0.1), which matters because
     * this runs over every document of a corpus.
     */
   def repetitionStats(text: String): (Long, Double, Double, Double) = {
-    val words = text.split("\\s+").filter(_.nonEmpty)
+    val words = text.split(WsPlus).filter(_.nonEmpty)
     def topRatio(n: Int): Double = {
       val total = words.length - n + 1
       if (total <= 0) return 0.0

@@ -289,7 +289,7 @@ object Dedup {
     val nBits = 60
     val bandBits = 12
     val nBands = nBits / bandBits
-    val toks = filter(split(lower(col(textCol)), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(col(textCol)), graft.kernel.TextKernel.WsPlus), t => length(t) > 0)
     // per-token md5 hex; bit j of the 60-bit token hash lives in hex
     // char (15 - j/4) (1-based, char 15 least significant), bit (j%4)
     // of that digit

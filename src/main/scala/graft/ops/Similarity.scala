@@ -14,14 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotUdf = udf((a: Array[Float], b: Array[Float]) =>
+  private val dotUdf = udf((a: Array[java.lang.Float], b: Array[java.lang.Float]) =>
     if (a == null || b == null || a.length != b.length)
       null.asInstanceOf[java.lang.Double] // zip_with null-pads unequal lengths → null sum
     else {
       var s = 0.0
       var i = 0
-      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-      java.lang.Double.valueOf(s)
+      var anyNull = false
+      while (!anyNull && i < a.length) {
+        val x = a(i); val y = b(i)
+        if (x == null || y == null) anyNull = true // null element → null sum, as the fold did
+        else { s += x.toDouble * y.toDouble; i += 1 }
+      }
+      if (anyNull) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(s)
     })
 
   /** Left-to-right double-accumulated dot product of two float arrays.
@@ -31,7 +36,9 @@ object Similarity {
     * measured 9.3 s → see SCALE.md). The loop accumulates in the same
     * strict left-to-right double order (float→double widening per
     * element), so results stay bit-identical to the fold and to the
-    * DuckDB oracles that replicate it.
+    * DuckDB oracles that replicate it. Boxed elements so a NULL
+    * element yields a null dot (the fold's semantics) instead of a
+    * decoder crash.
     */
   def dot(a: Column, b: Column): Column = dotUdf(a, b)
 

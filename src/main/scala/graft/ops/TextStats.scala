@@ -10,15 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Splits on TextKernel.WsPlus — an explicit
+    * character class identical in Java regex and RE2 (Java's bare `\s`
+    * includes U+000B, RE2's does not), so the DuckDB oracle tokenizer
+    * is the same automaton by construction. */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+    size(filter(split(text, TextKernel.WsPlus), t => length(t) > 0)).cast("long")
 
   /** BPE-ish token estimate: word pieces + standalone punctuation
-    * (regexp count of `\w+|[^\w\s]`).
+    * (regexp count of `\w+|[^\w<ws>]`, explicit whitespace class).
     */
   def bpeishTokenCount(text: Column): Column =
-    (size(split(text, "\\w+|[^\\w\\s]")) - 1).cast("long")
+    (size(split(text, "\\w+|[^\\w" + TextKernel.WsChars + "]")) - 1).cast("long")
 
   /** Punctuation-to-character ratio. */
   def punctRatio(text: Column): Column =
@@ -28,7 +31,7 @@ object TextStats {
 
   /** Fraction of tokens that are English stopwords (quality signal). */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val toks = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    val toks = filter(split(lower(text), TextKernel.WsPlus), t => length(t) > 0)
     when(size(toks) === 0, 0.0).otherwise(
       size(filter(toks, t => t.isin(stopwords.map(lit): _*)))
         .cast("double") / size(toks).cast("double"))
@@ -36,7 +39,7 @@ object TextStats {
 
   /** Mean word length. */
   def meanWordLen(text: Column): Column = {
-    val toks = filter(split(text, "\\s+"), t => length(t) > 0)
+    val toks = filter(split(text, TextKernel.WsPlus), t => length(t) > 0)
     when(size(toks) === 0, 0.0).otherwise(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double")
         / size(toks).cast("double"))

@@ -17,6 +17,18 @@ object LlmPipeline {
   private def duckShingles(t: String): String =
     s"list_distinct(list_transform(generate_series(1, greatest(length($t) - 4, 0)), i -> substr($t, i, 5)))"
 
+  /** DuckDB 5-gram Jaccard of two text columns, with the kernel's
+    * defined empty∪empty → 1.0 case made explicit (two docs shorter
+    * than the shingle width have identical — empty — shingle sets;
+    * without the CASE, DuckDB's 0/0 yields NULL and the oracle would
+    * diverge from TextKernel.ngramJaccard on short docs).
+    */
+  private def duckJaccard(ta: String, tb: String): String =
+    s"""CASE WHEN len(${duckShingles(ta)}) + len(${duckShingles(tb)}) = 0 THEN 1.0
+       |     ELSE CAST(len(list_intersect(${duckShingles(ta)}, ${duckShingles(tb)})) AS DOUBLE)
+       |          / (len(${duckShingles(ta)}) + len(${duckShingles(tb)})
+       |             - len(list_intersect(${duckShingles(ta)}, ${duckShingles(tb)}))) END""".stripMargin
+
   /** DuckDB left-fold double dot product of two float lists (matches
     * Spark aggregate+zip_with evaluation order bit-for-bit).
     */
@@ -104,9 +116,7 @@ object LlmPipeline {
             round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5), 6).as("jaccard"))
       },
       Some(s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |       ROUND(CAST(len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")})) AS DOUBLE)
-              |         / (len(${duckShingles("a.text")}) + len(${duckShingles("b.text")})
-              |            - len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")}))), 6) AS jaccard
+              |       ROUND(${duckJaccard("a.text", "b.text")}, 6) AS jaccard
               |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
 
     // MinHash + banded LSH near-dup pairs on the md5 hash family:
@@ -142,10 +152,7 @@ object LlmPipeline {
               |    FROM banded l JOIN banded r
               |      ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id),
               |jac AS (
-              |  SELECT id_a, id_b,
-              |         CAST(len(list_intersect(${duckShingles("text_a")}, ${duckShingles("text_b")})) AS DOUBLE)
-              |           / (len(${duckShingles("text_a")}) + len(${duckShingles("text_b")})
-              |              - len(list_intersect(${duckShingles("text_a")}, ${duckShingles("text_b")}))) AS jaccard
+              |  SELECT id_a, id_b, ${duckJaccard("text_a", "text_b")} AS jaccard
               |    FROM cand)
               |SELECT id_a, id_b, ROUND(MAX(jaccard), 6) AS jaccard
               |  FROM jac WHERE jaccard >= 0.4 GROUP BY id_a, id_b""".stripMargin)),
@@ -158,7 +165,7 @@ object LlmPipeline {
       (s, d) => Dedup.simhashPairsExact(Tables.documents(s, d), "doc_id", "text", maxHamming = 10),
       Some("""WITH t AS (
              |  SELECT doc_id AS id,
-             |         list_transform(list_filter(string_split_regex(lower(text), '\s+'),
+             |         list_transform(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
              |                                    x -> len(x) > 0), tk -> md5(tk)) AS ths
              |    FROM documents),
              |bits AS (
@@ -221,12 +228,12 @@ object LlmPipeline {
             round(col("mean_word_len"), 6).as("mean_word_len")),
       Some("""WITH t AS (
              |  SELECT doc_id, text,
-             |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+             |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS toks
              |    FROM documents)
              |SELECT doc_id,
              |       length(text) AS n_chars,
              |       CAST(len(toks) AS BIGINT) AS n_tokens,
-             |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpeish,
+             |       CAST(len(regexp_extract_all(text, '\w+|[^\w \t\n\x0B\f\r]')) AS BIGINT) AS n_bpeish,
              |       ROUND(CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
              |             / length(text), 6) AS punct_ratio,
              |       ROUND(CAST(len(list_filter(toks, x -> list_contains(
@@ -253,7 +260,7 @@ object LlmPipeline {
              |  SELECT doc_id, text,
              |         list_transform(generate_series(1, greatest(length(text) - 7, 0)), i ->
              |           CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS grams,
-             |         list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+             |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS toks
              |    FROM documents),
              |f AS (
              |  SELECT doc_id, text, toks,
@@ -262,7 +269,7 @@ object LlmPipeline {
              |              ELSE len(list_distinct(list_transform(
              |                     generate_series(1, len(grams) - 3), s2 ->
              |                       list_min(grams[s2 : s2 + 3])))) END AS n_fingerprints,
-             |         length(regexp_replace(text, '\s', '', 'g')) AS total,
+             |         length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')) AS total,
              |         len(regexp_extract_all(text, '[一-鿿]')) AS han
              |    FROM g),
              |sc AS (
@@ -356,9 +363,7 @@ object LlmPipeline {
       Some(s"""WITH RECURSIVE pairs AS (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
               |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-              |   WHERE CAST(len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")})) AS DOUBLE)
-              |         / (len(${duckShingles("a.text")}) + len(${duckShingles("b.text")})
-              |            - len(list_intersect(${duckShingles("a.text")}, ${duckShingles("b.text")}))) >= 0.2),
+              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
               |edges AS (
               |  SELECT id_a AS src, id_b AS dst FROM pairs
               |  UNION SELECT id_b, id_a FROM pairs),
@@ -509,7 +514,7 @@ object LlmPipeline {
         TextStats.repetitionReport(Tables.documents(s, d), "doc_id", "text"),
       Some("""WITH w AS (
              |  SELECT doc_id,
-             |         list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS words
+             |         list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> len(x) > 0) AS words
              |    FROM documents),
              |g AS (
              |  SELECT doc_id, words,

@@ -211,7 +211,7 @@ class FastxPartitionReader(
       case "qual2" =>
         if (needQual2) b.flatMap(_.qual).map(q => new GenericArrayData(q.map(_.asInstanceOf[Any]))).orNull
         else null
-      case "filepath" => UTF8String.fromString(part.r1)
+      case "filepath" => UTF8String.fromString(FileSourceCommon.displayPath(part.r1))
       case other      => throw new IllegalStateException(s"unknown column $other")
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])

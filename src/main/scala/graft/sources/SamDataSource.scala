@@ -233,7 +233,7 @@ class SamPartitionReader(
       case "sequence" => r.sequence.map(UTF8String.fromString).orNull
       case "qual" =>
         r.qual.map(q => new GenericArrayData(q.map(_.asInstanceOf[Any]))).orNull
-      case "filepath" => UTF8String.fromString(part.path)
+      case "filepath" => UTF8String.fromString(FileSourceCommon.displayPath(part.path))
       case other      => throw new IllegalStateException(s"unknown column $other")
     }
     new GenericInternalRow(values.asInstanceOf[Array[Any]])
