@@ -34,27 +34,37 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val defs = SparkEntry.benchQueries
+    val layerA = SparkEntry.benchQueries
+    // Round-6 widening: the heavy domain/LLM set (LSH, connected
+    // components, repetition kernels, semantic dedup, aligner/rype
+    // throughput) is timed too — that is where this engine's value is;
+    // the Layer-A 7 remain the DuckDB-baseline-comparable subset and
+    // their sum is reported separately (layer_a_total) so the
+    // round-over-round and BASELINE.md comparisons stay apples-to-
+    // apples. Heavy queries run best-of-2 (they are multi-second;
+    // run-to-run variance is proportionally small) to bound bench
+    // wall-time.
+    val heavy = SparkEntry.benchHeavyQueries
     // Warm-up: run the full suite once untimed so the timed pass
     // measures steady-state execution (JIT-compiled codegen, warm
     // parquet footers / broadcast relations), not JVM startup.
-    defs.foreach { q =>
+    (layerA ++ heavy).foreach { q =>
       try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
-    // Best-of-3 timed passes: steady-state minimum, robust to GC /
+    // Best-of-N timed passes: steady-state minimum, robust to GC /
     // scheduler noise on a shared box.
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
-    defs.foreach { q =>
+    def timeSet(defs: Seq[QueryDef], reps: Int): Unit = defs.foreach { q =>
       try {
         // GC between queries: without this, garbage from the previous
         // query's shuffle/window buffers lands as a major collection
         // inside the NEXT query's timed runs (observed: a01 0.19s →
         // 4.2s when timed right after the warm-up pass at sf10).
         System.gc()
-        val runs = (1 to 3).map { _ =>
+        val runs = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
@@ -65,6 +75,8 @@ object Bench {
           errors :+= (q.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
     }
+    timeSet(layerA, reps = 3)
+    timeSet(heavy, reps = 2)
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -72,8 +84,11 @@ object Bench {
       } + "\""
     val qs = times.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+    val layerANames = layerA.map(_.name).toSet
+    val layerATotal = times.collect { case (k, v) if layerANames(k) => v }.sum
+    val heavyTotal = times.collect { case (k, v) if !layerANames(k) => v }.sum
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":${jq(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"queries":$qs,"errors":$es,"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Bench-only throughput workloads for the DOMAIN operators, sized by
+  * the scale-factor tables so they grow with the SF dir like the
+  * Layer-A bench queries do. They are deliberately NOT registered in
+  * SparkEntry.allQueryDefs: they exist to measure throughput, not to
+  * re-prove correctness — the operators under test carry their own
+  * oracle rows (aligner: b22/b30/b31; rype: b20/b21/b32) and reference
+  * goldens.
+  *
+  * Workload shape: deterministic synthetic genomes (LayerB's LCG, the
+  * same generator the correctness fixtures use), one 150 bp read per
+  * `documents` row sliced at an id-derived offset — so at sf0.1 the
+  * aligner sees 5 000 reads, at the ScaleUp-derived sf1/sf10 dirs
+  * 50 000 / 500 000, with alignment positions spread over the genome.
+  */
+object BenchHeavy {
+  private val NGenomes = 4
+  private val GenomeLen = 2000
+  private val ReadLen = 150
+
+  /** doc_id → deterministic read (genome id*131-strided offset). */
+  private def readsFrom(docs: org.apache.spark.sql.DataFrame) = {
+    val genomes = LayerB.syntheticGenomes(NGenomes, GenomeLen)
+    val slice = udf((id: Long) => {
+      val g = genomes(java.lang.Math.floorMod(id, NGenomes.toLong).toInt)
+      val off = java.lang.Math.floorMod(id * 131, (GenomeLen - ReadLen).toLong).toInt
+      g.substring(off, off + ReadLen)
+    })
+    // The sf parquet files are single-row-group (SCALE.md "Local-mode
+    // honesty"), so without this the whole alignment runs in ONE task
+    // (measured: ~8 ms/read × 5000 reads serial). Real read sets
+    // arrive in many partitions; give the map-only aligner the
+    // session's parallelism. The shuffled rows are (id, 150 bp) —
+    // negligible next to the alignment work.
+    docs.select(concat(lit("r"), col("doc_id")).as("read_id"),
+      slice(col("doc_id")).as("sequence1"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+  }
+
+  val queries: Seq[QueryDef] = Seq(
+    // minimap2-style alignment throughput: |documents| reads vs 4
+    // subjects — index build (driver, subjects must fit in RAM per the
+    // reference's own bind-time contract) + map-only seed-and-extend
+    // over the read partitions.
+    QueryDef(
+      "x01_align_throughput",
+      (s, d) => {
+        import s.implicits._
+        val subjects = LayerB.syntheticGenomes(NGenomes, GenomeLen).zipWithIndex
+          .map { case (g, i) => (s"ref$i", g) }.toDF("read_id", "sequence1")
+        graft.ops.AlignOps.alignMinimap2(readsFrom(Tables.documents(s, d)),
+          subjects, k = 16, w = 5)
+      }),
+
+    // rype classification throughput: same read set against a 4-bucket
+    // minimizer index — explode + hash join on minimizer.
+    QueryDef(
+      "x02_rype_throughput",
+      (s, d) => {
+        import s.implicits._
+        val subjects = LayerB.syntheticGenomes(NGenomes, GenomeLen).zipWithIndex
+          .map { case (g, i) => (s"bucket$i", g) }.toDF("bucket_name", "sequence1")
+        val index = graft.ops.RypeOps.buildIndex(subjects, k = 16, w = 5)
+        graft.ops.RypeOps.rypeClassify(index, readsFrom(Tables.documents(s, d)),
+          k = 16, w = 5, threshold = 0.2)
+      }),
+
+    // Production MinHash+LSH pipeline (kernel signatures, payload-free
+    // band join, kernel Jaccard verify) — the l03 registration is the
+    // md5-derived oracle twin and deliberately interpreted, so the
+    // throughput of the real operator is measured here. Repartitioned
+    // input for the same single-row-group reason as readsFrom.
+    QueryDef(
+      "x03_minhash",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+        graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      })
+  )
+}
