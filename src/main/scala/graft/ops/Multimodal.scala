@@ -7,13 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque BINARY payloads with
   * typed metadata, processed in partition-local batches.
   *
-  * The actual codec work (image decode, audio resample, frame
-  * extraction) requires native libraries that are OUT OF SCOPE in this
-  * environment — `decodeStub` below is a clearly-marked deterministic
-  * FAKE. Everything around it — the schema, the binary payload
+  * IMAGE payloads are decoded for real (kernel/ImageCodec.scala —
+  * `javax.imageio`, pure JDK: PNG/JPEG/GIF/BMP → dimensions + channel
+  * means; pinned end-to-end by l21's generative oracle). Audio/video
+  * codec work requires native libraries that are OUT OF SCOPE in this
+  * environment — `fakeDecode` below is the clearly-marked
+  * deterministic FALLBACK for those kinds (and for undecodable image
+  * bytes). Everything around it — the schema, the binary payload
   * handling, the partition-batched mapPartitions shape, and the
-  * metadata struct — is the real distributed plumbing a decoder would
-  * plug into (swap `fakeDecode` for the real library call).
+  * metadata struct — is the real distributed plumbing a real codec
+  * binds into (one codec setup per task, not per row).
   */
 object Multimodal {
 
@@ -47,15 +50,18 @@ object Multimodal {
   case class MediaIn(media_id: Long, kind: String, payload: Array[Byte])
   case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
+      width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double],
       feature: Array[Double])
 
-  /** STUB: deterministic fake "decode + feature extraction". A real
-    * implementation would replace the body of `fakeDecode` with the
-    * native codec call; the partition-batched iterator shape (no
-    * per-row JNI setup, bounded memory) is the part under test.
+  /** STUB for the kinds the JDK has no codec for (audio/video), and
+    * the fallback for undecodable image bytes. A real implementation
+    * would replace this body with the native codec call; the
+    * partition-batched iterator shape (no per-row JNI setup, bounded
+    * memory) is the part under test.
     */
   private def fakeDecode(payload: Array[Byte]): Array[Double] = {
-    // ??? real codec goes here — fake: 4-bin byte histogram, normalized
+    // ??? real audio/video codec goes here — fake: normalized 4-bin byte histogram
     val bins = new Array[Double](4)
     if (payload != null) {
       var i = 0
@@ -93,10 +99,46 @@ object Multimodal {
               checksum = checksum * 31 + (m.payload(i) & 0xff); i += 1
             }
           }
-          MediaFeatures(m.media_id, m.kind, nBytes, checksum, fakeDecode(m.payload))
+          val img =
+            if (m.kind == "image") graft.kernel.ImageCodec.decode(m.payload)
+            else None
+          img match {
+            case Some(d) =>
+              MediaFeatures(m.media_id, m.kind, nBytes, checksum,
+                Some(d.width), Some(d.height),
+                Some(d.meanR), Some(d.meanG), Some(d.meanB),
+                Array(d.meanR / 255.0, d.meanG / 255.0, d.meanB / 255.0))
+            case None =>
+              MediaFeatures(m.media_id, m.kind, nBytes, checksum,
+                None, None, None, None, None, fakeDecode(m.payload))
+          }
         }
       }
       .toDF()
+  }
+
+  /** Deterministic PNG media table: one small image per documents row
+    * (doc_id < limit), dimensions and every pixel channel a generative
+    * formula of (id, x, y) — so l21's DuckDB oracle re-derives the
+    * decoded features from the formula alone, without ever touching
+    * PNG bytes, while the Spark side round-trips them through a REAL
+    * encode (here) + decode (ImageCodec in extractFeatures). PNG is
+    * lossless, so the two must agree exactly.
+    */
+  def syntheticImages(docs: DataFrame, limit: Long): DataFrame = {
+    val mk = udf((id: Long) => {
+      val w = (2 + id % 7).toInt
+      val h = (2 + id % 5).toInt
+      graft.kernel.ImageCodec.encodePng(w, h, (x, y) => {
+        val r = ((id * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((id * 11 + x * 17 + y * 5) % 256).toInt
+        val b = ((id * 3 + x * 29 + y * 23) % 256).toInt
+        (r << 16) | (g << 8) | b
+      })
+    })
+    docs.filter(col("doc_id") < limit)
+      .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        mk(col("doc_id")).as("payload"))
   }
 
   /** Deterministic frame sampling: slice the payload into fixed-size

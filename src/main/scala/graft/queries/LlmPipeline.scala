@@ -623,6 +623,46 @@ object LlmPipeline {
               |       COALESCE(cc.component, e.vec_id) = e.vec_id AS keep
               |  FROM embeddings e LEFT JOIN cc ON cc.id = e.vec_id""".stripMargin)),
 
+    // REAL image decode end-to-end: one small PNG per documents row
+    // (generative pixel formula) is ENCODED with ImageIO on the Spark
+    // side, decoded back by kernel/ImageCodec inside extractFeatures,
+    // and the oracle re-derives width/height/channel-means from the
+    // formula alone in pure SQL — DuckDB never sees a PNG, so any
+    // codec defect (dimension swap, channel order, color-space drift)
+    // breaks the hash compare. PNG losslessness is what makes the
+    // equality exact.
+    QueryDef(
+      "l21_image_decode",
+      (s, d) => {
+        val media = Multimodal.syntheticImages(Tables.documents(s, d), 200)
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("width"), col("height"),
+            round(col("mean_r"), 6).as("mean_r"),
+            round(col("mean_g"), 6).as("mean_g"),
+            round(col("mean_b"), 6).as("mean_b"))
+      },
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS media_id,
+             |         CAST(2 + doc_id % 7 AS INTEGER) AS width,
+             |         CAST(2 + doc_id % 5 AS INTEGER) AS height
+             |    FROM documents WHERE doc_id < 200),
+             |m AS (
+             |  SELECT media_id, width, height,
+             |         flatten(list_transform(generate_series(0, width - 1), x ->
+             |           list_transform(generate_series(0, height - 1), y ->
+             |             [(media_id * 7 + x * 13 + y * 31) % 256,
+             |              (media_id * 11 + x * 17 + y * 5) % 256,
+             |              (media_id * 3 + x * 29 + y * 23) % 256]))) AS px
+             |    FROM imgs)
+             |SELECT media_id, width, height,
+             |       ROUND(CAST(list_sum(list_transform(px, p -> p[1])) AS DOUBLE)
+             |             / (width * height), 6) AS mean_r,
+             |       ROUND(CAST(list_sum(list_transform(px, p -> p[2])) AS DOUBLE)
+             |             / (width * height), 6) AS mean_g,
+             |       ROUND(CAST(list_sum(list_transform(px, p -> p[3])) AS DOUBLE)
+             |             / (width * height), 6) AS mean_b
+             |  FROM m""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in

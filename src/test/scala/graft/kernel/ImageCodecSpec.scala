@@ -1,0 +1,60 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** ImageCodec: real javax.imageio decode, pinned by COMMITTED binary
+  * fixtures (so a JDK/ImageIO behavior change surfaces as a test
+  * failure, not silently shifted features) plus encode→decode
+  * round-trips over generated pixels.
+  */
+class ImageCodecSpec extends AnyFunSuite {
+  private def fixture(name: String): Array[Byte] =
+    Files.readAllBytes(Paths.get(s"src/test/resources/graft/$name"))
+
+  test("committed PNG fixture decodes to exact dimensions and channel means") {
+    // fixture_4x3.png: r = x*50+10, g = y*60+20, b = x*20+y*30
+    val d = ImageCodec.decode(fixture("fixture_4x3.png")).get
+    assert(d.width == 4 && d.height == 3)
+    assert(d.meanR == 85.0) // (10+60+110+160)/4
+    assert(d.meanG == 80.0) // (20+80+140)/3
+    assert(d.meanB == 60.0) // 30 + 30
+  }
+
+  test("committed JPEG fixture decodes (dimensions exact; JPEG is lossy)") {
+    val d = ImageCodec.decode(fixture("fixture_8x5.jpg")).get
+    assert(d.width == 8 && d.height == 5)
+    // channel means survive lossy compression approximately
+    assert(math.abs(d.meanR - 105.0) < 20.0)
+  }
+
+  test("encode→decode round-trip is exact for arbitrary RGB pixels (PNG lossless)") {
+    val w = 7; val h = 4
+    def rgb(x: Int, y: Int): Int =
+      (((x * 37 + y * 91) % 256) << 16) | (((x * 53 + y * 11) % 256) << 8) | ((x * 3 + y * 71) % 256)
+    val bytes = ImageCodec.encodePng(w, h, rgb)
+    assert(ImageCodec.looksLikeImage(bytes))
+    val d = ImageCodec.decode(bytes).get
+    assert(d.width == w && d.height == h)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val p = rgb(x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+    }
+    val n = (w * h).toDouble
+    assert(d.meanR == sr / n && d.meanG == sg / n && d.meanB == sb / n)
+  }
+
+  test("non-image payloads are rejected cheaply, not decoded") {
+    assert(ImageCodec.decode(null).isEmpty)
+    assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
+    assert(ImageCodec.decode("just some text".getBytes("UTF-8")).isEmpty)
+    assert(!ImageCodec.looksLikeImage("PNG but not really".getBytes("UTF-8")))
+  }
+
+  test("truncated PNG returns None instead of throwing") {
+    val full = ImageCodec.encodePng(5, 5, (x, y) => x * y)
+    val truncated = full.take(20)
+    assert(ImageCodec.decode(truncated).isEmpty)
+  }
+}

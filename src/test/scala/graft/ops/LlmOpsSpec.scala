@@ -171,8 +171,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(feats.nonEmpty)
     for (r <- feats) {
       assert(r.getAs[Long]("n_bytes") > 0)
-      val hist = r.getSeq[Double](4)
+      // text bytes are not decodable images → every kind falls back to
+      // the byte histogram, and image dimensions stay null
+      assert(r.isNullAt(r.fieldIndex("width")))
+      val hist = r.getSeq[Double](r.fieldIndex("feature"))
       assert(math.abs(hist.sum - 1.0) < 1e-9)
     }
+  }
+
+  test("multimodal feature extraction decodes real PNG payloads") {
+    import spark.implicits._
+    val png = graft.kernel.ImageCodec.encodePng(6, 4,
+      (x, y) => (((x * 40) % 256) << 16) | (((y * 60) % 256) << 8) | 128)
+    val media = Seq((1L, "image", png), (2L, "audio", png))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    val img = rows(1L)
+    assert(img.getAs[Int]("width") == 6 && img.getAs[Int]("height") == 4)
+    assert(img.getAs[Double]("mean_r") == (0 + 40 + 80 + 120 + 160 + 200) / 6.0)
+    assert(img.getAs[Double]("mean_b") == 128.0)
+    // same bytes under kind=audio: no JDK codec → stub fallback, null dims
+    assert(rows(2L).isNullAt(rows(2L).fieldIndex("width")))
   }
 }
