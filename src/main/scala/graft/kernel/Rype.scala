@@ -4,15 +4,19 @@ import scala.collection.mutable.ArrayBuffer
 
 /** RYpe minimizer kernel — no Spark dependencies.
   *
-  * Reimplements the documented RYpe semantics (reference: README.md:
-  * 1823-1960, src/rype_extract.cpp:68-82, RYPE.md; the upstream Rust
-  * core is an empty submodule, so this is a from-spec implementation,
-  * SURVEY §2C): RY-space 1-bit encoding (purine A/G → 0, pyrimidine
-  * C/T/U → 1), k-mers of k ∈ {16,32,64} bits packed in a u64, salted
-  * hash (default salt 6148914691236517205), window-of-w minimizer
-  * selection, unsigned-sorted deduplicated sets, 0-based positions in
-  * the strand variant. Ambiguous bases (N etc.) break the k-mer run —
-  * no k-mer containing them is emitted.
+  * Reimplements RYpe semantics (reference: README.md:1823-1960,
+  * src/rype_extract.cpp:68-82, RYPE.md; the upstream Rust core is an
+  * empty submodule, SURVEY §2C). The exact hash FORMAT was reverse-
+  * validated round 6 against the reference's committed index
+  * (data/rype/test.ryxdi — manifest k=16 w=8 salt=0x5555555555555555):
+  * RY-space 1-bit encoding with purine A/G → 1, pyrimidine C/T/U → 0,
+  * k-mers of k ∈ {16,32,64} bits MSB-first in a u64, and minimizer
+  * value = kmer XOR salt — NO avalanche mix, the same value is both
+  * the window-selection key (unsigned min over w, consecutive dupes
+  * emitted once) and the stored/persisted minimizer. Rebuilding that
+  * index from its FASTA reproduces all 32 committed (minimizer,
+  * bucket) rows exactly (RypeGoldenSpec). Ambiguous bases (N etc.)
+  * break the k-mer run — no k-mer containing them is emitted.
   */
 object Rype {
 
@@ -22,10 +26,13 @@ object Rype {
     require(k == 16 || k == 32 || k == 64, s"k must be 16, 32, or 64 (got $k)")
   def validateW(w: Int): Unit = require(w > 0, "w must be > 0")
 
-  /** RY encode: 0 = purine (A/G), 1 = pyrimidine (C/T/U), -1 = invalid. */
+  /** RY encode: 1 = purine (A/G), 0 = pyrimidine (C/T/U), -1 = invalid
+    * (bit convention pinned by the committed test.ryxdi index — the
+    * inverse assignment cannot reproduce its minimizer values).
+    */
   def ryBit(c: Char): Int = c match {
-    case 'A' | 'a' | 'G' | 'g'                         => 0
-    case 'C' | 'c' | 'T' | 't' | 'U' | 'u'             => 1
+    case 'A' | 'a' | 'G' | 'g'                         => 1
+    case 'C' | 'c' | 'T' | 't' | 'U' | 'u'             => 0
     case _                                             => -1
   }
 
@@ -53,35 +60,71 @@ object Rype {
     */
   def strandMinimizers(seq: String, k: Int, w: Int, salt: Long): (Array[Long], Array[Long]) = {
     validateK(k); validateW(w)
-    strandMinimizersGeneralK(seq, k, w, salt)
+    // RYpe format: hash = kmer ^ salt, unmixed (see object doc — the
+    // committed index pins this; a mixed hash stores different values)
+    strandMinimizersGeneralK(seq, k, w, salt, mixHash = false)
   }
 
   /** strandMinimizers without the RYpe k ∈ {16,32,64} spec constraint —
     * the aligner's seeding layer needs minimap2 preset k values (15,
-    * 19, 21…); any 1 ≤ k ≤ 64 packs in the u64.
+    * 19, 21…); any 1 ≤ k ≤ 64 packs in the u64. `mixHash = true`
+    * (the aligner's internal seeding default) avalanche-mixes the
+    * salted k-mer for even window sampling on low-entropy sequence;
+    * RYpe persistence/classify paths pass false — their value IS the
+    * on-disk format.
     */
-  def strandMinimizersGeneralK(seq: String, k: Int, w: Int, salt: Long): (Array[Long], Array[Long]) = {
+  def strandMinimizersGeneralK(seq: String, k: Int, w: Int, salt: Long,
+      mixHash: Boolean = true): (Array[Long], Array[Long]) = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64] (got $k)"); validateW(w)
+    minimizersCore(seq, k, w, salt, bitsPerBase = 1, code = ryBit, mixHash)
+  }
+
+  /** 2-bit nucleotide code (A=0 C=1 G=2 T/U=3, -1 invalid) — the
+    * alphabet minimap2 seeds in. RY-space seeding would make an
+    * A↔G/C↔T-substituted decoy indistinguishable from the true locus
+    * at the seed level (found round 6 by Minimap2GoldenSpec: query2's
+    * RY pattern equals ref1's shifted by one base).
+    */
+  def nucCode(c: Char): Int = c match {
+    case 'A' | 'a' => 0
+    case 'C' | 'c' => 1
+    case 'G' | 'g' => 2
+    case 'T' | 't' | 'U' | 'u' => 3
+    case _ => -1
+  }
+
+  /** Nucleotide-space (hash, position) minimizers for aligner seeding;
+    * k ≤ 32 (2 bits/base). Always avalanche-mixed — these hashes are
+    * transient seeds, not a persisted format.
+    */
+  def nucStrandMinimizers(seq: String, k: Int, w: Int, salt: Long): (Array[Long], Array[Long]) = {
+    require(k >= 1 && k <= 32, s"nucleotide k must be in [1, 32] (got $k)"); validateW(w)
+    minimizersCore(seq, k, w, salt, bitsPerBase = 2, code = nucCode, mixHash = true)
+  }
+
+  private def minimizersCore(seq: String, k: Int, w: Int, salt: Long,
+      bitsPerBase: Int, code: Char => Int, mixHash: Boolean): (Array[Long], Array[Long]) = {
     if (seq == null || seq.length < k) return (Array.empty, Array.empty)
     val n = seq.length
-    val mask = if (k == 64) -1L else (1L << k) - 1
-    // rolling RY k-mer hashes per start position (NaN-marked invalid)
+    val kBits = bitsPerBase * k
+    val mask = if (kBits == 64) -1L else (1L << kBits) - 1
+    // rolling k-mer hashes per start position
     val kmerHash = new Array[Long](n - k + 1)
     val kmerValid = new Array[Boolean](n - k + 1)
     var kmer = 0L
     var validRun = 0 // consecutive valid bases ending at i
     var i = 0
     while (i < n) {
-      val b = ryBit(seq.charAt(i))
+      val b = code(seq.charAt(i))
       if (b < 0) { validRun = 0; kmer = 0L }
       else {
-        kmer = ((kmer << 1) | b) & mask
+        kmer = ((kmer << bitsPerBase) | b) & mask
         validRun += 1
       }
       val start = i - k + 1
       if (start >= 0) {
         if (validRun >= k) {
-          kmerHash(start) = TextKernel.mix64(kmer ^ salt)
+          kmerHash(start) = if (mixHash) TextKernel.mix64(kmer ^ salt) else kmer ^ salt
           kmerValid(start) = true
         }
       }

@@ -48,7 +48,10 @@ object SeedAligner {
     val postings: Map[Long, Vector[(Int, Int)]] = {
       val m = new mutable.HashMap[Long, mutable.ArrayBuffer[(Int, Int)]]()
       for ((s, si) <- subjects.zipWithIndex) {
-        val (hs, ps) = Rype.strandMinimizersGeneralK(s.sequence, k, w, salt)
+        // nucleotide-space seeds (like minimap2's 2-bit alphabet) —
+        // RY-space seeding collapses A↔G/C↔T and let decoy loci out-
+        // vote the true one (Minimap2GoldenSpec, round 6)
+        val (hs, ps) = Rype.nucStrandMinimizers(s.sequence, k, w, salt)
         for (i <- hs.indices)
           m.getOrElseUpdate(hs(i), new mutable.ArrayBuffer) += ((si, ps(i).toInt))
       }
@@ -69,7 +72,7 @@ object SeedAligner {
     if (query == null || query.length < index.k) return Seq.empty
     val candidates = new mutable.HashMap[(Int, Boolean, Int), Int]() // (subj, rc, diag) -> votes
     def seed(seq: String, rc: Boolean): Unit = {
-      val (hs, ps) = Rype.strandMinimizersGeneralK(seq, index.k, index.w, index.salt)
+      val (hs, ps) = Rype.nucStrandMinimizers(seq, index.k, index.w, index.salt)
       for (i <- hs.indices; (si, spos) <- index.postings.getOrElse(hs(i), Vector.empty)) {
         val diag = spos - ps(i).toInt
         val key = (si, rc, diag & ~15) // bucket diagonals by 16 to absorb indels
@@ -80,8 +83,20 @@ object SeedAligner {
     seed(Rype.reverseComplementLenient(query), rc = true)
     if (candidates.isEmpty) return Seq.empty
 
-    val ranked = candidates.toSeq.sortBy { case ((si, _, diag), votes) => (-votes, si, diag) }
-      .take(1 + maxSecondary)
+    // A mappable locus needs a chain of seeds, not one lucky k-mer:
+    // minimap2's min_cnt (2 under the short-read preset) drops single-
+    // seed chains, which is also what makes unmappably short reads
+    // produce NO output (reference pin: 12 bp reads at k=5 align to
+    // nothing, test/sql/align_minimap2.test:169-174).
+    val chainable = candidates.toSeq.filter(_._2 >= MinChainVotes)
+    if (chainable.isEmpty) return Seq.empty
+
+    // Extend the top candidates by votes, then let ALIGNMENT SCORE
+    // pick the winners. maxSecondary limits the OUTPUT, not the
+    // extension set (pruning before extension let a vote-tied decoy
+    // shadow the true locus when maxSecondary=0 — Minimap2GoldenSpec).
+    val ranked = chainable.sortBy { case ((si, _, diag), votes) => (-votes, si, diag) }
+      .take(math.max(1 + maxSecondary, ExtensionBreadth))
     val hits = ranked.flatMap { case ((si, rc, diagBucket), _) =>
       val subject = index.subjects(si)
       val q = if (rc) Rype.reverseComplementLenient(query) else query
@@ -95,7 +110,7 @@ object SeedAligner {
         val f = pairAligner.alignFull(q, window)
         // convert leading/trailing D runs into position offset / trim
         val nc = normalizeCigar(f.cigar)
-        if (nc.matched == 0) None
+        if (nc.matched == 0 || nc.matched - nc.penalty < MinAlignScore) None
         else Some(Hit(subject.name, (start0 + nc.offset + 1).toLong,
           if (rc) 0x10 else 0, nc.cigarString, nc.nm, nc.matched - nc.penalty, 0,
           nc.mismatches, nc.gapOpens, nc.gapExtends,
@@ -114,8 +129,23 @@ object SeedAligner {
         // reference: XS = subsc when > 0, else -1 (Minimap2Aligner.cpp:414)
         xs = if (i + 1 < sorted.length && sorted(i + 1).score > 0)
           sorted(i + 1).score else -1L)
-    }
+    }.take(1 + maxSecondary)
   }
+
+  /** minimap2 sr-preset min_cnt analogue: minimum seed votes for a
+    * candidate (subject, strand, diagonal) to be extended at all. */
+  private val MinChainVotes = 2
+
+  /** minimap2 -m (min chain score, default 40) analogue, applied to
+    * the extension score: unmappably short or garbage alignments emit
+    * no rows (reference pin: 12 bp reads at k=5 → empty,
+    * test/sql/align_minimap2.test:169-174; repeat-heavy 12-mers would
+    * otherwise chain on repeat postings alone). */
+  private val MinAlignScore = 40
+
+  /** How many top-voted candidates get a full extension even when the
+    * caller only wants the primary — score, not votes, must choose. */
+  private val ExtensionBreadth = 8
 
   /** Normalized CIGAR with the derived alignment statistics the tag
     * columns need (reference stat rules: src/Minimap2Aligner.cpp:32-70

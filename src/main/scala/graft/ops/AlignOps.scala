@@ -187,9 +187,14 @@ object AlignOps {
     spark.createDataFrame(rdd, outputSchema)
   }
 
-  private def collectSubjects(subjects: DataFrame): Seq[(String, String)] =
+  private def collectSubjects(subjects: DataFrame): Seq[(String, String)] = {
+    // reference: align_minimap2 rejects paired subject tables
+    // (test/sql/align_minimap2.test:129-132 "cannot be paired-end")
+    require(!subjects.columns.contains("sequence2"),
+      "subject table cannot be paired-end (sequence2 column present)")
     subjects.select("read_id", "sequence1").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
 
   /** align_minimap2(queries, subjects): subjects collected + broadcast,
     * queries aligned per partition; paired rows dispatch per record on

@@ -631,7 +631,7 @@ object LayerB {
             size(col("rc_set")).as("n_rc"))
       },
       Some("""SELECT read_id, n_fwd, n_rc FROM (VALUES
-             |  ('seq0', 128, 130), ('seq1', 133, 123), ('seq2', 121, 123))
+             |  ('seq0', 124, 124), ('seq1', 115, 118), ('seq2', 121, 115))
              |  t(read_id, n_fwd, n_rc)""".stripMargin)),
 
     // 2C: rype classify — the oracle pins the classification RypePin
@@ -913,8 +913,8 @@ object LayerB {
             element_at(col("rc_hashes"), -1).as("rc_h_last"))
       },
       Some("""SELECT * FROM (VALUES
-             |  ('seq0', 42, '[3,7,9,14,18,19,22,27,32,35,40,42,43,45,49,52,55,59,62,65,68,70,71,76,80,84,89,91,93,97,98,100,103,105,110,111,115,117,119,124,128,131]', 1774086253516379148, 3612329668307723803, 46, '[3,7,10,15,20,23,28,29,32,33,34,36,40,44,47,49,50,55,57,58,61,64,65,69,72,73,76,79,81,83,86,89,94,96,101,104,107,111,115,117,119,122,127,128,129,133]', 200471296139812276, 775118258975882212),
-             |  ('seq1', 43, '[2,5,6,11,12,13,18,23,26,27,32,36,41,46,47,49,53,57,59,60,65,66,71,76,78,80,85,86,90,94,98,100,103,104,106,107,109,114,118,122,125,129,131]', 5207617425986235785, 8818428683574856536, 45, '[1,4,8,10,11,13,16,20,23,27,29,33,34,37,38,41,45,46,50,54,57,61,63,68,73,74,75,79,84,89,93,96,98,101,106,107,110,113,117,119,122,124,127,130,131]', 1175020547942936643, 224887076828011736)
+             |  ('seq0', 42, '[3,5,10,14,16,20,24,26,29,33,35,39,42,44,46,48,52,56,58,60,62,63,65,70,74,76,79,82,87,89,91,96,101,106,109,113,116,119,121,125,128,131]', 6148914691236497815, 6148914691236507981, 41, '[2,7,11,13,17,20,23,27,29,32,35,39,42,47,50,52,57,59,64,69,72,76,78,83,85,90,92,94,96,100,102,104,106,109,113,117,119,122,127,128,132]', 6148914691236505273, 6148914691236506846),
+             |  ('seq1', 40, '[2,7,11,16,18,23,25,28,31,33,36,40,44,46,49,53,55,59,64,68,70,73,77,81,86,89,92,96,99,101,104,108,110,115,117,121,123,128,129,131]', 6148914691236499050, 6148914691236501888, 41, '[1,3,5,7,10,14,17,19,23,25,30,31,36,38,40,44,47,52,56,59,62,67,71,75,78,80,84,89,93,97,99,102,107,108,112,115,117,120,123,128,130]', 6148914691236495462, 6148914691236500892)
              |) AS t(read_id, n_fwd, fwd_pos, fwd_h_first, fwd_h_last, n_rc, rc_pos, rc_h_first, rc_h_last)""".stripMargin)),
 
     // 2B: read_alignments over BGZF BAM — the reference's committed

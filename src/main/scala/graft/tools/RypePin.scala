@@ -4,16 +4,18 @@ import graft.kernel.Rype
 import graft.queries.LayerB
 
 /** Regenerates the pinned oracle rows for b20_rype_extract /
-  * b21_rype_classify (`sbt "runMain graft.tools.RypePin"`).
+  * b21_rype_classify / b32 (`sbt "runMain graft.tools.RypePin"`).
   *
-  * The rype hash (mix64 of salted RY k-mers) uses 64-bit wrapping
-  * multiplication, which DuckDB integer arithmetic cannot express, so
-  * those oracles pin expected rows as VALUES literals instead of
-  * re-deriving them. This tool recomputes the expectations from the
-  * KERNEL directly — b21's classification (set scores, threshold) is
-  * re-derived here from plain Scala collections, independently of the
-  * distributed inverted-index join the engine uses. Inputs are the
-  * deterministic synthetic genomes, so the rows are stable.
+  * These oracles pin expected rows as VALUES literals instead of
+  * re-deriving them in SQL. This tool recomputes the expectations from
+  * the KERNEL directly — b21's classification (set scores, threshold)
+  * is re-derived here from plain Scala collections, independently of
+  * the distributed inverted-index join the engine uses. Inputs are the
+  * deterministic synthetic genomes, so the rows are stable. Since
+  * round 6 the kernel's hash FORMAT itself is anchored to the
+  * reference's committed test.ryxdi index (RypeGoldenSpec), so these
+  * pins are regression pins on top of an externally-validated format,
+  * no longer the sole authority.
   */
 object RypePin {
   def main(args: Array[String]): Unit = {
