@@ -175,23 +175,170 @@ object Writers {
       referenceLengths: Option[DataFrame] = None): Unit = {
     val w = openWriter(path)
     try {
-      if (includeHeader) {
-        val known = referenceLengths
-          .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toVector)
-          .getOrElse(Vector.empty)
-        val knownNames = known.map(_._1).toSet
-        // unknown refs appearing in the data get the sentinel length
-        val dataRefs = df.select("reference").distinct().collect()
-          .map(_.getString(0)).filter(r => r != "*" && !knownNames.contains(r)).sorted
-        w.write("@HD\tVN:1.6\tSO:unknown"); w.newLine()
-        for ((name, len) <- known ++ dataRefs.map(_ -> UnknownReferenceLength)) {
-          w.write(s"@SQ\tSN:$name\tLN:$len"); w.newLine()
-        }
+      if (includeHeader) samHeaderLines(df, referenceLengths).foreach { l =>
+        w.write(l); w.newLine()
       }
       val names = df.schema.fieldNames.toSet
       df.toLocalIterator().forEachRemaining { r =>
         w.write(SamCodec.toLine(rowToSamRecord(r, names))); w.newLine()
       }
     } finally w.close()
+  }
+
+  private def samHeaderLines(
+      df: DataFrame, referenceLengths: Option[DataFrame]): Seq[String] = {
+    val known = referenceLengths
+      .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toVector)
+      .getOrElse(Vector.empty)
+    val knownNames = known.map(_._1).toSet
+    // unknown refs appearing in the data get the sentinel length
+    val dataRefs = df.select("reference").distinct().collect()
+      .map(_.getString(0)).filter(r => r != "*" && !knownNames.contains(r)).sorted
+    "@HD\tVN:1.6\tSO:unknown" +:
+      (known ++ dataRefs.map(_ -> UnknownReferenceLength)).map {
+        case (name, len) => s"@SQ\tSN:$name\tLN:$len"
+      }
+  }
+
+  // ---------------------------------------------------------------------
+  // Sharded (multi-file, executor-written) variants — the 100 TB path.
+  //
+  // The single-file writers above stream through the driver for parity
+  // with the reference's mutex-serialized writers; at scale that is a
+  // driver bottleneck by construction. These write ONE FILE PER
+  // PARTITION directly from the executors (no driver hop, no shuffle),
+  // with the partition id substituted for `{SHARD}` in the path
+  // template — the same templating contract as `{ORIENTATION}`. Files
+  // are created overwrite=true through the Hadoop FS (task retries are
+  // idempotent; disable speculative execution for these sinks, or
+  // point the template at a job-scoped directory that is committed by
+  // rename, if running with speculation on). Empty partitions produce
+  // no file. Each SAM shard carries the full header, so every shard is
+  // a valid standalone SAM file and `cat shards | grep -v '^@'`
+  // reassembles the record stream.
+  // ---------------------------------------------------------------------
+
+  private val ShardToken = "{SHARD}"
+
+  private def serializableConf(df: DataFrame): org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+
+  private def openShardWriter(
+      path: String, conf: org.apache.hadoop.conf.Configuration): BufferedWriter = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    // no .crc sidecars next to user-visible shard files
+    fs.setWriteChecksum(false)
+    val raw = fs.create(p, true)
+    val out = if (path.endsWith(".gz")) new GZIPOutputStream(raw) else raw
+    new BufferedWriter(new OutputStreamWriter(out, StandardCharsets.UTF_8))
+  }
+
+  private def requireShardToken(template: String): Unit =
+    require(template.contains(ShardToken),
+      s"sharded output path must contain $ShardToken: $template")
+
+  private def shardPath(template: String, shard: Int): String =
+    template.replace(ShardToken, f"$shard%05d")
+
+  /** Sharded COPY FASTQ: one `path` file per non-empty partition.
+    * Paired non-interleaved output needs BOTH tokens (e.g.
+    * `out/part-{SHARD}.{ORIENTATION}.fq.gz`).
+    */
+  def copyFastqSharded(
+      df: DataFrame,
+      pathTemplate: String,
+      qualOffset: Int = 33,
+      includeComment: Boolean = false,
+      interleave: Boolean = false): Unit = {
+    requireShardToken(pathTemplate)
+    val paired = df.schema.fieldNames.contains("sequence2")
+    validatePairedPath(pathTemplate, paired, interleave)
+    val conf = serializableConf(df)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val base = shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId())
+        if (paired && !interleave) {
+          val w1 = openShardWriter(base.replace(OrientationToken, "R1"), conf.value)
+          val w2 = openShardWriter(base.replace(OrientationToken, "R2"), conf.value)
+          try rows.foreach { r =>
+            w1.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w1.newLine()
+            if (r.getAs[String]("sequence2") != null) {
+              w2.write(FastxCodec.toFastq(fastxRecord(r, "sequence2", "qual2"), qualOffset, includeComment)); w2.newLine()
+            }
+          } finally { w1.close(); w2.close() }
+        } else {
+          val w = openShardWriter(base, conf.value)
+          try rows.foreach { r =>
+            w.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w.newLine()
+            if (paired && r.getAs[String]("sequence2") != null) {
+              w.write(FastxCodec.toFastq(fastxRecord(r, "sequence2", "qual2"), qualOffset, includeComment)); w.newLine()
+            }
+          } finally w.close()
+        }
+      }
+    }
+  }
+
+  /** Sharded COPY FASTA: one `path` file per non-empty partition. */
+  def copyFastaSharded(
+      df: DataFrame,
+      pathTemplate: String,
+      includeComment: Boolean = false,
+      interleave: Boolean = false): Unit = {
+    requireShardToken(pathTemplate)
+    val paired = df.schema.fieldNames.contains("sequence2")
+    validatePairedPath(pathTemplate, paired, interleave)
+    val conf = serializableConf(df)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val base = shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId())
+        if (paired && !interleave) {
+          val w1 = openShardWriter(base.replace(OrientationToken, "R1"), conf.value)
+          val w2 = openShardWriter(base.replace(OrientationToken, "R2"), conf.value)
+          try rows.foreach { r =>
+            w1.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w1.newLine()
+            if (r.getAs[String]("sequence2") != null) {
+              w2.write(FastxCodec.toFasta(fastxRecord(r, "sequence2", "qual2"), includeComment)); w2.newLine()
+            }
+          } finally { w1.close(); w2.close() }
+        } else {
+          val w = openShardWriter(base, conf.value)
+          try rows.foreach { r =>
+            w.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w.newLine()
+            if (paired && r.getAs[String]("sequence2") != null) {
+              w.write(FastxCodec.toFasta(fastxRecord(r, "sequence2", "qual2"), includeComment)); w.newLine()
+            }
+          } finally w.close()
+        }
+      }
+    }
+  }
+
+  /** Sharded COPY SAM: one `path` file per non-empty partition, each
+    * carrying the full header (computed once on the driver — the @SQ
+    * set must be the union over ALL shards, which an executor cannot
+    * know locally).
+    */
+  def copySamSharded(
+      df: DataFrame,
+      pathTemplate: String,
+      includeHeader: Boolean = true,
+      referenceLengths: Option[DataFrame] = None): Unit = {
+    requireShardToken(pathTemplate)
+    val header = if (includeHeader) samHeaderLines(df, referenceLengths) else Seq.empty
+    val names = df.schema.fieldNames.toSet
+    val conf = serializableConf(df)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val w = openShardWriter(
+          shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId()), conf.value)
+        try {
+          header.foreach { l => w.write(l); w.newLine() }
+          rows.foreach { r => w.write(SamCodec.toLine(rowToSamRecord(r, names))); w.newLine() }
+        } finally w.close()
+      }
+    }
   }
 }

@@ -86,20 +86,122 @@ class SamTable(options: CaseInsensitiveStringMap) extends Table with SupportsRea
 }
 
 class SamScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private val fullSchema = SamTable.schema(
     options.getBoolean("include_seq_qual", false),
     options.getBoolean("include_filepath", false))
   private var required: StructType = fullSchema
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new SamScan(options.asScala.toMap, required)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    val (sup, unsup) = filters.partition(SamFilters.supported)
+    pushed = sup
+    unsup // Spark re-applies only what we could not take
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+  override def build(): Scan = new SamScan(options.asScala.toMap, required, pushed)
+}
+
+/** Record-level pushdown predicates for the alignment source. The
+  * reference registers NO pushdown hooks (SURVEY §4.2) — this is a
+  * place Spark exceeds it: accepted filters run inside the reader,
+  * BEFORE the 21-column InternalRow (and seq/qual payload) is
+  * materialized, so a `reference = 'chr1' AND mapq >= 30` scan builds
+  * rows only for the fraction that survives. At 100 TB the same hook
+  * is where header/index-based whole-file pruning would attach.
+  */
+object SamFilters {
+  import org.apache.spark.sql.sources._
+
+  private val NumericCols =
+    Set("position", "stop_position", "template_length", "flags", "mapq")
+  private val StringCols = Set("read_id", "reference", "mate_reference", "cigar")
+  private def col(attr: String): Boolean = NumericCols(attr) || StringCols(attr)
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => col(a)
+    case GreaterThan(a, _) => col(a)
+    case GreaterThanOrEqual(a, _) => col(a)
+    case LessThan(a, _) => col(a)
+    case LessThanOrEqual(a, _) => col(a)
+    case In(a, _) => col(a)
+    case IsNotNull(a) => col(a)
+    case IsNull(a) => col(a)
+    case StringStartsWith(a, _) => StringCols(a)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  private def numOf(r: SamCodec.SamRecord, a: String): Long = a match {
+    case "position" => r.position
+    case "stop_position" => r.stopPosition
+    case "template_length" => r.templateLength
+    case "flags" => r.flags.toLong
+    case "mapq" => r.mapq.toLong
+  }
+  private def strOf(r: SamCodec.SamRecord, a: String): String = a match {
+    case "read_id" => r.readId
+    case "reference" => r.reference
+    case "mate_reference" => r.mateReference
+    case "cigar" => r.cigar
+  }
+  private def longVal(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case b: Boolean => if (b) 1L else 0L
+    case other => throw new IllegalArgumentException(s"non-numeric literal $other")
+  }
+
+  /** Compile one accepted filter to a record predicate. Mandatory SAM
+    * columns are never null, so IsNull is constant-false / IsNotNull
+    * constant-true for them.
+    */
+  def compile(f: Filter): SamCodec.SamRecord => Boolean = f match {
+    case EqualTo(a, v) if NumericCols(a) => r => numOf(r, a) == longVal(v)
+    case EqualTo(a, v) => r => strOf(r, a) == String.valueOf(v)
+    case GreaterThan(a, v) if NumericCols(a) => r => numOf(r, a) > longVal(v)
+    case GreaterThan(a, v) => r => strOf(r, a).compareTo(String.valueOf(v)) > 0
+    case GreaterThanOrEqual(a, v) if NumericCols(a) => r => numOf(r, a) >= longVal(v)
+    case GreaterThanOrEqual(a, v) => r => strOf(r, a).compareTo(String.valueOf(v)) >= 0
+    case LessThan(a, v) if NumericCols(a) => r => numOf(r, a) < longVal(v)
+    case LessThan(a, v) => r => strOf(r, a).compareTo(String.valueOf(v)) < 0
+    case LessThanOrEqual(a, v) if NumericCols(a) => r => numOf(r, a) <= longVal(v)
+    case LessThanOrEqual(a, v) => r => strOf(r, a).compareTo(String.valueOf(v)) <= 0
+    case In(a, vs) if NumericCols(a) =>
+      val set = vs.map(longVal).toSet; r => set(numOf(r, a))
+    case In(a, vs) =>
+      val set = vs.map(String.valueOf(_: Any)).toSet; r => set(strOf(r, a))
+    case IsNotNull(_) => _ => true
+    case IsNull(_) => _ => false
+    case StringStartsWith(a, p) => r => strOf(r, a).startsWith(p)
+    case And(l, r2) => val cl = compile(l); val cr = compile(r2); r => cl(r) && cr(r)
+    case Or(l, r2) => val cl = compile(l); val cr = compile(r2); r => cl(r) || cr(r)
+    case Not(c) => val cc = compile(c); r => !cc(r)
+    case other => throw new IllegalArgumentException(s"unsupported pushed filter $other")
+  }
+
+  def compileAll(fs: Seq[Filter]): SamCodec.SamRecord => Boolean = {
+    val ps = fs.map(compile)
+    r => ps.forall(_(r))
+  }
 }
 
 case class SamFilePartition(path: String) extends InputPartition
 
-class SamScan(options: Map[String, String], required: StructType) extends Scan with Batch {
+class SamScan(
+    options: Map[String, String],
+    required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // surfaces in explain() output for plan probes
+  override def description(): String =
+    s"alignments PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+  def pushedFilters: Array[org.apache.spark.sql.sources.Filter] = pushed
 
   override def planInputPartitions(): Array[InputPartition] =
     FileSourceCommon.expandPaths(
@@ -109,9 +211,11 @@ class SamScan(options: Map[String, String], required: StructType) extends Scan w
   override def createReaderFactory(): PartitionReaderFactory = {
     val includeSeqQual = options.get("include_seq_qual").exists(_.toBoolean)
     val req = required
+    val filters = pushed
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new SamPartitionReader(p.asInstanceOf[SamFilePartition], includeSeqQual, req)
+        new SamPartitionReader(p.asInstanceOf[SamFilePartition], includeSeqQual, req,
+          SamFilters.compileAll(filters.toSeq))
     }
   }
 
@@ -153,7 +257,8 @@ class SamMicroBatchStream(
 class SamPartitionReader(
     part: SamFilePartition,
     includeSeqQual: Boolean,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType,
+    keep: SamCodec.SamRecord => Boolean = _ => true) extends PartitionReader[InternalRow] {
 
   // Format auto-detect: .bam → binary BGZF codec; anything else → SAM
   // text (gzip-transparent), matching the reference's htslib autodetect
@@ -241,17 +346,21 @@ class SamPartitionReader(
 
   override def next(): Boolean = {
     if (isBam) {
-      if (bamReader.hasNext) { current = toRow(bamReader.next()); true }
-      else false
+      while (bamReader.hasNext) {
+        val rec = bamReader.next()
+        if (keep(rec)) { current = toRow(rec); return true }
+      }
+      false
     } else {
       var line = reader.readLine()
-      while (line != null && (line.isEmpty || SamCodec.isHeaderLine(line)))
+      while (line != null) {
+        if (line.nonEmpty && !SamCodec.isHeaderLine(line)) {
+          val rec = SamCodec.parseLine(line, includeSeqQual)
+          if (keep(rec)) { current = toRow(rec); return true }
+        }
         line = reader.readLine()
-      if (line == null) false
-      else {
-        current = toRow(SamCodec.parseLine(line, includeSeqQual))
-        true
       }
+      false
     }
   }
 

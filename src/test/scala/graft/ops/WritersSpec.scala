@@ -106,6 +106,61 @@ class WritersSpec extends AnyFunSuite {
     assert(bytes.takeRight(12).forall(_ == 0) == false || true)
   }
 
+  test("sharded FASTQ: one file per non-empty partition, glob read-back equals input") {
+    val src = spark.read.format("fastx").load(s"$fq/foo.r1.fastq.gz")
+      .select("read_id", "sequence1", "qual1")
+      .repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardfq").toString
+    Writers.copyFastqSharded(src, s"$dir/part-{SHARD}.fq")
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.length >= 2, s"expected 2+ shards, got ${files.mkString(",")}")
+    assert(files.forall(_.matches("part-\\d{5}\\.fq")))
+    val back = spark.read.format("fastx").load(s"$dir/part-*.fq")
+      .select("read_id", "sequence1").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val orig = src.select("read_id", "sequence1").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(back.toSeq == orig.toSeq && orig.nonEmpty)
+  }
+
+  test("sharded SAM: every shard is a standalone valid SAM with the full header") {
+    val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam").repartition(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardsam").toString
+    Writers.copySamSharded(src, s"$dir/out-{SHARD}.sam")
+    val files = new java.io.File(dir).listFiles().map(_.getPath).sorted
+    assert(files.nonEmpty)
+    for (f <- files) {
+      val lines = scala.io.Source.fromFile(f).getLines().toSeq
+      assert(lines.head.startsWith("@HD"))
+      assert(lines.count(_.startsWith("@SQ")) == 2) // union header in every shard
+    }
+    val back = spark.read.format("alignments").load(s"$dir/out-*.sam")
+      .select("read_id", "flags", "reference", "position").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).sorted
+    val orig = src.select("read_id", "flags", "reference", "position").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).sorted
+    assert(back.toSeq == orig.toSeq && orig.nonEmpty)
+  }
+
+  test("sharded paired FASTQ: {SHARD} x {ORIENTATION} matrix") {
+    val src = spark.read.format("fastx")
+      .option("sequence2", s"$fq/foo.r2.fastq.gz").load(s"$fq/foo.r1.fastq.gz")
+      .repartition(2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardpe").toString
+    Writers.copyFastqSharded(src, s"$dir/p-{SHARD}.{ORIENTATION}.fq")
+    val names = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(names.exists(_.matches("p-\\d{5}\\.R1\\.fq")) && names.exists(_.matches("p-\\d{5}\\.R2\\.fq")))
+    val r1 = spark.read.format("fastx").load(s"$dir/p-*.R1.fq").count()
+    val r2 = spark.read.format("fastx").load(s"$dir/p-*.R2.fq").count()
+    assert(r1 == src.count() && r2 == src.filter(col("sequence2").isNotNull).count())
+  }
+
+  test("sharded template without {SHARD} is rejected") {
+    val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
+    val e = intercept[IllegalArgumentException](
+      Writers.copySamSharded(src, "/tmp/nope.sam"))
+    assert(e.getMessage.contains("{SHARD}"))
+  }
+
   test("SAM writer: unknown references get sentinel length 2^31-1") {
     val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
     import spark.implicits._

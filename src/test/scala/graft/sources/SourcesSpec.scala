@@ -191,4 +191,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.collect().length == 4)
     assert(plan.contains("read_id"))
   }
+
+  test("alignments: filter pushdown reaches the reader and results match post-filtering") {
+    val path = s"$sam/foo_has_header.sam"
+    val unfiltered = spark.read.format("alignments").load(path).collect()
+
+    val df = spark.read.format("alignments").load(path)
+      .filter(col("reference") === "G1234" && col("position") >= 2L && col("flags") =!= 99)
+    // the scan itself carries the predicates (plan probe) …
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }
+    val pushed = scans.collectFirst { case s: SamScan => s.pushedFilters }.getOrElse(Array.empty)
+    assert(pushed.nonEmpty, s"no pushed filters on scan: ${df.queryExecution.executedPlan}")
+    assert(pushed.flatMap(_.references).toSet == Set("reference", "position", "flags"))
+    // … and record-level evaluation matches Spark-side post-filtering
+    val expected = unfiltered.filter(r =>
+      r.getString(2) == "G1234" && r.getLong(3) >= 2L && r.getInt(1) != 99)
+    assert(df.count() == expected.length && expected.nonEmpty)
+  }
+
+  test("alignments: pushdown on BAM and IN/startsWith forms") {
+    val bam = s"$sam/foo_has_header.bam"
+    val all = spark.read.format("alignments").load(bam).collect()
+    val inDf = spark.read.format("alignments").load(bam)
+      .filter(col("read_id").isin("foo-1", "foo-3") && col("mapq") >= 0)
+    val expected = all.count(r => Set("foo-1", "foo-3")(r.getString(0)))
+    assert(inDf.count() == expected && expected > 0)
+    val sw = spark.read.format("alignments").load(bam)
+      .filter(col("read_id").startsWith("foo"))
+    assert(sw.count() == all.length)
+  }
 }
