@@ -33,6 +33,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.FramelessWindowStrategy.install(spark)
 
     val layerA = SparkEntry.benchQueries
     // Round-6 widening: the heavy domain/LLM set (LSH, connected

@@ -17,9 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * Reference SQL surface: src/miint_extension.cpp:65-117.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     for (fn <- GraftFunctionBuilders.all)
       ext.injectFunction((FunctionIdentifier(fn.name),
         new ExpressionInfo("graft", null, fn.name, fn.usage, ""),
         fn.builder))
+    // hash (sort-free) evaluation of frameless window aggregates
+    ext.injectPlannerStrategy(_ => graft.plans.FramelessWindowStrategy)
+  }
 }

@@ -32,11 +32,25 @@ object A16Probe {
       println(f"PROBE $name: min=${runs.min}%.3f avg=${runs.sum / 3}%.3f")
     }
 
-    time("window") {
+    def winQuery() =
       li.select(col("l_orderkey"), col("l_linenumber"),
           count(lit(1)).over(Window.partitionBy(col("l_orderkey"))).as("cnt"))
-        .write.format("noop").mode("overwrite").save()
+
+    spark.conf.set(graft.plans.FramelessWindowStrategy.EnabledKey, "false")
+    time("window_sort") {
+      winQuery().write.format("noop").mode("overwrite").save()
     }
+    spark.conf.set(graft.plans.FramelessWindowStrategy.EnabledKey, "true")
+    graft.plans.FramelessWindowStrategy.install(spark)
+    spark.conf.set(graft.plans.FramelessWindowStrategy.ModeKey, "join")
+    time("window_hash_join") {
+      winQuery().write.format("noop").mode("overwrite").save()
+    }
+    spark.conf.set(graft.plans.FramelessWindowStrategy.ModeKey, "buffer")
+    time("window_hash_buffer") {
+      winQuery().write.format("noop").mode("overwrite").save()
+    }
+    spark.conf.set(graft.plans.FramelessWindowStrategy.EnabledKey, "false")
     time("groupby_joinback") {
       val base = li.select("l_orderkey", "l_linenumber")
       val cnts = base.groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
