@@ -26,16 +26,21 @@ object ScaleUp {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/root/repo/tmp/sf1")
     val n = args.lift(2).map(_.toInt).getOrElse(10)
+    // optional 4th arg: comma-separated table subset (skip re-deriving
+    // the multi-GB fact tables when only adding new ones)
+    val only = args.lift(3).map(_.split(",").toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val reps = spark.range(n).toDF("rep")
-    def scale(name: String, keys: Set[String]): Unit = {
+    def scale(name: String, keys: Set[String]): Unit = if (wanted(name)) {
       val df = spark.read.parquet(s"$src/$name.parquet")
       val out = df
         .crossJoin(broadcast(reps))
@@ -52,6 +57,54 @@ object ScaleUp {
     scale("customer", Set("c_custkey"))
     scale("orders", Set("o_orderkey", "o_custkey"))
     scale("lineitem", Set("l_orderkey", "l_partkey", "l_suppkey"))
+
+    // events: ids/users shift like join keys; ts stays (windowed aggs
+    // then see n× density per window, the realistic way event volume
+    // grows). ts is TIMESTAMP(NANOS) → builder needs nanosAsLong, but
+    // this session reads it as long transparently for a copy.
+    scale("events", Set("event_id", "user_id"))
+
+    // documents: shifting doc_id alone would make every replica a
+    // byte-identical near-dup of the original — LSH/minhash candidate
+    // pairs would grow QUADRATICALLY in n and the derived bench would
+    // measure a different (pathologically dense) workload. Injecting a
+    // replica-specific character every 8 chars rewrites ~half of all
+    // 5-gram shingles, pushing cross-replica Jaccard far below any
+    // dedup threshold: replicas become disjoint near-dup universes and
+    // the workload scales linearly, like the TPC-H tables above.
+    if (wanted("documents")) {
+      val df = spark.read.parquet(s"$src/documents.parquet")
+      // two-letter alphanumeric salt (A-Z × a-z = 676 distinct reps);
+      // letters only — '$' or '\' would be group references in the
+      // regexp_replace replacement string
+      val salt = concat(
+        chr(lit(65) + pmod(col("rep"), lit(26))),
+        chr(lit(97) + pmod(floor(col("rep") / 26), lit(26))))
+      val out = df.crossJoin(broadcast(reps)).select(
+        (col("doc_id") + col("rep") * KeyOffset).as("doc_id"),
+        regexp_replace(col("text"), lit("(.{8})"), concat(lit("$1"), salt)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      out.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      println(s"[scaleup] documents -> $dst/documents.parquet (x$n, salted)")
+    }
+
+    // embeddings: identical vectors across replicas would put every
+    // replica pair at cosine 1.0 — same quadratic blow-up. A circular
+    // shift by rep positions is norm-preserving and near-orthogonal
+    // for these synthetic vectors, so replicas stay disjoint for ANN /
+    // near-dup purposes while the value distribution is unchanged.
+    if (wanted("embeddings")) {
+      val df = spark.read.parquet(s"$src/embeddings.parquet")
+      val dim = size(col("embedding"))
+      val k = pmod(col("rep"), dim)
+      val out = df.crossJoin(broadcast(reps)).select(
+        (col("vec_id") + col("rep") * KeyOffset).as("vec_id"),
+        concat(slice(col("embedding"), k + 1, dim - k),
+          slice(col("embedding"), lit(1), k)).as("embedding"),
+        col("label"))
+      out.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      println(s"[scaleup] embeddings -> $dst/embeddings.parquet (x$n, rotated)")
+    }
     spark.stop()
   }
 }
