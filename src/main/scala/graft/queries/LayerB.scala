@@ -953,7 +953,39 @@ object LayerB {
              |   CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR))
              |) AS t(read_id, flags, reference, position, stop_position, mapq, cigar,
              |       mate_reference, mate_position, template_length, tag_as, tag_xs, tag_ys,
-             |       tag_xn, tag_xm, tag_xo, tag_xg, tag_nm, tag_yt, tag_md, tag_sa)""".stripMargin))
+             |       tag_xn, tag_xm, tag_xo, tag_xg, tag_nm, tag_yt, tag_md, tag_sa)""".stripMargin)),
+
+    // 2B: read_alignments over CRAM 3.0 — the pure-JVM CramCodec
+    // (gzip+rANS4x8 blocks, multi-ref slices, reference-based decode
+    // against ce.fa, MD/NM regeneration) on htslib's committed
+    // range.cram. Oracle pins per-reference aggregates computed from
+    // the INDEPENDENT BAM-twin decode path (range.bam via BamCodec,
+    // itself oracle- and golden-anchored in b33); CramSpec pins full
+    // 21-column + seq/qual row equality of the two paths.
+    QueryDef(
+      "b34_read_cram",
+      (s, d) =>
+        s.read.format("alignments")
+          .option("reference_fasta", "/root/reference/ext/htslib-1.22.1/test/ce.fa")
+          .load("/root/reference/ext/htslib-1.22.1/test/range.cram")
+          .groupBy("reference").agg(
+            count(lit(1)).as("n"),
+            sum("position").as("sum_pos"),
+            sum("flags").as("sum_flags"),
+            sum("mapq").as("sum_mapq"),
+            sum("tag_nm").as("sum_nm"),
+            sum(length(col("cigar"))).as("sum_cigar_len"),
+            sum(length(col("tag_md"))).as("sum_md_len")),
+      Some("""SELECT * FROM (VALUES
+             |  ('CHROMOSOME_I',   CAST(18 AS BIGINT), CAST(27180 AS BIGINT), CAST(2226 AS BIGINT),
+             |   CAST(729 AS BIGINT), CAST(10 AS BIGINT), CAST(82 AS BIGINT), CAST(77 AS BIGINT)),
+             |  ('CHROMOSOME_II',  CAST(34 AS BIGINT), CAST(67353 AS BIGINT), CAST(4148 AS BIGINT),
+             |   CAST(2017 AS BIGINT), CAST(3 AS BIGINT), CAST(136 AS BIGINT), CAST(108 AS BIGINT)),
+             |  ('CHROMOSOME_III', CAST(41 AS BIGINT), CAST(83850 AS BIGINT), CAST(5099 AS BIGINT),
+             |   CAST(2398 AS BIGINT), CAST(14 AS BIGINT), CAST(165 AS BIGINT), CAST(150 AS BIGINT)),
+             |  ('CHROMOSOME_IV',  CAST(19 AS BIGINT), CAST(31196 AS BIGINT), CAST(2361 AS BIGINT),
+             |   CAST(68 AS BIGINT), CAST(1 AS BIGINT), CAST(76 AS BIGINT), CAST(58 AS BIGINT))
+             |) AS t(reference, n, sum_pos, sum_flags, sum_mapq, sum_nm, sum_cigar_len, sum_md_len)""".stripMargin))
   )
 
   /** Deterministic pseudo-random genomes (LCG — stable across JVMs). */

@@ -212,10 +212,12 @@ class SamScan(
     val includeSeqQual = options.get("include_seq_qual").exists(_.toBoolean)
     val req = required
     val filters = pushed
+    val refFasta = options.get("reference_fasta")
+    val generateMd = options.get("generate_md").forall(_.toBoolean)
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
         new SamPartitionReader(p.asInstanceOf[SamFilePartition], includeSeqQual, req,
-          SamFilters.compileAll(filters.toSeq))
+          SamFilters.compileAll(filters.toSeq), refFasta, generateMd)
     }
   }
 
@@ -258,36 +260,42 @@ class SamPartitionReader(
     part: SamFilePartition,
     includeSeqQual: Boolean,
     required: StructType,
-    keep: SamCodec.SamRecord => Boolean = _ => true) extends PartitionReader[InternalRow] {
+    keep: SamCodec.SamRecord => Boolean = _ => true,
+    referenceFasta: Option[String] = None,
+    generateMd: Boolean = true) extends PartitionReader[InternalRow] {
 
-  // Format auto-detect: .bam → binary BGZF codec; anything else → SAM
-  // text (gzip-transparent), matching the reference's htslib autodetect
-  // (reference: src/read_alignments.cpp format handling). CRAM is
-  // detected by its 4-byte magic (and extension) like htslib
-  // (reference: src/SAMReader.cpp:134 "r" auto-detect covers
-  // SAM/BAM/CRAM) but is outside the supported subset — a from-scratch
-  // CRAM codec needs rANS decoders plus the reference FASTA for
-  // reference-based decode — so it fails with a clear message instead
-  // of parsing the container as SAM text.
+  // Format auto-detect: CRAM by its 4-byte magic (or extension) →
+  // pure-JVM CramCodec (raw/gzip/rANS4x8 subset; reference-based
+  // decode needs the reference_fasta option); .bam → binary BGZF
+  // codec; anything else → SAM text (gzip-transparent). Matches the
+  // reference's htslib autodetect (reference: src/read_alignments.cpp
+  // format handling, src/SAMReader.cpp:134).
+  private var isCram = false
   private val stream = {
     val s = new java.io.BufferedInputStream(FileSourceCommon.openStream(part.path))
     s.mark(4)
     val magic = new Array[Byte](4)
     val n = s.readNBytes(magic, 0, 4)
     s.reset()
-    if ((n == 4 && magic.sameElements("CRAM".getBytes("US-ASCII"))) ||
-        part.path.endsWith(".cram"))
-      throw new IllegalArgumentException(
-        "CRAM input is not supported (the pure-JVM codec subset covers SAM " +
-          s"text and BAM); convert to BAM, e.g. `samtools view -b`: ${part.path}")
+    isCram = (n == 4 && magic.sameElements("CRAM".getBytes("US-ASCII"))) ||
+      part.path.endsWith(".cram")
     s
   }
+  private val cramReader: Iterator[String] =
+    if (isCram)
+      new graft.kernel.CramCodec.Reader(
+        stream,
+        referenceFasta.map { f =>
+          graft.kernel.CramCodec.loadFasta(FileSourceCommon.openStream(f))
+        },
+        part.path, generateMd)
+    else null
   // BAM by content, not extension: BGZF is gzip, so decompress the
   // first block and look for the "BAM\1" magic (htslib's autodetect —
   // this is what makes `cat x.bam | … read_alignments('-')` work,
   // where the path carries no extension). mark limit 1 MiB covers the
   // max 64 KiB BGZF block plus gzip read-ahead.
-  private val isBam = part.path.endsWith(".bam") || {
+  private val isBam = !isCram && (part.path.endsWith(".bam") || {
     stream.mark(1 << 20)
     val head = new Array[Byte](2)
     val n2 = stream.readNBytes(head, 0, 2)
@@ -303,12 +311,12 @@ class SamPartitionReader(
       } else false
     stream.reset()
     bam
-  }
+  })
   private val bamReader =
     if (isBam) new graft.kernel.BamCodec.Reader(stream, includeSeqQual)
     else null
   private val reader =
-    if (isBam) null
+    if (isBam || isCram) null
     else graft.kernel.FastxCodec.open(part.path, stream) // gzip-transparent line reader
   private var current: InternalRow = _
 
@@ -345,7 +353,13 @@ class SamPartitionReader(
   }
 
   override def next(): Boolean = {
-    if (isBam) {
+    if (isCram) {
+      while (cramReader.hasNext) {
+        val rec = SamCodec.parseLine(cramReader.next(), includeSeqQual)
+        if (keep(rec)) { current = toRow(rec); return true }
+      }
+      false
+    } else if (isBam) {
       while (bamReader.hasNext) {
         val rec = bamReader.next()
         if (keep(rec)) { current = toRow(rec); return true }
@@ -366,5 +380,7 @@ class SamPartitionReader(
 
   override def get(): InternalRow = current
   override def close(): Unit =
-    if (isBam) bamReader.close() else reader.close()
+    if (isCram) stream.close()
+    else if (isBam) bamReader.close()
+    else reader.close()
 }

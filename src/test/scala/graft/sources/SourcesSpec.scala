@@ -163,25 +163,26 @@ class SourcesSpec extends AnyFunSuite {
       Seq((2147483648L, 2147483748L)))
   }
 
-  test("CRAM input rejected with a clear message (magic- and extension-detected)") {
-    // htslib auto-detects SAM/BAM/CRAM (reference src/SAMReader.cpp:134);
-    // CRAM is outside our codec subset — both detection paths must fail
-    // loudly instead of parsing the container as SAM text.
-    val byMagic = "/tmp/graft_cram_magic.sam"
-    java.nio.file.Files.write(java.nio.file.Paths.get(byMagic),
-      "CRAM".getBytes ++ Array[Byte](3, 0) ++ Array.fill[Byte](32)(0))
-    val e1 = intercept[Exception](
-      spark.read.format("alignments").load(byMagic).collect())
+  test("CRAM outside the supported subset fails loudly (version, not SAM-text parse)") {
+    // htslib auto-detects SAM/BAM/CRAM (reference src/SAMReader.cpp:134).
+    // Supported CRAM 3.0 is exercised in CramSpec; other versions must
+    // error with a typed message, never fall through to SAM-text parsing.
     def rootMsg(t: Throwable): String =
       (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
-    assert(rootMsg(e1).contains("CRAM input is not supported"))
+    val v2 = "/tmp/graft_cram_v2.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(v2),
+      "CRAM".getBytes ++ Array[Byte](2, 1) ++ Array.fill[Byte](20)(0))
+    val e1 = intercept[Exception](
+      spark.read.format("alignments").load(v2).collect())
+    assert(rootMsg(e1).contains("outside the supported subset"))
+    // extension-detected non-CRAM content: the magic check must name the file
     val byExt = "/tmp/graft_cram_ext.cram"
     java.nio.file.Files.write(java.nio.file.Paths.get(byExt),
       "@HD\tVN:1.6\n".getBytes)
     val e2 = intercept[Exception](
       spark.read.format("alignments").load(byExt).collect())
-    assert(rootMsg(e2).contains("CRAM input is not supported"))
+    assert(rootMsg(e2).contains("not a CRAM file"))
   }
 
   test("alignments: projection pushdown reaches the reader") {
