@@ -51,12 +51,25 @@ object Dedup {
     * stays O(1) across iterations instead of nesting one join tree per
     * round.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  /** Below this many (directed, deduplicated) edges the component
+    * computation runs as a driver-local union-find instead of the
+    * iterative join loop: a graph this size is ≤ ~64 MB of longs, and
+    * each distributed round costs several fixed-latency shuffle jobs
+    * that dwarf the actual work. Same adaptive philosophy as the
+    * broadcast-join size gate — at 100 TB the candidate-pair graph
+    * blows past the gate and the O(log d) distributed loop runs.
+    */
+  val LocalCcMaxEdges: Long = 4000000L
+
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
+      localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()
       .persist()
     try {
+      val edgeCount = edges.count() // materializes the persist either way
+      if (edgeCount <= localMaxEdges) return localComponents(edges)
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
       var it = 0
@@ -81,17 +94,22 @@ object Dedup {
         // from the checkpointed RDD resets stats to the default
         // estimate, severing the exponential growth; the Row serde it
         // costs is per-round over the narrow (id, label) table only.
+        // The previous label rides along in the checkpointed frame so
+        // the convergence check is a plain scan of already-materialized
+        // rows — not (as before) a per-round join of the new labels
+        // back to the old ones, which cost one extra shuffle job every
+        // iteration (~0.2-0.4s of fixed latency each on small inputs).
         val ck = labels
           .join(viaNeighbor, Seq("id"), "left")
           .join(viaParent, Seq("id"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("nmin"), col("label")),
-              coalesce(col("pl"), col("label"))).as("label"))
+              coalesce(col("pl"), col("label"))).as("label"),
+            col("label").as("prev"))
           .localCheckpoint(eager = true)
         val next = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-        val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-          .filter(col("label") =!= col("old")).limit(1).count()
-        labels = next
+        val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
+        labels = next.select(col("id"), col("label"))
         converged = changed == 0
         it += 1
       }
@@ -103,6 +121,53 @@ object Dedup {
           "raise maxIters (rounds needed grow with log of the graph diameter)")
       labels.select(col("id"), col("label").as("component"))
     } finally edges.unpersist(blocking = false)
+  }
+
+  /** Driver-local union-find (path compression + union by rank) for
+    * graphs under [[LocalCcMaxEdges]]; component label = min node id,
+    * identical to the distributed loop's output.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val idx = new java.util.HashMap[Long, Int]()
+    for ((a, b) <- pairs) {
+      if (!idx.containsKey(a)) idx.put(a, idx.size)
+      if (!idx.containsKey(b)) idx.put(b, idx.size)
+    }
+    val n = idx.size
+    val parent = Array.tabulate(n)(identity)
+    val rank = new Array[Int](n)
+    def find(x: Int): Int = {
+      var root = x
+      while (parent(root) != root) root = parent(root)
+      var cur = x
+      while (parent(cur) != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    for ((a, b) <- pairs) {
+      val ra = find(idx.get(a)); val rb = find(idx.get(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    val ids = new Array[Long](n)
+    idx.forEach((id, i) => ids(i) = id)
+    val minOfRoot = new java.util.HashMap[Int, Long]()
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (!minOfRoot.containsKey(r) || ids(i) < minOfRoot.get(r)) minOfRoot.put(r, ids(i))
+      i += 1
+    }
+    val rows = (0 until n).map(i => org.apache.spark.sql.Row(ids(i), minOfRoot.get(find(i))))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, n / 100000)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Character n-gram shingle array (distinct) — a pure column

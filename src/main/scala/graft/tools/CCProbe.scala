@@ -24,7 +24,8 @@ object CCProbe {
       val pairs = spark.range(nodes - 1)
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       val t0 = System.nanoTime()
-      val cc = graft.ops.Dedup.connectedComponents(pairs, maxIters = 30)
+      // localMaxEdges=0 forces the distributed loop — the thing under test
+      val cc = graft.ops.Dedup.connectedComponents(pairs, maxIters = 30, localMaxEdges = 0)
       val comps = cc.agg(
         countDistinct(col("component")).as("n_comp"),
         count(lit(1)).as("n")).collect()(0)

@@ -99,6 +99,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(comp.size == 10)
   }
 
+  test("local union-find and distributed loop agree (same labels, random graph)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 400).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = Dedup.connectedComponents(pairs, localMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("connectedComponents executes the upstream pairs pipeline once (edges persisted)") {
     import spark.implicits._
     // count upstream executions with an accumulator inside a UDF over
