@@ -9,10 +9,13 @@ import org.apache.spark.sql.types._
   *
   * IMAGE payloads are decoded for real (kernel/ImageCodec.scala —
   * `javax.imageio`, pure JDK: PNG/JPEG/GIF/BMP → dimensions + channel
-  * means; pinned end-to-end by l21's generative oracle). Audio/video
-  * codec work requires native libraries that are OUT OF SCOPE in this
+  * means; pinned end-to-end by l21's generative oracle). AUDIO
+  * payloads are decoded for real too (kernel/AudioCodec.scala —
+  * `javax.sound.sampled`, pure JDK: WAV/AIFF/AU PCM → format + exact
+  * sample statistics; pinned by l22). VIDEO has no JDK codec and
+  * requires native libraries that are OUT OF SCOPE in this
   * environment — `fakeDecode` below is the clearly-marked
-  * deterministic FALLBACK for those kinds (and for undecodable image
+  * deterministic FALLBACK for it (and for undecodable image/audio
   * bytes). Everything around it — the schema, the binary payload
   * handling, the partition-batched mapPartitions shape, and the
   * metadata struct — is the real distributed plumbing a real codec
@@ -52,10 +55,12 @@ object Multimodal {
       media_id: Long, kind: String, n_bytes: Long, checksum: Long,
       width: Option[Int], height: Option[Int],
       mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double],
+      channels: Option[Int], sample_rate: Option[Int], n_frames: Option[Long],
+      duration_ms: Option[Long], mean_amp: Option[Double], peak_abs: Option[Int],
       feature: Array[Double])
 
-  /** STUB for the kinds the JDK has no codec for (audio/video), and
-    * the fallback for undecodable image bytes. A real implementation
+  /** STUB for the one kind the JDK has no codec for (video), and the
+    * fallback for undecodable image/audio bytes. A real implementation
     * would replace this body with the native codec call; the
     * partition-batched iterator shape (no per-row JNI setup, bounded
     * memory) is the part under test.
@@ -102,15 +107,28 @@ object Multimodal {
           val img =
             if (m.kind == "image") graft.kernel.ImageCodec.decode(m.payload)
             else None
-          img match {
-            case Some(d) =>
+          val aud =
+            if (m.kind == "audio") graft.kernel.AudioCodec.decode(m.payload)
+            else None
+          (img, aud) match {
+            case (Some(d), _) =>
               MediaFeatures(m.media_id, m.kind, nBytes, checksum,
                 Some(d.width), Some(d.height),
                 Some(d.meanR), Some(d.meanG), Some(d.meanB),
+                None, None, None, None, None, None,
                 Array(d.meanR / 255.0, d.meanG / 255.0, d.meanB / 255.0))
-            case None =>
+            case (_, Some(a)) =>
+              val n = a.nFrames * a.channels
+              val mean = if (n == 0) 0.0 else a.sumSamples.toDouble / n
               MediaFeatures(m.media_id, m.kind, nBytes, checksum,
-                None, None, None, None, None, fakeDecode(m.payload))
+                None, None, None, None, None,
+                Some(a.channels), Some(a.sampleRate), Some(a.nFrames),
+                Some(a.durationMs), Some(mean), Some(a.peakAbs),
+                Array(mean / 32768.0, a.peakAbs / 32768.0))
+            case _ =>
+              MediaFeatures(m.media_id, m.kind, nBytes, checksum,
+                None, None, None, None, None,
+                None, None, None, None, None, None, fakeDecode(m.payload))
           }
         }
       }
@@ -138,6 +156,27 @@ object Multimodal {
     })
     docs.filter(col("doc_id") < limit)
       .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+        mk(col("doc_id")).as("payload"))
+  }
+
+  /** Deterministic WAV media table: one short PCM clip per documents
+    * row (doc_id < limit), format and every 16-bit sample a generative
+    * formula of (id, channel, frame) — so l22's DuckDB oracle
+    * re-derives the decoded statistics from the formula alone, without
+    * ever touching WAV bytes, while the Spark side round-trips them
+    * through a REAL encode (here) + decode (AudioCodec inside
+    * extractFeatures). PCM is lossless, so the two must agree exactly.
+    */
+  def syntheticAudio(docs: DataFrame, limit: Long): DataFrame = {
+    val mk = udf((id: Long) => {
+      val channels = (1 + id % 2).toInt
+      val rate = (8000 * (1 + id % 3)).toInt
+      val frames = (40 + id % 25).toInt
+      graft.kernel.AudioCodec.encodeWav(channels, rate, frames, (ch, t) =>
+        (((id * 7919 + ch * 104729L + t * 1299721L) % 65536) - 32768).toShort)
+    })
+    docs.filter(col("doc_id") < limit)
+      .select(col("doc_id").as("media_id"), lit("audio").as("kind"),
         mk(col("doc_id")).as("payload"))
   }
 

@@ -663,6 +663,41 @@ object LlmPipeline {
              |             / (width * height), 6) AS mean_b
              |  FROM m""".stripMargin)),
 
+    // REAL audio decode end-to-end: one short WAV per documents row
+    // (generative 16-bit PCM formula) is ENCODED with
+    // javax.sound.sampled on the Spark side, decoded back by
+    // kernel/AudioCodec inside extractFeatures, and the oracle
+    // re-derives format + exact sample statistics from the formula
+    // alone in pure SQL — DuckDB never sees a WAV, so any codec defect
+    // (endianness, channel interleave, header/frame-count drift)
+    // breaks the hash compare. PCM losslessness makes equality exact.
+    QueryDef(
+      "l22_audio_decode",
+      (s, d) => {
+        val media = Multimodal.syntheticAudio(Tables.documents(s, d), 200)
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("channels"), col("sample_rate"),
+            col("n_frames"), col("duration_ms"),
+            round(col("mean_amp"), 6).as("mean_amp"), col("peak_abs"))
+      },
+      Some("""WITH auds AS (
+             |  SELECT doc_id AS media_id,
+             |         CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             |         CAST(8000 * (1 + doc_id % 3) AS INTEGER) AS sample_rate,
+             |         CAST(40 + doc_id % 25 AS BIGINT) AS n_frames
+             |    FROM documents WHERE doc_id < 200),
+             |m AS (
+             |  SELECT media_id, channels, sample_rate, n_frames,
+             |         flatten(list_transform(generate_series(0, channels - 1), c ->
+             |           list_transform(generate_series(0, CAST(n_frames AS INTEGER) - 1), t ->
+             |             ((media_id * 7919 + c * 104729 + t * 1299721) % 65536) - 32768))) AS s
+             |    FROM auds)
+             |SELECT media_id, channels, sample_rate, n_frames,
+             |       (n_frames * 1000) // sample_rate AS duration_ms,
+             |       ROUND(CAST(list_sum(s) AS DOUBLE) / (channels * n_frames), 6) AS mean_amp,
+             |       CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak_abs
+             |  FROM m""".stripMargin)),
+
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams
     // .windowedTypeCounts (incremental variant tested in
