@@ -28,16 +28,76 @@ object TextKernel {
     x ^ (x >>> 31)
   }
 
+  /** FNV-1a 64-bit over the UTF-16 code units in [from, until) —
+    * identical to `hash64(s.substring(from, until))` without the
+    * substring allocation (shingling hashes every window of every
+    * document; the allocation is the dominant cost at corpus scale).
+    */
+  def hash64Range(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   /** Distinct character n-gram (shingle) hash set of a string. */
   def shingleHashes(text: String, n: Int): Array[Long] = {
     if (text.length < n) return Array.empty
     val set = new mutable.HashSet[Long]
     var i = 0
     while (i + n <= text.length) {
-      set += hash64(text.substring(i, i + n))
+      set += hash64Range(text, i, i + n)
       i += 1
     }
     set.toArray
+  }
+
+  /** Sorted distinct FNV-64 hashes of the CODE-POINT n-gram windows —
+    * the hashed twin of [[ngramJaccard]]'s shingle sets (same window
+    * boundaries), precomputed once per document so LSH verify joins
+    * can carry ~8 bytes/shingle instead of re-shingling text per
+    * candidate pair. Sorted so the pair-side intersection is a merge,
+    * not a hash probe.
+    */
+  def sortedShingleHashes(text: String, n: Int): Array[Long] = {
+    val cps = text.codePointCount(0, text.length)
+    if (cps < n) return Array.empty
+    val set = new mutable.HashSet[Long]
+    var start = 0
+    var end = text.offsetByCodePoints(0, n)
+    set += hash64Range(text, start, end)
+    var i = 1
+    while (i <= cps - n) {
+      start = text.offsetByCodePoints(start, 1)
+      end = text.offsetByCodePoints(end, 1)
+      set += hash64Range(text, start, end)
+      i += 1
+    }
+    val out = set.toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** Jaccard similarity of two sorted distinct hash arrays (merge
+    * intersection — no allocation, no boxing). Exactly the distinct-
+    * shingle Jaccard of [[ngramJaccard]] provided the 64-bit shingle
+    * hashes are collision-free on the pair (probability ~|A||B|/2^64);
+    * both-empty → 1.0, matching [[ngramJaccard]]'s convention.
+    */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
   }
 
   /** MinHash signature: numHashes independent minima over the shingle

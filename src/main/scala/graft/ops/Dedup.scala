@@ -226,12 +226,27 @@ object Dedup {
   private val minhashUdf = udf((text: String, shingleN: Int, numHashes: Int) =>
     TextKernel.minhashSignature(TextKernel.shingleHashes(text, shingleN), numHashes))
 
+  private val sortedShinglesUdf = udf((text: String, n: Int) =>
+    TextKernel.sortedShingleHashes(text, n))
+
+  private val jaccardSortedUdf = udf((a: Array[Long], b: Array[Long]) =>
+    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(TextKernel.jaccardSorted(a, b)))
+
   /** MinHash+LSH near-duplicate pairs.
     *
     * shingle → minhash signature (numHashes) → band buckets (bands ×
     * rowsPerBand) → within-bucket candidate pairs → exact Jaccard
     * verify ≥ threshold. Output: (id_a, id_b, jaccard) with id_a <
     * id_b, distinct.
+    *
+    * The verify join carries each document's SORTED SHINGLE-HASH array
+    * (~8 bytes/shingle), not its text: a near-dup-dense corpus puts
+    * every document in many candidate pairs, and re-shingling text per
+    * pair made verification ~1 ms/pair (hash-set build dominates);
+    * the precomputed-array merge is ~2 µs/pair (measured 8.3 s → 0.3 s
+    * on 237k candidate pairs, tools/X03Probe). Same distinct-shingle
+    * Jaccard modulo 64-bit hash collisions (~|A||B|/2^64 per pair).
     */
   def minhashPairs(
       docs: DataFrame,
@@ -254,10 +269,11 @@ object Dedup {
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
-    val texts = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    bandedCandidatePairs(banded, "band_hash", texts, "text")
+    val shingleSets = docs.select(col(idCol).as("id"),
+      sortedShinglesUdf(col(textCol), lit(shingleN)).as("shs"))
+    bandedCandidatePairs(banded, "band_hash", shingleSets, "shs")
       .select(col("id_a"), col("id_b"),
-        Dedup.ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+        jaccardSortedUdf(col("shs_a"), col("shs_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))

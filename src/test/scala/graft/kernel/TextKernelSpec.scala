@@ -71,6 +71,27 @@ class TextKernelSpec extends AnyFunSuite {
     assert(ngramJaccard(s, "😀😀ax", 2) == 2.0 / 4.0)
   }
 
+  test("jaccardSorted over sortedShingleHashes agrees with ngramJaccard") {
+    val docs = Seq("abcd", "bcde", "abc", "xyz", "a", "", "😀😀ab", "😀😀ax",
+      "the quick brown fox", "the quick brown fax")
+    for (a <- docs; b <- docs; n <- Seq(2, 3, 5)) {
+      val hashed = jaccardSorted(sortedShingleHashes(a, n), sortedShingleHashes(b, n))
+      assert(hashed == ngramJaccard(a, b, n),
+        s"mismatch for ($a, $b, n=$n)")
+    }
+  }
+
+  test("sortedShingleHashes is sorted, distinct, and window-exact") {
+    val hs = sortedShingleHashes("abcabc", 3) // windows abc,bca,cab,abc → 3 distinct
+    assert(hs.length == 3)
+    assert(hs.sameElements(hs.sorted))
+    assert(hs.distinct.length == hs.length)
+    assert(sortedShingleHashes("ab", 3).isEmpty)
+    // hash values are the FNV-64 of the window text (range hashing is
+    // allocation-free but must equal the substring hash bit-for-bit)
+    assert(hs.contains(hash64("abc")) && hs.contains(hash64("bca")) && hs.contains(hash64("cab")))
+  }
+
   test("repetitionStats: hand-computed signals") {
     val (n, top2, top3, dup5) = repetitionStats("a b a b a")
     assert(n == 5 && top2 == 0.5 && math.abs(top3 - 2.0 / 3) < 1e-12 && dup5 == 0.0)
