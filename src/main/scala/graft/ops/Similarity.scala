@@ -46,6 +46,18 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from a per-pair dot and per-VECTOR precomputed norms:
+    * `dot / (na * nb)` — the identical expression tree to [[cosine]]
+    * (so results are bit-equal and the DuckDB oracles stay green), but
+    * the two sqrt(dot(x,x)) factors are evaluated once per vector in a
+    * projection below the join instead of once per candidate pair. In
+    * a near-dup-dense block a vector appears in O(block) pairs; per-
+    * pair norm recomputation tripled the UDF/boxing cost of every
+    * similarity join.
+    */
+  private def cosinePrenormed(dotAb: Column, na: Column, nb: Column): Column =
+    dotAb / (na * nb)
+
   /** Per-query top-k of scored candidate rows (query_id, vec_id,
     * scoreCol) under (score DESC, vec_id ASC), via the O(k)-state
     * top_k_by aggregate rather than a row_number window: partial
@@ -70,12 +82,14 @@ object Similarity {
       queries: DataFrame,
       k: Int): DataFrame = {
     val joined = corpus
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
       .crossJoin(broadcast(queries.select(
-        col("vec_id").as("query_id"), col("embedding").as("query_emb"))))
+        col("vec_id").as("query_id"), col("embedding").as("query_emb"),
+        norm(col("embedding")).as("qnrm"))))
       .select(
         col("query_id"), col("vec_id"),
-        cosine(col("embedding"), col("query_emb")).as("cos"))
+        cosinePrenormed(dot(col("embedding"), col("query_emb")),
+          col("nrm"), col("qnrm")).as("cos"))
       .filter(col("query_id") =!= col("vec_id"))
     topKPerQuery(joined, "cos", k)
   }
@@ -117,21 +131,25 @@ object Similarity {
       nBits: Int = 12,
       nTables: Int = 4,
       threshold: Double = 0.9): DataFrame = {
+    val normed = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
     val tables = (0 until nTables).map { t =>
       // per-table seed gives independent hyperplane sets
-      corpus.select(
-        col("vec_id"), col("embedding"),
+      normed.select(
+        col("vec_id"), col("embedding"), col("nrm"),
         lshBucket(col("embedding"), nBits, dim, seed = t.toLong).as("bucket"),
         lit(t).as("table_id"))
     }.reduce(_ unionAll _)
     val left = tables.select(col("table_id"), col("bucket"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val right = tables.select(col("table_id"), col("bucket"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     left
       .join(right, Seq("table_id", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        cosinePrenormed(dot(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("cos")).as("cos"))
@@ -221,16 +239,18 @@ object Similarity {
       iters: Int = 3): DataFrame = {
     val cents = ivfCentroids(corpus, dim, nLists, iters)
     val indexed = corpus.select(
-      col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       element_at(nearestLists(col("embedding"), cents, 1), 1).as("list_id"))
     val probed = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
+        norm(col("embedding")).as("qnrm"))
       .withColumn("list_id", explode(nearestLists(col("query_emb"), cents, nProbe)))
     val joined = indexed
       .join(broadcast(probed), Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
-        cosine(col("embedding"), col("query_emb")).as("cos"))
+        cosinePrenormed(dot(col("embedding"), col("query_emb")),
+          col("nrm"), col("qnrm")).as("cos"))
     topKPerQuery(joined, "cos", k)
   }
 
@@ -295,12 +315,14 @@ object Similarity {
       m: Int): DataFrame = {
     val cand = quantizedTopK(corpus, queries, m).select("query_id", "vec_id")
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("query_emb"))
+      col("embedding").as("query_emb"), norm(col("embedding")).as("qnrm"))
     val scored = cand
-      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(corpus.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), "vec_id")
       .join(broadcast(q), "query_id")
       .select(col("query_id"), col("vec_id"),
-        cosine(col("embedding"), col("query_emb")).as("cos"))
+        cosinePrenormed(dot(col("embedding"), col("query_emb")),
+          col("nrm"), col("qnrm")).as("cos"))
     topKPerQuery(scored, "cos", k)
   }
 
@@ -312,14 +334,18 @@ object Similarity {
       corpus: DataFrame,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val left = corpus.select(col(blockCol).as("blk"),
-      col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val right = corpus.select(col(blockCol).as("blk"),
-      col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val normed = corpus.select(col(blockCol).as("blk"), col("vec_id"),
+      col("embedding"), norm(col("embedding")).as("nrm"))
+    val left = normed.select(col("blk"),
+      col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val right = normed.select(col("blk"),
+      col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     left
       .join(right, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("emb_a"), col("emb_b")).as("cos"))
+      .select(col("id_a"), col("id_b"),
+        cosinePrenormed(dot(col("emb_a"), col("emb_b")),
+          col("nrm_a"), col("nrm_b")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }
