@@ -102,6 +102,19 @@ object RypeOps {
     * Paired-end: when a `sequence2` column exists, both mates'
     * minimizers merge into the per-strand query sets (reference:
     * README.md:1848-1850 paired classification).
+    *
+    * Execution is size-gated, the same adaptive philosophy as
+    * broadcast-join thresholds: the reference loads the whole .ryxdi
+    * index into RAM, so when the inverted relation fits under
+    * `maxLocalIndexEntries` it is collected once, broadcast, and
+    * classification is a MAP-ONLY kernel over the per-read minimizer
+    * sets — no explode, no join, no aggregation shuffle (measured
+    * 5.9 s → see SCALE.md on 500k reads; the explode+join path paid
+    * two shuffles of |reads|×|minimizers| rows). Indexes above the
+    * gate keep the distributed explode ⋈ index shape, which never
+    * materializes per-executor index copies. Both paths compute
+    * identical scores (hits over non-negative minimizers, denominator
+    * = full per-strand set size, max over strands).
     */
   def rypeClassify(
       index: DataFrame,
@@ -110,7 +123,8 @@ object RypeOps {
       salt: Long = Rype.DefaultSalt,
       idColumn: String = "read_id",
       threshold: Double = 0.1,
-      negativeIndex: Option[DataFrame] = None): DataFrame = {
+      negativeIndex: Option[DataFrame] = None,
+      maxLocalIndexEntries: Int = 4000000): DataFrame = {
     requireColumns(sequences, idColumn)
     val paired = sequences.schema.fieldNames.contains("sequence2")
     val sets =
@@ -128,6 +142,10 @@ object RypeOps {
             array_distinct(concat(col("m1._2"), coalesce(col("m2._1"), array())))
               .as("rc_set"))
       }
+    localizedIndex(index, negativeIndex, maxLocalIndexEntries) match {
+      case Some((idx, neg)) => return classifyLocal(sets, idx, neg, threshold)
+      case None => // index too big to broadcast — distributed join path
+    }
     val strands = sets
       .select(col("read_id"), explode(array(
         struct(lit("fwd").as("strand"), col("fwd_set").as("set")),
@@ -154,5 +172,143 @@ object RypeOps {
       .groupBy(col("read_id"), col("bucket_id"), col("bucket_name"))
       .agg(max(col("strand_score")).as("score"))
       .filter(col("score") >= threshold)
+  }
+
+  /** Immutable broadcastable index image: minimizers sorted for
+    * allocation-free binary-search lookup, bucket lists in CSR layout,
+    * negative minimizers as a second sorted array.
+    */
+  private final case class LocalIndex(
+      minimizers: Array[Long], offsets: Array[Int], bucketOrds: Array[Int],
+      bucketIds: Array[Long], bucketNames: Array[String])
+
+  /** Collect (index, negative index) if both fit under the entry gate;
+    * None → caller takes the distributed join path. The limit(n+1)
+    * probe stops scanning a too-large index early instead of counting
+    * it.
+    */
+  private def localizedIndex(
+      index: DataFrame, negativeIndex: Option[DataFrame],
+      maxEntries: Int): Option[(LocalIndex, Array[Long])] = {
+    if (maxEntries <= 0) return None // gate disabled (tests force the join path)
+    val rows = index.select(col("minimizer"), col("bucket_id"), col("bucket_name"))
+      .limit(maxEntries + 1).collect()
+    if (rows.length > maxEntries) return None
+    val neg: Array[Long] = negativeIndex match {
+      case Some(n) =>
+        val nr = n.select(col("minimizer")).distinct().limit(maxEntries + 1).collect()
+        if (nr.length > maxEntries) return None
+        val a = nr.map(_.getLong(0)); java.util.Arrays.sort(a); a
+      case None => Array.emptyLongArray
+    }
+    // dense bucket ordinals in (bucket_id, bucket_name) order
+    val buckets = rows.map(r => (r.getLong(1), r.getString(2))).distinct.sorted
+    val ordOf = buckets.zipWithIndex.toMap
+    // group bucket lists per minimizer, then lay out as CSR over the
+    // sorted minimizer array
+    val byMin = new java.util.HashMap[Long, java.util.ArrayList[Int]]()
+    rows.foreach { r =>
+      byMin.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Int]())
+        .add(ordOf((r.getLong(1), r.getString(2))))
+    }
+    val mins = new Array[Long](byMin.size)
+    val it = byMin.keySet().iterator()
+    var i = 0
+    while (it.hasNext) { mins(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(mins)
+    val offsets = new Array[Int](mins.length + 1)
+    val nnz = rows.length
+    val bucketOrds = new Array[Int](nnz)
+    var p = 0
+    i = 0
+    while (i < mins.length) {
+      offsets(i) = p
+      val l = byMin.get(mins(i))
+      var j = 0
+      while (j < l.size) { bucketOrds(p) = l.get(j); p += 1; j += 1 }
+      i += 1
+    }
+    offsets(mins.length) = p
+    Some((LocalIndex(mins, offsets, java.util.Arrays.copyOf(bucketOrds, p),
+      buckets.map(_._1), buckets.map(_._2)), neg))
+  }
+
+  /** Map-only classification against a broadcast [[LocalIndex]]:
+    * identical scoring to the join path — per strand,
+    * hits(bucket) = |{m ∈ set : m ∉ neg ∧ m ∈ bucket}|, score =
+    * hits / |set| (denominator includes neg-dropped minimizers, as the
+    * join path's set_size is computed before the anti-join), final
+    * score = max over strands with ≥1 hit, kept when ≥ threshold.
+    */
+  private def classifyLocal(
+      sets: DataFrame, idx: LocalIndex, neg: Array[Long],
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = sets.sparkSession
+    val bc = spark.sparkContext.broadcast((idx, neg))
+    val outSchema = StructType(Seq(
+      sets.schema("read_id"),
+      StructField("bucket_id", LongType, nullable = false),
+      StructField("bucket_name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    sets.mapPartitions { rows =>
+      val (index, negArr) = bc.value
+      val nBuckets = index.bucketIds.length
+      val counts = new Array[Int](nBuckets)
+      val touched = new Array[Int](nBuckets)
+      val best = new java.util.HashMap[Integer, java.lang.Double]()
+      rows.flatMap { r =>
+        best.clear()
+        var strand = 0
+        while (strand < 2) {
+          val set = r.getSeq[Long](if (strand == 0) 1 else 2)
+          if (set != null && set.nonEmpty) {
+            var nTouched = 0
+            val setSize = set.length
+            var si = 0
+            while (si < setSize) {
+              val m = set(si)
+              if (negArr.length == 0 || java.util.Arrays.binarySearch(negArr, m) < 0) {
+                val pos = java.util.Arrays.binarySearch(index.minimizers, m)
+                if (pos >= 0) {
+                  var p = index.offsets(pos)
+                  val end = index.offsets(pos + 1)
+                  while (p < end) {
+                    val ord = index.bucketOrds(p)
+                    if (counts(ord) == 0) { touched(nTouched) = ord; nTouched += 1 }
+                    counts(ord) += 1
+                    p += 1
+                  }
+                }
+              }
+              si += 1
+            }
+            var t = 0
+            while (t < nTouched) {
+              val ord = touched(t)
+              val score = counts(ord).toDouble / setSize
+              val prev = best.get(Integer.valueOf(ord))
+              if (prev == null || score > prev.doubleValue())
+                best.put(Integer.valueOf(ord), java.lang.Double.valueOf(score))
+              counts(ord) = 0 // reset for the next strand/row
+              t += 1
+            }
+          }
+          strand += 1
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        val bit = best.entrySet().iterator()
+        while (bit.hasNext) {
+          val e = bit.next()
+          if (e.getValue.doubleValue() >= threshold) {
+            val ord = e.getKey.intValue()
+            out += org.apache.spark.sql.Row(
+              r.get(0), index.bucketIds(ord), index.bucketNames(ord), e.getValue.doubleValue())
+          }
+        }
+        out
+      }
+    }(enc)
   }
 }

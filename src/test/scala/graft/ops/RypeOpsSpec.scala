@@ -54,6 +54,28 @@ class RypeOpsSpec extends AnyFunSuite {
     assert(!out.contains("host_read"))
   }
 
+  test("classify: broadcast-kernel path agrees exactly with the join path") {
+    import spark.implicits._
+    val genomes = Map("gA" -> genome(11, 900), "gB" -> genome(12, 900), "gC" -> genome(13, 900))
+    val subjects = genomes.toSeq.toDF("bucket_name", "sequence1")
+    val index = RypeOps.buildIndex(subjects, k = 16, w = 5)
+    val negative = RypeOps.buildIndex(
+      Seq(("neg", genome(14, 600))).toDF("bucket_name", "sequence1"), k = 16, w = 5)
+    val reads = (for {
+      (name, g) <- genomes.toSeq
+      i <- 0 until 6
+    } yield (s"${name}_r$i", g.substring(i * 120, i * 120 + 130))).toDF("read_id", "sequence1")
+    def run(gate: Int) = RypeOps.rypeClassify(index, reads, k = 16, w = 5,
+      threshold = 0.05, negativeIndex = Some(negative), maxLocalIndexEntries = gate)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val local = run(4000000)     // kernel path (index fits)
+    val joined = run(0)          // gate disabled -> distributed join path
+    assert(local.nonEmpty)
+    assert(local.toSeq == joined.toSeq)
+  }
+
   test("index round-trips through parquet") {
     import spark.implicits._
     val subjects = Seq(("g1", genome(4, 400))).toDF("bucket_name", "sequence1")
