@@ -14,33 +14,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotUdf = udf((a: Array[java.lang.Float], b: Array[java.lang.Float]) =>
-    if (a == null || b == null || a.length != b.length)
-      null.asInstanceOf[java.lang.Double] // zip_with null-pads unequal lengths → null sum
-    else {
-      var s = 0.0
-      var i = 0
-      var anyNull = false
-      while (!anyNull && i < a.length) {
-        val x = a(i); val y = b(i)
-        if (x == null || y == null) anyNull = true // null element → null sum, as the fold did
-        else { s += x.toDouble * y.toDouble; i += 1 }
-      }
-      if (anyNull) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(s)
-    })
-
   /** Left-to-right double-accumulated dot product of two float arrays.
-    * Kernel UDF: the aggregate(zip_with(…)) formulation is INTERPRETED
-    * by Catalyst (HOF lambdas don't codegen) at ~7 µs/element — ~0.5 ms
-    * per 64-dim dot vs ~1 µs for this loop (l20's pair generation
-    * measured 9.3 s → see SCALE.md). The loop accumulates in the same
-    * strict left-to-right double order (float→double widening per
-    * element), so results stay bit-identical to the fold and to the
-    * DuckDB oracles that replicate it. Boxed elements so a NULL
-    * element yields a null dot (the fold's semantics) instead of a
-    * decoder crash.
+    * Native Catalyst expression (functions/VectorExpressions) with
+    * doGenCode: the aggregate(zip_with(…)) formulation is INTERPRETED
+    * by Catalyst (HOF lambdas don't codegen) at ~7 µs/element, and the
+    * kernel-UDF replacement still boxed 2×dim Floats per call at the
+    * UDF boundary — per candidate pair in every similarity join. The
+    * expression reads primitive floats straight off ArrayData inside
+    * WholeStageCodegen. Accumulation is the same strict left-to-right
+    * double order (float→double widening per element), so results stay
+    * bit-identical to the fold, the UDF, and the DuckDB oracles; null
+    * array / length mismatch / null element → null, as before.
     */
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.VectorExpressions.FloatVectorDot(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a.cast("array<float>")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b.cast("array<float>"))))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -159,26 +149,41 @@ object Similarity {
     * against unit-normalized centroids (norm(emb) is constant across
     * centroids, so ranking by dot suffices). Ties break on list id.
     *
-    * The centroid matrix enters the plan as ONE 2-D array literal and
-    * is scored with nested higher-order functions, so the expression
-    * tree is O(1) in nLists and dim — at nLists=1024/dim=768 the
-    * alternative (one subtree per centroid) embeds ~800k literal nodes
-    * and stalls analysis.
+    * Kernel UDF over a BROADCAST centroid matrix — the 100 TB shape:
+    * the model ships to each executor once (not per task closure, not
+    * as a plan literal), and scoring is a tight double loop. The
+    * previous nested-HOF formulation (zip_with/aggregate over a
+    * typedLit matrix) kept the expression tree O(1) in nLists and dim
+    * but was INTERPRETED per row (~7 µs/element) — at nLists=1024,
+    * dim=768 that is ~5 s per corpus row, i.e. unusable at exactly the
+    * scale IVF exists for. The loop accumulates each centroid's dot in
+    * the same strict left-to-right order as the old fold and sorts by
+    * (negdot, list_id), so assignments and probe lists are identical.
     */
-  private def nearestLists(
-      emb: Column, centroids: Array[Array[Double]], nProbe: Int): Column = {
-    val cents2d = typedLit(centroids.map(_.toSeq).toSeq)
-    val scored = zip_with(
-      cents2d,
-      sequence(lit(0), lit(centroids.length - 1)),
-      (c, i) => struct(
-        (-aggregate(zip_with(emb, c, (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, v) => acc + v)).as("negdot"),
-        i.as("list_id")))
-      // struct() does not always keep aliases — pin field names by type
-      .cast("array<struct<negdot:double,list_id:int>>")
-    transform(slice(array_sort(scored), 1, nProbe), s => s.getField("list_id"))
-  }
+  private def nearestListsUdf(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((emb: Seq[Float]) =>
+      if (emb == null) null
+      else {
+        val cents = bc.value
+        val n = cents.length
+        if (n == 0 || emb.length != cents(0).length) null
+        else {
+          val negdot = new Array[Double](n)
+          var l = 0
+          while (l < n) {
+            val c = cents(l)
+            var s = 0.0
+            var i = 0
+            while (i < c.length) { s += emb(i).toDouble * c(i); i += 1 }
+            negdot(l) = -s
+            l += 1
+          }
+          val idx = Array.range(0, n).sortBy(i => (negdot(i), i))
+          idx.take(math.min(nProbe, n))
+        }
+      })
 
   private def unit(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -203,14 +208,18 @@ object Similarity {
         case d: Double => d
       }.toArray)
       .map(unit)
+    val sc = corpus.sparkSession.sparkContext
     for (_ <- 0 until iters) {
+      val bc = sc.broadcast(cents)
+      val assign = nearestListsUdf(bc, 1)
       val mean = corpus
         .select(
-          element_at(nearestLists(col("embedding"), cents, 1), 1).as("list_id"),
+          element_at(assign(col("embedding")), 1).as("list_id"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("list_id"), col("pos"))
         .agg(avg(col("v").cast("double")).as("m"))
         .collect()
+      bc.unpersist(blocking = false)
       val next = cents.map(_.clone())
       for (r <- mean)
         next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
@@ -238,13 +247,16 @@ object Similarity {
       nProbe: Int = 4,
       iters: Int = 3): DataFrame = {
     val cents = ivfCentroids(corpus, dim, nLists, iters)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    val assign = nearestListsUdf(bc, 1)
+    val probe = nearestListsUdf(bc, nProbe)
     val indexed = corpus.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
-      element_at(nearestLists(col("embedding"), cents, 1), 1).as("list_id"))
+      element_at(assign(col("embedding")), 1).as("list_id"))
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
         norm(col("embedding")).as("qnrm"))
-      .withColumn("list_id", explode(nearestLists(col("query_emb"), cents, nProbe)))
+      .withColumn("list_id", explode(probe(col("query_emb"))))
     val joined = indexed
       .join(broadcast(probed), Seq("list_id"))
       .filter(col("query_id") =!= col("vec_id"))
