@@ -81,6 +81,25 @@ object BenchHeavy {
           .repartition(s.sparkContext.defaultParallelism)
         graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
           shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4)
+      }),
+
+    // IVF ANN throughput: train the coarse quantizer (one distributed
+    // Lloyd's refinement — production pipelines train once and serve
+    // many queries, so the bench weights serving), assign the whole
+    // corpus, probe 8/64 lists for 200 queries — the production
+    // partial-probe path (l11's registration is the full-probe oracle
+    // configuration). Exercises the broadcast-centroid assignment
+    // kernel and the O(k)-state top_k_by aggregate at corpus scale.
+    QueryDef(
+      "x04_ivf_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+        // query side from the raw table: the 200-row filter pushes to
+        // the parquet scan instead of riding the corpus repartition
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        graft.ops.Similarity.ivfTopK(emb, queries,
+          dim = 64, k = 10, nLists = 64, nProbe = 8, iters = 1)
       })
   )
 }
