@@ -100,6 +100,41 @@ object TextKernel {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** 32-bit compaction of a sorted-distinct 64-bit hash array: fold
+    * high into low bits, re-sort, dedupe. Halves the bytes a dedup
+    * verify shuffle moves per shingle; collisions add ~|A||B|/2^32
+    * (~2e-5 for 300-shingle docs) expected extra intersections per
+    * pair — Jaccard error ~1e-7, far below any dedup threshold's
+    * decision boundary.
+    */
+  def compactHashes32(hs: Array[Long]): Array[Int] = {
+    val out = new Array[Int](hs.length)
+    var i = 0
+    while (i < hs.length) { out(i) = (hs(i) ^ (hs(i) >>> 32)).toInt; i += 1 }
+    java.util.Arrays.sort(out)
+    // in-place dedupe of the sorted array
+    var w = 0
+    i = 0
+    while (i < out.length) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    if (w == out.length) out else java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Int twin of [[jaccardSorted]]. */
+  def jaccardSortedInt(a: Array[Int], b: Array[Int]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Integer.compare(a(i), b(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
   /** MinHash signature: numHashes independent minima over the shingle
     * set (hash family = splitmix64 of shingle-hash XOR per-row seed).
     * Empty shingle set → all Long.MaxValue.

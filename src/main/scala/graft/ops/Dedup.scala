@@ -226,27 +226,42 @@ object Dedup {
   private val minhashUdf = udf((text: String, shingleN: Int, numHashes: Int) =>
     TextKernel.minhashSignature(TextKernel.shingleHashes(text, shingleN), numHashes))
 
-  private val sortedShinglesUdf = udf((text: String, n: Int) =>
-    TextKernel.sortedShingleHashes(text, n))
-
-  private val jaccardSortedUdf = udf((a: Array[Long], b: Array[Long]) =>
-    if (a == null || b == null) null.asInstanceOf[java.lang.Double]
-    else java.lang.Double.valueOf(TextKernel.jaccardSorted(a, b)))
+  /** One shingling pass per document: (minhash signature, sorted
+    * distinct 32-bit-compacted shingle hashes) — the signature feeds
+    * banding, the compact array feeds the merge-intersect Jaccard
+    * verify with half the shuffle bytes of the 64-bit form.
+    */
+  private val sigAndSetUdf = udf((text: String, shingleN: Int, numHashes: Int) => {
+    val shs = TextKernel.sortedShingleHashes(text, shingleN)
+    (TextKernel.minhashSignature(shs, numHashes), TextKernel.compactHashes32(shs))
+  })
 
   /** MinHash+LSH near-duplicate pairs.
     *
     * shingle → minhash signature (numHashes) → band buckets (bands ×
-    * rowsPerBand) → within-bucket candidate pairs → exact Jaccard
-    * verify ≥ threshold. Output: (id_a, id_b, jaccard) with id_a <
-    * id_b, distinct.
+    * rowsPerBand) → within-bucket exact Jaccard verify ≥ threshold.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, distinct. Docs
+    * shorter than shingleN are excluded (no shingles — the exact twin
+    * makes the same choice), which also prevents the degenerate
+    * all-empty-signature mega-bucket.
     *
-    * The verify join carries each document's SORTED SHINGLE-HASH array
-    * (~8 bytes/shingle), not its text: a near-dup-dense corpus puts
-    * every document in many candidate pairs, and re-shingling text per
-    * pair made verification ~1 ms/pair (hash-set build dominates);
-    * the precomputed-array merge is ~2 µs/pair (measured 8.3 s → 0.3 s
-    * on 237k candidate pairs, tools/X03Probe). Same distinct-shingle
-    * Jaccard modulo 64-bit hash collisions (~|A||B|/2^64 per pair).
+    * Scale shape — BUCKET-LOCAL verification, no pair join: each
+    * document's sorted shingle-hash array (32-bit compacted, ~4
+    * bytes/shingle — TextKernel.compactHashes32) moves through ONE
+    * shuffle keyed by (band, band_hash) — O(corpus × bands) bytes —
+    * and candidate pairs are verified inside each sorted bucket group
+    * with an allocation-free merge intersect
+    * (~2 µs/pair; re-shingling text per pair measured ~1 ms/pair). The
+    * previous shape joined distinct candidate pairs back to per-doc
+    * payloads, which moves O(pairs × set) bytes: fine when pairs/doc
+    * is small, but a near-dup-dense corpus (the realistic dedup
+    * input) has pairs/doc ≫ bands — at 500k docs / 24M candidates
+    * that join shuffled ~110 GB and filled the disk where this shape
+    * moves ~19 GB (tools/PairCountProbe). A pair colliding in k bands
+    * is verified k times (measured 2.5% overhead) and deduped by the
+    * final max-aggregate. Skew note: a bucket of s members verifies
+    * s(s-1)/2 pairs in one task; the shingleN-length filter removes
+    * the only systematic source of mega-buckets.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -258,23 +273,69 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sigs = docs.select(
-      col(idCol).as("id"),
-      minhashUdf(col(textCol), lit(shingleN), lit(numHashes)).as("sig"))
-    // band key = (band index, hash of that band's slice of the signature)
-    val banded = sigs.select(
-      col("id"),
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // sig+set in one shingling pass, projected BELOW the band explode
+    // (expressions beside a generator are re-evaluated per generated
+    // row; ss is referenced twice so CollapseProject keeps the UDF in
+    // its own projection, evaluated once per document)
+    val prepared = docs
+      .filter(length(col(textCol)) >= shingleN)
+      .select(col(idCol).as("id"),
+        sigAndSetUdf(col(textCol), lit(shingleN), lit(numHashes)).as("ss"))
+      .select(col("id"), col("ss._1").as("sig"), col("ss._2").as("shs"))
+    val banded = prepared.select(
+      col("id"), col("shs"),
       posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
-    val shingleSets = docs.select(col(idCol).as("id"),
-      sortedShinglesUdf(col(textCol), lit(shingleN)).as("shs"))
-    bandedCandidatePairs(banded, "band_hash", shingleSets, "shs")
-      .select(col("id_a"), col("id_b"),
-        jaccardSortedUdf(col("shs_a"), col("shs_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("pos").as("band"), col("col").as("band_hash"),
+        col("id"), col("shs"))
+    val thr = threshold
+    banded.as[(Int, Int, Long, Array[Int])]
+      .repartition(col("band"), col("band_hash"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .mapPartitions { iter =>
+        // stream sorted groups; per bucket, verify all pairs
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]
+        var curBand = Int.MinValue
+        var curHash = Int.MinValue
+        def flush(): Iterator[(Long, Long, Double)] = {
+          if (members.length < 2) { members.clear(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var i = 0
+            while (i < members.length) {
+              var j = i + 1
+              while (j < members.length) {
+                val (ia, sa) = members(i)
+                val (ib, sb) = members(j)
+                val jac = TextKernel.jaccardSortedInt(sa, sb)
+                if (jac >= thr)
+                  out += ((math.min(ia, ib), math.max(ia, ib), jac))
+                j += 1
+              }
+              i += 1
+            }
+            members.clear()
+            out.iterator
+          }
+        }
+        (iter.map(Some(_)) ++ Iterator(None)).flatMap {
+          case Some((band, bandHash, id, shs)) =>
+            if (band != curBand || bandHash != curHash) {
+              val emitted = flush()
+              curBand = band; curHash = bandHash
+              members += ((id, shs))
+              emitted
+            } else {
+              members += ((id, shs))
+              Iterator.empty
+            }
+          case None => flush()
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
   }

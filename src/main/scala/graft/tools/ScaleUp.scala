@@ -93,6 +93,13 @@ object ScaleUp {
     // shift by rep positions is norm-preserving and near-orthogonal
     // for these synthetic vectors, so replicas stay disjoint for ANN /
     // near-dup purposes while the value distribution is unchanged.
+    // `label` is a BLOCKING key (blockedNearDupPairs blocks on it), so
+    // it must shift per replica like every other key: carrying it
+    // unchanged made block sizes grow ×n and the within-block dot
+    // count grow ×n² even though the rotation kept output pairs linear
+    // (measured: l20 2.2 s at sf1 → 184 s at sf10). Realistic corpora
+    // grow the blocking-key domain with corpus size, exactly like
+    // TPC-H grows key domains but not group domains.
     if (wanted("embeddings")) {
       val df = spark.read.parquet(s"$src/embeddings.parquet")
       val dim = size(col("embedding"))
@@ -101,9 +108,9 @@ object ScaleUp {
         (col("vec_id") + col("rep") * KeyOffset).as("vec_id"),
         concat(slice(col("embedding"), k + 1, dim - k),
           slice(col("embedding"), lit(1), k)).as("embedding"),
-        col("label"))
+        (col("label") + col("rep") * KeyOffset).as("label"))
       out.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-      println(s"[scaleup] embeddings -> $dst/embeddings.parquet (x$n, rotated)")
+      println(s"[scaleup] embeddings -> $dst/embeddings.parquet (x$n, rotated+label-shifted)")
     }
     spark.stop()
   }

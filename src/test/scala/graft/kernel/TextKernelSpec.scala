@@ -81,6 +81,23 @@ class TextKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("compactHashes32 + jaccardSortedInt track the 64-bit jaccard") {
+    val docs = Seq("abcdefgh", "abcdefgx", "the quick brown fox jumps",
+      "the quick brown fax jumps", "zzzz", "")
+    for (a <- docs; b <- docs) {
+      val j64 = jaccardSorted(sortedShingleHashes(a, 3), sortedShingleHashes(b, 3))
+      val j32 = jaccardSortedInt(
+        compactHashes32(sortedShingleHashes(a, 3)),
+        compactHashes32(sortedShingleHashes(b, 3)))
+      // no collisions at this size: exactly equal
+      assert(j32 == j64, s"($a, $b)")
+    }
+    // compaction output is sorted + distinct even when folds collide
+    val withDup = Array(0x100000001L, 1L, 5L) // 0x100000001 ^ (>>>32) folds to 0
+    val c = compactHashes32(withDup)
+    assert(c.sameElements(c.sorted) && c.distinct.length == c.length)
+  }
+
   test("sortedShingleHashes is sorted, distinct, and window-exact") {
     val hs = sortedShingleHashes("abcabc", 3) // windows abc,bca,cab,abc → 3 distinct
     assert(hs.length == 3)
