@@ -168,6 +168,19 @@ object FramelessWindowStrategy extends SparkStrategy {
     */
   val ModeKey = "spark.graft.hashFramelessWindow.mode"
 
+  /** Minimum estimated child size (bytes) for the strategy to fire;
+    * below it the node falls through to stock WindowExec. The join
+    * form wins by avoiding a 60M-row sort, but pays a constant factor
+    * (second exchange read + hash-join build) that a small input never
+    * amortizes: at sf0.1 (600k rows, ~7 MB estimated) WindowExec is
+    * 0.32 s vs the join form's 0.46 s, while at derived sf10 (60M
+    * rows) the join form is 3.50 s vs the sort's 4.27 s (tools/
+    * A16Probe, SCALE.md). Catalyst's default stats visitor always has
+    * sizeInBytes (file sizes scaled by projection width); unknown
+    * sizes estimate as Long.MaxValue, which correctly assumes BIG. */
+  val MinChildBytesKey = "spark.graft.hashFramelessWindow.minChildBytes"
+  val MinChildBytesDefault: Long = 64L << 20
+
   private def framelessAgg(ne: NamedExpression): Boolean = ne match {
     case Alias(WindowExpression(ae: AggregateExpression,
         WindowSpecDefinition(_, Nil, frame: SpecifiedWindowFrame)), _) =>
@@ -181,7 +194,9 @@ object FramelessWindowStrategy extends SparkStrategy {
     case logical.Window(windowExprs, partitionSpec, Nil, child, _)
         if partitionSpec.nonEmpty && windowExprs.nonEmpty &&
           windowExprs.forall(framelessAgg) &&
-          SQLConf.get.getConfString(EnabledKey, "true").toBoolean =>
+          SQLConf.get.getConfString(EnabledKey, "true").toBoolean &&
+          child.stats.sizeInBytes >= BigInt(SQLConf.get
+            .getConfString(MinChildBytesKey, MinChildBytesDefault.toString).toLong) =>
       SQLConf.get.getConfString(ModeKey, "join") match {
         case "buffer" =>
           HashFramelessWindowExec(windowExprs, partitionSpec, planLater(child)) :: Nil

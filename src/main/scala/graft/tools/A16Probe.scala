@@ -36,11 +36,20 @@ object A16Probe {
       li.select(col("l_orderkey"), col("l_linenumber"),
           count(lit(1)).over(Window.partitionBy(col("l_orderkey"))).as("cnt"))
 
+    // what the size gate sees: the Window child's estimated size
+    val childStats = winQuery().queryExecution.optimizedPlan.collectFirst {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w.child.stats.sizeInBytes
+    }.getOrElse(BigInt(-1))
+    println(s"PROBE child stats sizeInBytes=$childStats " +
+      s"(gate default=${graft.plans.FramelessWindowStrategy.MinChildBytesDefault})")
+
     spark.conf.set(graft.plans.FramelessWindowStrategy.EnabledKey, "false")
     time("window_sort") {
       winQuery().write.format("noop").mode("overwrite").save()
     }
     spark.conf.set(graft.plans.FramelessWindowStrategy.EnabledKey, "true")
+    // the probe measures the strategy's forms directly; bypass the gate
+    spark.conf.set(graft.plans.FramelessWindowStrategy.MinChildBytesKey, "0")
     graft.plans.FramelessWindowStrategy.install(spark)
     spark.conf.set(graft.plans.FramelessWindowStrategy.ModeKey, "join")
     time("window_hash_join") {

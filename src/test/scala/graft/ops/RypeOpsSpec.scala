@@ -36,6 +36,22 @@ class RypeOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("buildIndex: ids are dense ranks of sorted names, via a window-free plan") {
+    import spark.implicits._
+    val subjects = Seq(
+      ("zeta", genome(7, 400)), ("alpha", genome(8, 400)), ("mid", genome(9, 400))
+    ).toDF("bucket_name", "sequence1")
+    val index = RypeOps.buildIndex(subjects, k = 16, w = 5)
+    val ids = index.select("bucket_name", "bucket_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same ids dense_rank(ORDER BY bucket_name) assigned before the
+    // driver-side rank replaced it (r7): name-sorted, 0-based, dense
+    assert(ids == Map("alpha" -> 0L, "mid" -> 1L, "zeta" -> 2L))
+    val plan = index.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"buildIndex must not plan a (necessarily unpartitioned) window:\n$plan")
+  }
+
   test("classify: negative index suppresses host reads") {
     import spark.implicits._
     val host = genome(7, 800)
