@@ -316,6 +316,90 @@ object Writers {
     }
   }
 
+  /** Sharded COPY BAM: one standalone BAM (BGZF binary) per non-empty
+    * partition, written directly by executors. The @SQ reference set is
+    * computed ONCE on the driver (union over all shards — an executor
+    * cannot know it locally) so every shard shares identical reference
+    * ids and `samtools cat`-style concatenation is well-defined. This
+    * is the 100 TB default; the single-file [[copyBam]] mirrors the
+    * reference's mutex-serialized writer (src/copy_sam.cpp:689-694)
+    * and exists for drop-in parity.
+    */
+  def copyBamSharded(
+      df: DataFrame,
+      pathTemplate: String,
+      referenceLengths: Option[DataFrame] = None): Unit = {
+    requireShardToken(pathTemplate)
+    val known = referenceLengths
+      .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toVector)
+      .getOrElse(Vector.empty)
+    val knownNames = known.map(_._1).toSet
+    val dataRefs = df.select("reference").distinct().collect()
+      .map(_.getString(0)).filter(r => r != "*" && !knownNames.contains(r)).sorted
+    val refs = known ++ dataRefs.map(_ -> UnknownReferenceLength)
+    val names = df.schema.fieldNames.toSet
+    val conf = serializableConf(df)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val path = shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId())
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf.value)
+        fs.setWriteChecksum(false)
+        val w = new graft.kernel.BamWriter(fs.create(p, true), refs)
+        try rows.foreach(r => w.writeRecord(rowToSamRecord(r, names)))
+        finally w.close()
+      }
+    }
+  }
+
+  /** Sharded COPY BIOM: the COO relation is hash-partitioned BY
+    * SAMPLE into `numShards` shards and each shard is written as a
+    * complete, valid BIOM 2.1 (HDF5) file holding a disjoint sample
+    * subset — the natural split for a feature table (per-sample
+    * columns are never divided across files, so any shard can be
+    * loaded or merged downstream with plain read_biom + UNION ALL).
+    * Executor memory is bounded by the largest shard, never the whole
+    * matrix; the single-file [[BiomOps.copyBiom]] remains the parity
+    * writer. Duplicate (sample, feature) values are summed and zeros
+    * dropped BEFORE sharding, identical to the single-file semantics
+    * (reference: README.md:2588-2594).
+    */
+  def copyBiomSharded(
+      df: DataFrame,
+      pathTemplate: String,
+      numShards: Int,
+      compression: String = "gzip"): Unit = {
+    requireShardToken(pathTemplate)
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val cols = df.schema.fieldNames.toSet
+    for (c <- Seq("sample_id", "feature_id", "value"))
+      require(cols.contains(c), s"BIOM output requires column $c")
+    val nulls = df.filter(org.apache.spark.sql.functions.col("sample_id").isNull ||
+      org.apache.spark.sql.functions.col("feature_id").isNull ||
+      org.apache.spark.sql.functions.col("value").isNull).count()
+    if (nulls > 0)
+      throw new IllegalArgumentException(s"BIOM output forbids NULLs ($nulls offending rows)")
+    import org.apache.spark.sql.functions.{col, sum}
+    val canonical = df.groupBy("sample_id", "feature_id")
+      .agg(sum(col("value")).as("value"))
+      .filter(col("value") =!= 0.0)
+      .repartition(numShards, col("sample_id"))
+    val conf = serializableConf(df)
+    canonical.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val coo = new scala.collection.mutable.ArrayBuffer[(String, String, Double)]()
+        rows.foreach(r => coo += ((r.getString(0), r.getString(1), r.getDouble(2))))
+        val path = shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId())
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf.value)
+        fs.setWriteChecksum(false)
+        val out = fs.create(p, true)
+        try out.write(graft.kernel.Hdf5BiomWriter.write(coo.toSeq, compression = compression))
+        finally out.close()
+      }
+    }
+  }
+
   /** Sharded COPY SAM: one `path` file per non-empty partition, each
     * carrying the full header (computed once on the driver — the @SQ
     * set must be the union over ALL shards, which an executor cannot

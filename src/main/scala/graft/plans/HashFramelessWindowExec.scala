@@ -181,6 +181,34 @@ object FramelessWindowStrategy extends SparkStrategy {
   val MinChildBytesKey = "spark.graft.hashFramelessWindow.minChildBytes"
   val MinChildBytesDefault: Long = 64L << 20
 
+  /** Escape hatch for probes/specs: fire regardless of the size and
+    * key-type gates. */
+  val ForceKey = "spark.graft.hashFramelessWindow.force"
+
+  /** Key-type gate: the join form only fires when some partition key
+    * is variable-width (string/binary) or complex. For fixed-width
+    * primitive keys, WindowExec's radix sort wins outright — measured
+    * on the regenerated derived sf10 (tools/A16Probe ×2 + A16Tune, r7,
+    * 60M rows, long key): sort 2.3–3.1 s vs join form 4.0–4.6 s —
+    * inverting the r6 one-off probe that motivated the join default.
+    * On a 60M-row high-cardinality STRING key (tools/A16Str: md5 of
+    * l_orderkey) the prefix-comparison sort loses: join 6.1 s min /
+    * 6.7 s avg vs sort 6.7 s min / 8.5 s avg. Woltka's
+    * `COUNT(*) OVER (PARTITION BY seq_id, is_fwd)` — the reference's
+    * core frameless window — keys on a string and takes the join form.
+    */
+  private def sortUnfriendlyKeys(partitionSpec: Seq[Expression]): Boolean =
+    partitionSpec.exists { e =>
+      e.dataType match {
+        case org.apache.spark.sql.types.StringType => true
+        case org.apache.spark.sql.types.BinaryType => true
+        case _: org.apache.spark.sql.types.ArrayType => true
+        case _: org.apache.spark.sql.types.StructType => true
+        case _: org.apache.spark.sql.types.MapType => true
+        case _ => false
+      }
+    }
+
   private def framelessAgg(ne: NamedExpression): Boolean = ne match {
     case Alias(WindowExpression(ae: AggregateExpression,
         WindowSpecDefinition(_, Nil, frame: SpecifiedWindowFrame)), _) =>
@@ -195,8 +223,10 @@ object FramelessWindowStrategy extends SparkStrategy {
         if partitionSpec.nonEmpty && windowExprs.nonEmpty &&
           windowExprs.forall(framelessAgg) &&
           SQLConf.get.getConfString(EnabledKey, "true").toBoolean &&
-          child.stats.sizeInBytes >= BigInt(SQLConf.get
-            .getConfString(MinChildBytesKey, MinChildBytesDefault.toString).toLong) =>
+          (SQLConf.get.getConfString(ForceKey, "false").toBoolean ||
+            (sortUnfriendlyKeys(partitionSpec) &&
+              child.stats.sizeInBytes >= BigInt(SQLConf.get
+                .getConfString(MinChildBytesKey, MinChildBytesDefault.toString).toLong))) =>
       SQLConf.get.getConfString(ModeKey, "join") match {
         case "buffer" =>
           HashFramelessWindowExec(windowExprs, partitionSpec, planLater(child)) :: Nil

@@ -48,8 +48,9 @@ object A16Probe {
       winQuery().write.format("noop").mode("overwrite").save()
     }
     spark.conf.set(graft.plans.FramelessWindowStrategy.EnabledKey, "true")
-    // the probe measures the strategy's forms directly; bypass the gate
-    spark.conf.set(graft.plans.FramelessWindowStrategy.MinChildBytesKey, "0")
+    // the probe measures the strategy's forms directly; bypass the
+    // size and key-type gates
+    spark.conf.set(graft.plans.FramelessWindowStrategy.ForceKey, "true")
     graft.plans.FramelessWindowStrategy.install(spark)
     spark.conf.set(graft.plans.FramelessWindowStrategy.ModeKey, "join")
     time("window_hash_join") {

@@ -154,6 +154,49 @@ class WritersSpec extends AnyFunSuite {
     assert(r1 == src.count() && r2 == src.filter(col("sequence2").isNotNull).count())
   }
 
+  test("sharded BAM: every shard a standalone BGZF BAM; union read-back equals input") {
+    val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam").repartition(2)
+    import spark.implicits._
+    val refLens = Seq(("G1234", 20L), ("G000144735", 90L)).toDF("reference", "length")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardbam").toString
+    Writers.copyBamSharded(src, s"$dir/out-{SHARD}.bam", referenceLengths = Some(refLens))
+    val files = new java.io.File(dir).listFiles().map(_.getPath).sorted
+    assert(files.length >= 2, s"expected 2+ shards, got ${files.mkString(",")}")
+    for (f <- files) { // each shard independently valid: BGZF magic + own header
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      assert(bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte && bytes(3) == 4)
+      val solo = spark.read.format("alignments").load(f)
+      assert(solo.count() > 0)
+    }
+    val back = spark.read.format("alignments").load(s"$dir/out-*.bam")
+      .select("read_id", "flags", "reference", "position").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).sorted
+    val orig = src.select("read_id", "flags", "reference", "position").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).sorted
+    assert(back.toSeq == orig.toSeq && orig.nonEmpty)
+  }
+
+  test("sharded BIOM: sample-disjoint valid HDF5 shards; union equals canonical matrix") {
+    import spark.implicits._
+    val coo = (for {
+      s <- 1 to 6; f <- 1 to 4 if (s + f) % 3 != 0
+    } yield (s"S$s", s"F$f", (s * 10 + f).toDouble)).toDF("sample_id", "feature_id", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardbiom").toString
+    Writers.copyBiomSharded(coo, s"$dir/t-{SHARD}.biom", numShards = 3)
+    val files = new java.io.File(dir).listFiles().map(_.getPath).sorted
+    assert(files.length >= 2, s"expected 2+ shards, got ${files.mkString(",")}")
+    val shards = files.map(f => spark.read.format("biom").load(f))
+    // shards partition the sample set (no sample split across files)
+    val sampleSets = shards.map(_.select("sample_id").distinct()
+      .collect().map(_.getString(0)).toSet)
+    for (Seq(a, b) <- sampleSets.toSeq.combinations(2))
+      assert((a & b).isEmpty, s"samples split across shards: ${a & b}")
+    val back = shards.reduce(_ unionAll _)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted
+    val orig = coo.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).sorted
+    assert(back.toSeq == orig.toSeq && orig.nonEmpty)
+  }
+
   test("sharded template without {SHARD} is rejected") {
     val src = spark.read.format("alignments").load(s"$sam/foo_has_header.sam")
     val e = intercept[IllegalArgumentException](

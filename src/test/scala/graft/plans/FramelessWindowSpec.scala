@@ -18,21 +18,22 @@ class FramelessWindowSpec extends AnyFunSuite {
 
   private def withHashWindow[T](enabled: Boolean)(f: => T): T = {
     val key = FramelessWindowStrategy.EnabledKey
-    val minKey = FramelessWindowStrategy.MinChildBytesKey
+    val forceKey = FramelessWindowStrategy.ForceKey
     val prev = spark.conf.getOption(key)
-    val prevMin = spark.conf.getOption(minKey)
+    val prevForce = spark.conf.getOption(forceKey)
     spark.conf.set(key, enabled.toString)
-    // the spec's frames are tiny; zero the size gate so plan-shape
-    // assertions exercise the strategy rather than the fallback
-    if (enabled) spark.conf.set(minKey, "0")
+    // the spec's frames are tiny (and some key on primitives); force
+    // past the size/key-type gates so plan-shape assertions exercise
+    // the strategy rather than the fallback
+    if (enabled) spark.conf.set(forceKey, "true")
     try f finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
-      prevMin match {
-        case Some(v) => spark.conf.set(minKey, v)
-        case None => spark.conf.unset(minKey)
+      prevForce match {
+        case Some(v) => spark.conf.set(forceKey, v)
+        case None => spark.conf.unset(forceKey)
       }
     }
   }
@@ -186,6 +187,31 @@ class FramelessWindowSpec extends AnyFunSuite {
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
     }.isEmpty, s"size gate should have suppressed the join form:\n${d.queryExecution.executedPlan}")
     assert(ops.collect { case w: WindowExec => w }.nonEmpty)
+  }
+
+  test("key-type gate: primitive keys keep WindowExec, string keys take the join") {
+    // zero the SIZE gate only (not force): the key-TYPE heuristic must
+    // decide — radix-sortable primitive keys keep the sort (measured
+    // faster at every probed scale, tools/A16Tune), variable-width
+    // keys take the join form (tools/A16Str)
+    val minKey = FramelessWindowStrategy.MinChildBytesKey
+    val prevMin = spark.conf.getOption(minKey)
+    spark.conf.set(minKey, "0")
+    try {
+      val numeric = df.select($"i", count(lit(1)).over(Window.partitionBy($"i")).as("c"))
+      numeric.collect()
+      assert(allOps(numeric.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }.nonEmpty,
+        s"numeric key must keep WindowExec:\n${numeric.queryExecution.executedPlan}")
+      val str = df.select($"k", count(lit(1)).over(Window.partitionBy($"k")).as("c"))
+      str.collect()
+      assert(allOps(str.queryExecution.executedPlan)
+        .collect { case w: WindowExec => w }.isEmpty,
+        s"string key must take the join form:\n${str.queryExecution.executedPlan}")
+    } finally prevMin match {
+      case Some(v) => spark.conf.set(minKey, v)
+      case None => spark.conf.unset(minKey)
+    }
   }
 
   test("kill switch falls back to WindowExec") {
