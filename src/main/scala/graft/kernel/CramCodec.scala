@@ -250,23 +250,40 @@ object CramCodec {
     val rsize = r.itf8()
     val raw = r.bytes(csize)
     r.pos += 4 // crc32 (not verified)
-    val data = method match {
-      case 0 => raw
-      case 1 => gunzip(raw)
-      case 4 => if (raw.isEmpty) new Array[Byte](0) else ransDecode(raw)
-      case m =>
-        val name = m match {
-          case 2 => "bzip2"; case 3 => "lzma"; case 5 => "rANSNx16"
-          case 6 => "adaptive arithmetic"; case 7 => "fqzcomp"; case 8 => "name tokeniser"
-          case _ => s"method $m"
-        }
-        throw new CramException(s"CRAM block compression '$name' is outside the " +
-          "supported subset (raw, gzip, rANS4x8)")
-    }
+    val data = decompressBlock(method, raw, rsize)
     if (data.length != rsize)
       throw new CramException(s"block decompressed to ${data.length}, expected $rsize")
     Block(method, ctype, cid, data)
   }
+
+  /** CRAM block payload decompression by method id (CRAM 3.0 §8:
+    * 0 raw, 1 gzip, 2 bzip2, 3 lzma, 4 rANS4x8, 5 rANSNx16).
+    * Package-visible so the spec can drive each codec with real
+    * compressed payloads without authoring full containers.
+    */
+  private[kernel] def decompressBlock(method: Int, raw: Array[Byte], rsize: Int): Array[Byte] =
+    method match {
+      case 0 => raw
+      case 1 => gunzip(raw)
+      case 2 => // bzip2 via commons-compress (on Spark's classpath)
+        val bis = new org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try bis.readAllBytes() finally bis.close()
+      case 3 => // lzma via commons-compress + xz (both on Spark's classpath)
+        val lis = new org.apache.commons.compress.compressors.lzma.LZMACompressorInputStream(
+          new java.io.ByteArrayInputStream(raw))
+        try lis.readAllBytes() finally lis.close()
+      case 4 => if (raw.isEmpty) new Array[Byte](0) else ransDecode(raw)
+      case 5 => // rANSNx16 (kernel/RansNx16, golden-tested vs htscodecs vectors)
+        if (raw.isEmpty) new Array[Byte](0) else RansNx16.decode(raw, 0, raw.length, rsize)
+      case m =>
+        val name = m match {
+          case 6 => "adaptive arithmetic"; case 7 => "fqzcomp"; case 8 => "name tokeniser"
+          case _ => s"method $m"
+        }
+        throw new CramException(s"CRAM block compression '$name' is outside the " +
+          "supported subset (raw, gzip, bzip2, lzma, rANS4x8, rANSNx16)")
+    }
 
   private final case class ContainerHeader(length: Int, refId: Int, start: Int,
       span: Int, nRecords: Int, counter: Long, nBlocks: Int)

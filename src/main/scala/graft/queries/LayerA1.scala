@@ -72,25 +72,38 @@ object LayerA1 {
              |  FROM orders""".stripMargin)),
 
     // A6: 3-way equi-join + agg (TPC-H Q3 shape). customer is small →
-    // Catalyst auto-broadcasts it; lineitem⋈orders shuffles on the join key
-    // which is also the grouping key, so the agg reuses the exchange.
+    // Catalyst auto-broadcasts it; the lineitem join is size-gated.
     QueryDef(
       "a06_join_agg",
       (s, d) => {
         // Only o_orderkey survives to the output, so reduce the dim side
-        // to KEYS before broadcasting: customer(BUILDING) semi-filters
-        // orders (both broadcast — they are the small sides), and the
-        // broadcast payload against lineitem is a single int column
-        // instead of customer⋈orders rows. lineitem then streams map-side
-        // through one broadcast hash join + partial agg. Size-gate at
-        // real scale: when the filtered key set exceeds the broadcast
-        // threshold, drop the hint and let AQE plan the shuffle.
+        // to KEYS before the lineitem join: customer(BUILDING) semi-
+        // filters orders (customer broadcast — it is the small side).
+        // The lineitem⋈keys join is then SIZE-GATED on the orders
+        // relation's estimated size (r7, tools/A06Probe at sf10):
+        //  - small orders → broadcast the key set; lineitem streams
+        //    map-side through one broadcast hash join + partial agg
+        //    (wins at sf0.1 where fixed overheads dominate);
+        //  - large orders (~3M filtered keys at sf10) → broadcasting
+        //    costs a multi-hundred-MB build while the map-side partial
+        //    agg runs at full key cardinality and barely reduces; a
+        //    SHUFFLE_HASH join on the orderkey with the agg reusing the
+        //    join's partitioning is faster (2.2s vs 3.0s at sf10) and
+        //    is the shape that survives 100 TB, where no key set fits
+        //    in a broadcast.
         val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
           .select("c_custkey")
-        val ok = broadcast(Tables.orders(s, d)
+        val ok = Tables.orders(s, d)
           .join(broadcast(c), col("c_custkey") === col("o_custkey"), "leftsemi")
-          .select("o_orderkey"))
-        Tables.lineitem(s, d).join(ok, col("l_orderkey") === col("o_orderkey"))
+          .select("o_orderkey")
+        val ordersBytes = Tables.orders(s, d).queryExecution.optimizedPlan.stats.sizeInBytes
+        val joined =
+          if (ordersBytes < BigInt(64L << 20))
+            Tables.lineitem(s, d).join(broadcast(ok), col("l_orderkey") === col("o_orderkey"))
+          else
+            Tables.lineitem(s, d).hint("SHUFFLE_HASH")
+              .join(ok.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+        joined
           .groupBy(col("o_orderkey"))
           .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
             .cast("double") / 10000.0).as("rev"))

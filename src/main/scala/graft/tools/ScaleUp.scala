@@ -20,7 +20,7 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   /** Above every key in sf0.1 (max l_orderkey ~ 6e5) and big enough
     * that 1000 replicas stay far from Long overflow. */
-  val KeyOffset = 10000000L
+  val KeyOffset: Long = Amplify.KeyOffset
 
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
@@ -74,17 +74,8 @@ object ScaleUp {
     // the workload scales linearly, like the TPC-H tables above.
     if (wanted("documents")) {
       val df = spark.read.parquet(s"$src/documents.parquet")
-      // two-letter alphanumeric salt (A-Z × a-z = 676 distinct reps);
-      // letters only — '$' or '\' would be group references in the
-      // regexp_replace replacement string
-      val salt = concat(
-        chr(lit(65) + pmod(col("rep"), lit(26))),
-        chr(lit(97) + pmod(floor(col("rep") / 26), lit(26))))
-      val out = df.crossJoin(broadcast(reps)).select(
-        (col("doc_id") + col("rep") * KeyOffset).as("doc_id"),
-        regexp_replace(col("text"), lit("(.{8})"), concat(lit("$1"), salt)).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      out.repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      Amplify.documents(df, n)
+        .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
       println(s"[scaleup] documents -> $dst/documents.parquet (x$n, salted)")
     }
 
@@ -102,14 +93,8 @@ object ScaleUp {
     // TPC-H grows key domains but not group domains.
     if (wanted("embeddings")) {
       val df = spark.read.parquet(s"$src/embeddings.parquet")
-      val dim = size(col("embedding"))
-      val k = pmod(col("rep"), dim)
-      val out = df.crossJoin(broadcast(reps)).select(
-        (col("vec_id") + col("rep") * KeyOffset).as("vec_id"),
-        concat(slice(col("embedding"), k + 1, dim - k),
-          slice(col("embedding"), lit(1), k)).as("embedding"),
-        (col("label") + col("rep") * KeyOffset).as("label"))
-      out.repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+      Amplify.embeddings(df, n)
+        .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       println(s"[scaleup] embeddings -> $dst/embeddings.parquet (x$n, rotated+label-shifted)")
     }
     spark.stop()
