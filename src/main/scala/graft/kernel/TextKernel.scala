@@ -289,6 +289,38 @@ object TextKernel {
     if (union == 0) 1.0 else inter.toDouble / union
   }
 
+  /** Distinct word-level n-grams, lowercased, space-joined — the
+    * fingerprint unit for benchmark decontamination (the GPT-3 /
+    * Pile-style n-gram-overlap check; published convention is
+    * 8–13-gram word windows). Tokens = [[tokens]] (the shared
+    * WsChars whitespace class, so the DuckDB oracle can re-derive
+    * every gram with `string_split_regex`). Docs with fewer than n
+    * tokens produce NO grams — a document too short to contain one
+    * full window cannot leak one (documented convention; callers
+    * wanting short-prompt coverage pass a smaller n).
+    */
+  def wordNgrams(text: String, n: Int): Array[String] = {
+    val ts = tokens(text)
+    if (ts.length < n) return Array.empty
+    val set = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= ts.length) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(ts(j))
+        j += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[String](set.size)
+    set.toArray(out)
+    out
+  }
+
   /** Repetition signals in one pass (Gopher A1.1 on word n-grams):
     * (n_words, top-bigram ratio, top-trigram ratio, dup-5-gram ratio).
     * Words = whitespace-split non-empty tokens (same set as Spark's

@@ -406,34 +406,23 @@ object AlignOps {
       .inheritIO().start().waitFor()
     require(rc == 0, s"bowtie2-build failed with exit code $rc")
     val rdd = queries.select("read_id", "sequence1").rdd.mapPartitions { rows =>
-      val proc = new ProcessBuilder(bt2, "-x", s"$tmp/index", "-f", "-U", "-",
-        "--quiet", "--no-head").redirectErrorStream(false).start()
-      val writer = new java.io.PrintWriter(proc.getOutputStream)
-      val reader = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream))
       val out = new scala.collection.mutable.ArrayBuffer[Row]()
-      // writer thread (bounded pipe deadlock avoidance)
-      val t = new Thread(() => {
-        rows.foreach { r =>
-          writer.println(s">${r.getString(0)}"); writer.println(r.getString(1))
-        }
-        writer.close()
-      })
-      t.start()
-      var line = reader.readLine()
-      while (line != null) {
-        val rec = graft.kernel.SamCodec.parseLine(line, includeSeqQual = false)
-        out += Row(rec.readId, rec.flags, rec.reference, rec.position,
-          rec.stopPosition, rec.mapq, rec.cigar, rec.mateReference,
-          rec.matePosition, rec.templateLength,
-          rec.tagAs.map(Long.box).orNull, rec.tagXs.map(Long.box).orNull,
-          rec.tagYs.map(Long.box).orNull, rec.tagXn.map(Long.box).orNull,
-          rec.tagXm.map(Long.box).orNull, rec.tagXo.map(Long.box).orNull,
-          rec.tagXg.map(Long.box).orNull, rec.tagNm.map(Long.box).orNull,
-          rec.tagYt.orNull, rec.tagMd.orNull, rec.tagSa.orNull)
-        line = reader.readLine()
-      }
-      t.join()
+      val res = PipeHarness.pipeFasta(
+        Seq(bt2, "-x", s"$tmp/index", "-f", "-U", "-", "--quiet", "--no-head"),
+        rows.map(r => (r.getString(0), r.getString(1))),
+        line => {
+          val rec = graft.kernel.SamCodec.parseLine(line, includeSeqQual = false)
+          out += Row(rec.readId, rec.flags, rec.reference, rec.position,
+            rec.stopPosition, rec.mapq, rec.cigar, rec.mateReference,
+            rec.matePosition, rec.templateLength,
+            rec.tagAs.map(Long.box).orNull, rec.tagXs.map(Long.box).orNull,
+            rec.tagYs.map(Long.box).orNull, rec.tagXn.map(Long.box).orNull,
+            rec.tagXm.map(Long.box).orNull, rec.tagXo.map(Long.box).orNull,
+            rec.tagXg.map(Long.box).orNull, rec.tagNm.map(Long.box).orNull,
+            rec.tagYt.orNull, rec.tagMd.orNull, rec.tagSa.orNull)
+        })
+      require(res.exitCode == 0,
+        s"bowtie2 exited ${res.exitCode}; stderr tail:\n${res.stderrTail}")
       out.iterator
     }
     spark.createDataFrame(rdd, outputSchema)

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.kernel.TextKernel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * word-level n-gram with an evaluation/benchmark set — the published
+  * GPT-3 / Pile-style overlap check that every serious training-data
+  * pipeline runs before a model sees the corpus.
+  *
+  * Scale design (the 100 TB shape): both sides reduce to DISTINCT
+  * n-gram fingerprints. The benchmark side is small by nature (eval
+  * suites are MBs against a corpus of TBs) — its distinct fingerprint
+  * set flows into the join's build side, which Catalyst/AQE broadcasts
+  * at runtime; the corpus side is a map-only explode (the kernel emits
+  * per-doc-distinct grams, so no within-doc duplicate rows exist to
+  * shuffle). Only MATCHED (doc, fingerprint) pairs — a sliver of the
+  * corpus — reach the final per-doc count shuffle. Nothing in the
+  * plan is ever all-pairs or corpus×benchmark.
+  *
+  * Fingerprint = 60-bit md5-prefix of the space-joined gram
+  * ([[Dedup.md5Hash60]]'s cross-engine-exact hash family), so the
+  * oracle re-derives every fingerprint; at 8 bytes it shuffles ~10×
+  * fewer bytes than the gram strings it stands for, and a collision
+  * needs ~2^30 distinct grams PER benchmark (birthday bound) before it
+  * mislabels a single doc.
+  */
+object Decontaminate {
+
+  private val ngramsUdf = udf((text: String, n: Int) =>
+    TextKernel.wordNgrams(text, n))
+
+  /** (doc_id, fp): per-document distinct n-gram fingerprints. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(ngramsUdf(col(textCol), lit(n))).as("ngram"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("ngram")).as("fp"))
+
+  /** Contaminated corpus docs: every document sharing ≥1 n-gram with
+    * the benchmark set, with the count of distinct leaked grams (the
+    * triage signal: 1 hit = likely boilerplate, hundreds = the
+    * benchmark is verbatim inside the doc). Clean documents do not
+    * appear — the output is the drop/review list.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val corpusFps = fingerprints(corpus, idCol, textCol, n)
+    val benchFps = fingerprints(benchmark, idCol, textCol, n)
+      .select("fp").distinct()
+    corpusFps.join(benchFps, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_leaked_ngrams"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{Decontaminate, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -697,6 +697,41 @@ object LlmPipeline {
              |       ROUND(CAST(list_sum(s) AS DOUBLE) / (channels * n_frames), 6) AS mean_amp,
              |       CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak_abs
              |  FROM m""".stripMargin)),
+
+    // Benchmark decontamination (GPT-3/Pile-style word-n-gram overlap):
+    // benchmark set = every 23rd document, corpus = all documents;
+    // output = contaminated docs with their leaked-gram counts. n=8 so
+    // every sf doc (min 10 tokens) contributes windows. The oracle
+    // re-derives tokens (shared WsChars class), every space-joined
+    // 8-gram window, and the md5-prefix fingerprint — an exact
+    // cross-engine check of tokenizer, windowing, hash, join, and
+    // count. Scale shape documented at ops/Decontaminate.scala.
+    QueryDef(
+      "l23_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontaminate.decontaminate(docs,
+          docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 8)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |win AS (
+             |  SELECT doc_id, ts,
+             |         unnest(generate_series(1, len(ts) - 7)) AS i
+             |    FROM toks),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |         CAST(('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))
+             |              AS BIGINT) AS fp
+             |    FROM win),
+             |bench AS (
+             |  SELECT DISTINCT fp FROM grams WHERE doc_id % 23 = 0)
+             |SELECT g.doc_id, COUNT(*) AS n_leaked_ngrams
+             |  FROM grams g JOIN bench b USING (fp)
+             | GROUP BY g.doc_id""".stripMargin)),
 
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams

@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkFixture
+import graft.kernel.TextKernel
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("wordNgrams: lowercased, whitespace-class-tokenized, distinct, ordered windows") {
+    assert(TextKernel.wordNgrams("The quick\tbrown  FOX", 2).toSeq ===
+      Seq("the quick", "quick brown", "brown fox"))
+    // repeated window appears once
+    assert(TextKernel.wordNgrams("a b a b a b", 2).toSeq === Seq("a b", "b a"))
+    // fewer tokens than n → no windows
+    assert(TextKernel.wordNgrams("only three tokens", 4).isEmpty)
+    assert(TextKernel.wordNgrams("", 2).isEmpty)
+  }
+
+  test("decontaminate flags planted benchmark leaks, not clean docs") {
+    import spark.implicits._
+    val benchText = "the capital of france is paris and the capital of italy is rome"
+    val corpus = Seq(
+      // doc 1: contains the benchmark verbatim inside filler → many hits
+      (1L, s"some filler text here $benchText trailing words follow"),
+      // doc 2: shares no 8-gram window (different word order)
+      (2L, "paris is the capital of france rome is the capital of italy yes indeed"),
+      // doc 3: clean
+      (3L, "completely unrelated content about distributed query engines and shuffles"),
+      // doc 4: exact copy of the benchmark → every window hits
+      (4L, benchText)
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((100L, benchText)).toDF("doc_id", "text")
+
+    val out = Decontaminate.decontaminate(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val benchWindows = TextKernel.wordNgrams(benchText, 8).length
+    assert(out(4L) === benchWindows) // verbatim copy leaks every window
+    assert(out(1L) === benchWindows) // embedded copy leaks every window too
+    assert(!out.contains(2L) && !out.contains(3L))
+  }
+
+  test("per-doc-distinct grams: repeated leak in one doc counts once") {
+    import spark.implicits._
+    val leak = "one two three four five six seven eight"
+    val corpus = Seq((1L, s"$leak padding padding $leak")).toDF("doc_id", "text")
+    val benchmark = Seq((9L, leak)).toDF("doc_id", "text")
+    val out = Decontaminate.decontaminate(corpus, benchmark, "doc_id", "text", n = 8)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(1) === 1L) // the 8-gram window counted once
+  }
+}
