@@ -262,6 +262,10 @@ object Dedup {
     * final max-aggregate. Skew note: a bucket of s members verifies
     * s(s-1)/2 pairs in one task; the shingleN-length filter removes
     * the only systematic source of mega-buckets.
+    *
+    * Above `spark.graft.lsh.prune.minBytes` (default 256 MB of input)
+    * an id-only first pass prunes to ≥2-member buckets before any
+    * hash array moves — see the inline comment at the gate.
     */
   def minhashPairs(
       docs: DataFrame,
@@ -291,8 +295,33 @@ object Dedup {
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .select(col("pos").as("band"), col("col").as("band_hash"),
         col("id"), col("shs"))
+    // Two-pass bucket pruning for large corpora: only buckets with ≥2
+    // members can emit pairs, and on a lightly-duplicated corpus that
+    // is a small fraction of all (band, band_hash) keys. Pass 1
+    // shuffles IDS ONLY (~16 B/row, corpus × bands) to find surviving
+    // buckets; pass 2 re-shingles (CPU is cheap, O(corpus); the
+    // alternative — persisting the arrays — IS the write we're
+    // avoiding) and moves the ~4 B/shingle hash arrays only into
+    // surviving buckets via an AQE-broadcastable semi join. At the
+    // derived sf100 (5M docs) the single-pass array shuffle is
+    // ~320 GB and disk-kills; the id pass is ~1.3 GB. Below the size
+    // gate the extra stages cost more than they save, so small inputs
+    // keep the one-shuffle shape (identical output either way).
+    val pruneMin = BigInt(spark.conf.getOption("spark.graft.lsh.prune.minBytes")
+      .map(_.toLong).getOrElse(256L << 20))
+    val bandedForVerify =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < pruneMin) banded
+      else {
+        val surviving = banded
+          .groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .select(col("band"), col("band_hash"))
+        banded.join(surviving, Seq("band", "band_hash"))
+          .select(col("band"), col("band_hash"), col("id"), col("shs"))
+      }
     val thr = threshold
-    banded.as[(Int, Int, Long, Array[Int])]
+    bandedForVerify.as[(Int, Int, Long, Array[Int])]
       .repartition(col("band"), col("band_hash"))
       .sortWithinPartitions(col("band"), col("band_hash"))
       .mapPartitions { iter =>

@@ -36,6 +36,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.6))
   }
 
+  test("minhashPairs two-pass bucket pruning is output-identical") {
+    def run() = Dedup.minhashPairs(plantedDocs, "doc_id", "text",
+      shingleN = 5, numHashes = 64, bands = 16, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = run() // planted corpus is far below the 256 MB gate
+    spark.conf.set("spark.graft.lsh.prune.minBytes", "0")
+    try {
+      val pruned = run() // gate forced on: id pass + surviving-bucket join
+      assert(pruned == single)
+    } finally spark.conf.unset("spark.graft.lsh.prune.minBytes")
+  }
+
   test("simhashPairs finds planted near-duplicates") {
     val pairs = Dedup.simhashPairs(plantedDocs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
