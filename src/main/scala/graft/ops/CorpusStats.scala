@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.kernel.TextKernel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for training-data curation: C4-style
+  * boilerplate detection (word n-grams repeated across many documents
+  * — navigation chrome, license headers, templated spam) and the
+  * vocabulary frequency table that tokenizer training / Zipf sanity
+  * checks start from.
+  *
+  * Scale design: everything here is the canonical wordcount shape —
+  * one explode (map-only, per-doc-distinct grams from the kernel, so
+  * no within-doc duplicates shuffle) into one hash-partitioned
+  * aggregation with map-side partial combine. The boilerplate gram
+  * set is small by construction (grams in ≥ minDocs documents out of
+  * a lightly-templated corpus), so the per-document ratio join
+  * broadcasts it under AQE; worst case it degrades to a shuffled hash
+  * join and stays linear. Nothing is all-pairs, nothing collects.
+  */
+object CorpusStats {
+
+  private val ngramsUdf = udf((text: String, n: Int) =>
+    TextKernel.wordNgrams(text, n))
+  private val tokensUdf = udf((text: String) => TextKernel.tokens(text))
+
+  /** (doc_id, ngram): per-document DISTINCT word n-grams. */
+  private def docGrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      explode(ngramsUdf(col(textCol), lit(n))).as("ngram"))
+
+  /** Boilerplate n-grams: word n-grams present in at least `minDocs`
+    * distinct documents, with their document frequency. The output is
+    * the block-list a curation pipeline feeds back into line/span
+    * removal (C4 dropped any line seen 3+ times in the corpus).
+    */
+  def boilerplateNgrams(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    docGrams(docs, idCol, textCol, n)
+      .groupBy(col("ngram"))
+      // grams are per-doc distinct, so a plain count IS the doc freq
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate saturation: of a document's distinct
+    * n-grams, how many are corpus boilerplate (df ≥ minDocs). Docs
+    * with a high ratio are templated/duplicated content — RefinedWeb
+    * and Gopher both drop on exactly this signal. Documents shorter
+    * than n tokens have no grams and are absent (the kernel's
+    * documented short-doc convention).
+    */
+  def boilerplateRatio(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val grams = docGrams(docs, idCol, textCol, n)
+    val boiler = boilerplateNgrams(docs, idCol, textCol, n, minDocs)
+      .select(col("ngram"), lit(1).as("is_boiler"))
+    grams.join(boiler, Seq("ngram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0))).as("n_boiler"))
+      .withColumn("boilerplate_ratio",
+        col("n_boiler").cast("double") / col("n_grams"))
+  }
+
+  /** Vocabulary table: per lowercased whitespace token, total
+    * occurrences, document frequency, and fraction of all corpus
+    * tokens (the Zipf curve / tokenizer-coverage input). The corpus
+    * total rides in on a broadcast 1-row aggregate, not a collect.
+    */
+  def vocabStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokensUdf(col(textCol))).as("word"))
+    val counts = toks.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_total"),
+        count_distinct(col("doc_id")).as("n_docs"))
+    val total = counts.agg(sum(col("n_total")).as("corpus_tokens"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("token_frac",
+        col("n_total").cast("double") / col("corpus_tokens"))
+      .drop("corpus_tokens")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Decontaminate, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{CorpusStats, Decontaminate, Dedup, Multimodal, Similarity, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -732,6 +732,58 @@ object LlmPipeline {
              |SELECT g.doc_id, COUNT(*) AS n_leaked_ngrams
              |  FROM grams g JOIN bench b USING (fp)
              | GROUP BY g.doc_id""".stripMargin)),
+
+    // C4-style boilerplate saturation: trigrams seen in ≥3 distinct
+    // docs are "boilerplate"; per doc, the fraction of its distinct
+    // trigrams that are boilerplate. Oracle re-derives tokenization
+    // (shared WsChars class), per-doc-distinct windows, the df
+    // aggregate, and the left-join ratio — n=3/minDocs=3 chosen so
+    // the sf corpus yields a dense, non-degenerate distribution
+    // (~2.3k boilerplate grams at sf0.01). Scale shape documented at
+    // ops/CorpusStats.scala (wordcount agg + broadcastable block-list).
+    QueryDef(
+      "l24_boilerplate",
+      (s, d) => CorpusStats.boilerplateRatio(
+        Tables.documents(s, d), "doc_id", "text", n = 3, minDocs = 3),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |win AS (
+             |  SELECT doc_id, ts,
+             |         unnest(generate_series(1, len(ts) - 2)) AS i
+             |    FROM toks),
+             |grams AS (
+             |  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS ngram
+             |    FROM win),
+             |boiler AS (
+             |  SELECT ngram, 1 AS is_boiler FROM grams
+             |   GROUP BY ngram HAVING COUNT(*) >= 3)
+             |SELECT g.doc_id, COUNT(*) AS n_grams,
+             |       CAST(SUM(COALESCE(is_boiler, 0)) AS BIGINT) AS n_boiler,
+             |       CAST(SUM(COALESCE(is_boiler, 0)) AS DOUBLE) / COUNT(*)
+             |         AS boilerplate_ratio
+             |  FROM grams g LEFT JOIN boiler b USING (ngram)
+             | GROUP BY g.doc_id""".stripMargin)),
+
+    // Vocabulary / Zipf table for tokenizer prep: per lowercased
+    // whitespace token, total count, doc frequency, and fraction of
+    // all corpus tokens. The corpus total is a broadcast 1-row agg —
+    // the oracle's scalar subquery — never a collect.
+    QueryDef(
+      "l25_vocab_stats",
+      (s, d) => CorpusStats.vocabStats(Tables.documents(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(
+             |           list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             |                       x -> len(x) > 0)) AS word
+             |    FROM documents)
+             |SELECT word, COUNT(*) AS n_total,
+             |       COUNT(DISTINCT doc_id) AS n_docs,
+             |       CAST(COUNT(*) AS DOUBLE)
+             |         / (SELECT COUNT(*) FROM toks) AS token_frac
+             |  FROM toks GROUP BY word""".stripMargin)),
 
     // 2H: the streaming windowed aggregation run in BATCH mode over the
     // events table — identical logical plan to EventStreams

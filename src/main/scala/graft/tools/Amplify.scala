@@ -27,12 +27,16 @@ object Amplify {
 
   /** n disjoint salted replicas of the documents relation. */
   def documents(df: DataFrame, n: Int): DataFrame = {
-    // two-letter alphanumeric salt (A-Z × a-z = 676 distinct reps);
-    // letters only — '$' or '\' would be group references in the
-    // regexp_replace replacement string
+    // three-letter salt (A-Z × a-z × A-Z = 17,576 distinct reps — a
+    // two-letter salt capped disjointness at 676 and replicas beyond
+    // that were byte-identical, which at the sf100 derivation (n=1000)
+    // would have made cross-replica Jaccard 1.0 and candidate pairs
+    // quadratic); letters only — '$' or '\' would be group references
+    // in the regexp_replace replacement string
     val salt = concat(
       chr(lit(65) + pmod(col("rep"), lit(26))),
-      chr(lit(97) + pmod(floor(col("rep") / 26), lit(26))))
+      chr(lit(97) + pmod(floor(col("rep") / 26), lit(26))),
+      chr(lit(65) + pmod(floor(col("rep") / 676), lit(26))))
     df.crossJoin(reps(df, n)).select(
       (col("doc_id") + col("rep") * KeyOffset).as("doc_id"),
       regexp_replace(col("text"), lit("(.{8})"), concat(lit("$1"), salt)).as("text"),

@@ -40,17 +40,23 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     val reps = spark.range(n).toDF("rep")
+    // The sf0.1 files are single-row-group = ONE scan partition, so an
+    // un-repartitioned crossJoin expands the whole n× replica set in a
+    // single task (measured: the first sf100 attempt ran 600M rows on
+    // one core). Repartitioning the SOURCE (a cheap ~600k-row shuffle)
+    // parallelizes the expansion 32 ways, and since crossJoin preserves
+    // the child's partitioning, each task writes its own file directly —
+    // no post-expansion shuffle of the full derived table at all. The
+    // 32 output files also give downstream scans real task parallelism
+    // (see SCALE.md "Local-mode honesty").
     def scale(name: String, keys: Set[String]): Unit = if (wanted(name)) {
-      val df = spark.read.parquet(s"$src/$name.parquet")
+      val df = spark.read.parquet(s"$src/$name.parquet").repartition(32)
       val out = df
         .crossJoin(broadcast(reps))
         .select(df.columns.map { c =>
           if (keys(c)) (col(c) + col("rep") * KeyOffset).as(c) else col(c)
         }: _*)
-      // repartition: parallel write + many row groups, so downstream
-      // scans get real task parallelism (the sf0.1 files are
-      // single-row-group; see SCALE.md "Local-mode honesty").
-      out.repartition(32).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      out.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name -> $dst/$name.parquet (x$n)")
     }
 
@@ -73,9 +79,9 @@ object ScaleUp {
     // dedup threshold: replicas become disjoint near-dup universes and
     // the workload scales linearly, like the TPC-H tables above.
     if (wanted("documents")) {
-      val df = spark.read.parquet(s"$src/documents.parquet")
+      val df = spark.read.parquet(s"$src/documents.parquet").repartition(32)
       Amplify.documents(df, n)
-        .repartition(32).write.mode("overwrite").parquet(s"$dst/documents.parquet")
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
       println(s"[scaleup] documents -> $dst/documents.parquet (x$n, salted)")
     }
 
@@ -92,9 +98,9 @@ object ScaleUp {
     // grow the blocking-key domain with corpus size, exactly like
     // TPC-H grows key domains but not group domains.
     if (wanted("embeddings")) {
-      val df = spark.read.parquet(s"$src/embeddings.parquet")
+      val df = spark.read.parquet(s"$src/embeddings.parquet").repartition(32)
       Amplify.embeddings(df, n)
-        .repartition(32).write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       println(s"[scaleup] embeddings -> $dst/embeddings.parquet (x$n, rotated+label-shifted)")
     }
     spark.stop()

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma delta unique1 one"),
+      (2L, "alpha beta gamma delta unique2 two"),
+      (3L, "alpha beta gamma delta unique3 three"),
+      (4L, "totally different words here now"),
+      (5L, "ab") // shorter than n tokens: no grams
+    ).toDF("doc_id", "text")
+  }
+
+  test("boilerplateNgrams finds grams shared by >= minDocs docs") {
+    val rows = CorpusStats.boilerplateNgrams(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // "alpha beta gamma" and "beta gamma delta" appear in docs 1-3
+    assert(rows == Map("alpha beta gamma" -> 3L, "beta gamma delta" -> 3L))
+  }
+
+  test("boilerplateRatio computes per-doc saturation; short docs absent") {
+    val rows = CorpusStats.boilerplateRatio(docs, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // each of docs 1-3: 4 distinct trigrams, 2 boilerplate
+    for (id <- 1L to 3L) assert(rows(id) == ((4L, 2L, 0.5)), s"doc $id")
+    assert(rows(4L) == ((3L, 0L, 0.0))) // no boilerplate
+    assert(!rows.contains(5L)) // too short for one trigram window
+  }
+
+  test("vocabStats counts totals, doc freq, and corpus fraction") {
+    val rows = CorpusStats.vocabStats(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val corpusTokens = rows.values.map(_._1).sum
+    assert(corpusTokens == 24L) // 3 docs x 6 + 5 + 1
+    assert(rows("alpha") == ((3L, 3L, 3.0 / corpusTokens)))
+    assert(rows("unique1") == ((1L, 1L, 1.0 / corpusTokens)))
+    assert(rows("ab")._2 == 1L)
+  }
+}
