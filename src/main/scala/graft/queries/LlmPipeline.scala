@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, Decontaminate, Dedup, Multimodal, Similarity, TextStats}
+import graft.ops.{CorpusStats, Decontaminate, Dedup, Multimodal, Similarity, Sketches, TextStats}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -842,6 +842,83 @@ object LlmPipeline {
              |       COUNT(*) AS n_events,
              |       CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS DOUBLE) / 100.0
              |         AS session_value
-             |  FROM isl GROUP BY user_id, sid""".stripMargin))
+             |  FROM isl GROUP BY user_id, sid""".stripMargin)),
+
+    // Mergeable theta (KMV) distinct sketches — kernel/Sketches.scala.
+    // All four sketch queries run in the UNSATURATED regime (distinct
+    // values < k), where the sketch algebra is EXACT by construction,
+    // so plain COUNT(DISTINCT) SQL is a true oracle; the saturated
+    // (approximate) regime is property-tested in SketchesSpec. The
+    // per-input-row path is a TypedImperativeAggregate with partial
+    // (map-side) aggregation — only O(k) serialized state shuffles.
+    QueryDef(
+      "l26_theta_users",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(Sketches.thetaEstimate(Sketches.thetaSketch(col("user_id"), 8192))
+            .cast("long").as("n_users")),
+      Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+             |  FROM events GROUP BY event_type""".stripMargin)),
+
+    // The save-state-and-re-merge workflow: per-day sketches (what a
+    // 100 TB pipeline would persist next to each day's partition) are
+    // UNIONED into a global distinct count without rescanning events.
+    QueryDef(
+      "l27_theta_union",
+      (s, d) => {
+        val perDay = Tables.events(s, d)
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(Sketches.thetaSketch(col("user_id"), 8192).as("sk"))
+        perDay.agg(
+          count(lit(1)).as("n_days"),
+          Sketches.thetaEstimate(Sketches.thetaUnion(col("sk"), 8192))
+            .cast("long").as("n_users"))
+      },
+      Some("""SELECT COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+             |       COUNT(DISTINCT user_id) AS n_users FROM events""".stripMargin)),
+
+    // Sketch set INTERSECTION — the operation COUNT(DISTINCT) cannot
+    // provide without joining raw data: users who both clicked and
+    // purchased, from two kilobyte sketches.
+    QueryDef(
+      "l28_theta_intersect",
+      (s, d) => {
+        val sk = Tables.events(s, d).agg(
+          Sketches.thetaSketch(
+            when(col("event_type") === "click", col("user_id")), 8192).as("clicks"),
+          Sketches.thetaSketch(
+            when(col("event_type") === "purchase", col("user_id")), 8192).as("purchases"))
+        sk.select(Sketches.thetaIntersect(col("clicks"), col("purchases"))
+          .cast("long").as("n_both"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_both FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'click'
+             |  INTERSECT
+             |  SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin)),
+
+    // Misra-Gries heavy hitters over the corpus token stream (k=64 >=
+    // vocabulary size here -> exact; count_min = count_max proves no
+    // decrement fired). Tokenization = TextKernel.tokens, the l25
+    // convention, re-derived in the oracle with the shared WsChars
+    // class.
+    QueryDef(
+      "l29_freq_tokens",
+      (s, d) => {
+        val toks = udf((t: String) => graft.kernel.TextKernel.tokens(t))
+        Tables.documents(s, d)
+          .select(explode(toks(col("text"))).as("word"))
+          .agg(Sketches.freqItems(col("word"), 64).as("fi"))
+          .selectExpr("inline(fi)")
+          .select(col("item").as("word"), col("count_min").as("n_min"),
+            col("count_max").as("n_max"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT unnest(
+             |           list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                       x -> len(x) > 0)) AS word
+             |    FROM documents)
+             |SELECT word, COUNT(*) AS n_min, COUNT(*) AS n_max
+             |  FROM toks GROUP BY word""".stripMargin))
   )
 }
