@@ -28,8 +28,14 @@ object Bench {
       // local[32] shuffles never cross a network: lz4-compressing spill
       // files only burns CPU here (measured ~7% off the suite). On a
       // real cluster this stays default-on — it trades CPU for NIC.
-      .config("spark.shuffle.compress", "false")
-      .config("spark.shuffle.spill.compress", "false")
+      // Env-overridable because the tradeoff inverts when the shuffle
+      // working set outgrows the page cache / free disk (the derived
+      // sf100 drive: a 600M-row exchange is ~30 GB raw, ~4x less lz4'd
+      // — there compression trades CPU for disk, same as for NIC).
+      .config("spark.shuffle.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+      .config("spark.shuffle.spill.compress",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -52,6 +58,10 @@ object Bench {
     (layerA ++ heavy).foreach { q =>
       try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // let the ContextCleaner release the previous query's shuffle
+      // files promptly — at the derived sf100 the warmup pass otherwise
+      // accumulates several finished queries' exchanges on disk at once
+      System.gc()
     }
 
     // Best-of-N timed passes: steady-state minimum, robust to GC /

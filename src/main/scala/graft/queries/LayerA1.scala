@@ -33,6 +33,32 @@ object LayerA1 {
   private[queries] def cents(name: String): Column =
     floor(col(name) * 100 + 0.5).cast("long")
 
+  /** True when `df` is small enough to be a shuffled-hash-join BUILD
+    * side: per-partition builds must fit executor memory, because
+    * ShuffledHashJoinExec's hash relation cannot spill — at the derived
+    * sf100 a forced-SHJ 600M-row build side needed >1 GB per task and
+    * the stage died with "Can't acquire ... to build hash relation"
+    * (SMJ sorts spill gracefully; that is Spark's large-large shape).
+    * Budget: 64 MB of estimated build bytes per shuffle partition —
+    * SHJ keeps its measured win at sf0.1/sf10 (SCALE.md round-4) and
+    * falls back to sort-merge beyond. A real cluster scales the
+    * partition count with the data, which keeps this ratio bounded;
+    * local bench dirs grow 1000x under a fixed 32, so the gate has to
+    * look at bytes, not trust the config.
+    */
+  private[queries] def shjBuildFits(df: DataFrame): Boolean = {
+    val perPartition = df.queryExecution.optimizedPlan.stats.sizeInBytes /
+      math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    perPartition < BigInt(64L << 20)
+  }
+
+  /** SHUFFLE_HASH when the build side fits per-partition memory, else
+    * unhinted (planner picks SMJ for large-large under either
+    * preferSortMergeJoin setting — canBuildLocalHashMap rejects it).
+    */
+  private[queries] def shjIfFits(df: DataFrame, buildSide: DataFrame): DataFrame =
+    if (shjBuildFits(buildSide)) df.hint("SHUFFLE_HASH") else df
+
   val queries: Seq[QueryDef] = Seq(
     // A1: parquet scan + global agg (scan feeds partial agg, no shuffle of raw rows)
     QueryDef(
@@ -101,8 +127,12 @@ object LayerA1 {
           if (ordersBytes < BigInt(64L << 20))
             Tables.lineitem(s, d).join(broadcast(ok), col("l_orderkey") === col("o_orderkey"))
           else
-            Tables.lineitem(s, d).hint("SHUFFLE_HASH")
-              .join(ok.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+            // build side is the key set `ok`; gate the hint on it so a
+            // corpus where even the KEY SET outgrows per-partition
+            // memory (derived sf1000+) degrades to sort-merge instead
+            // of dying in the hash build
+            shjIfFits(Tables.lineitem(s, d), ok)
+              .join(shjIfFits(ok, ok), col("l_orderkey") === col("o_orderkey"))
         joined
           .groupBy(col("o_orderkey"))
           .agg((sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount")))
@@ -139,7 +169,11 @@ object LayerA1 {
       "a08_self_join",
       (s, d) => {
         val l = Tables.lineitem(s, d).select("l_orderkey", "l_linenumber")
-        l.as("a").hint("SHUFFLE_HASH").join(l.as("b").hint("SHUFFLE_HASH"),
+        // size-gated: a self-join's build side IS the table; at the
+        // derived sf100 (600M rows, ~19M/partition) the un-spillable
+        // hash build cannot fit and the stage is cancelled — SMJ with
+        // one shared sorted exchange is the at-scale shape
+        shjIfFits(l.as("a"), l).join(shjIfFits(l.as("b"), l),
             col("a.l_orderkey") === col("b.l_orderkey")
               && col("a.l_linenumber") < col("b.l_linenumber"))
           .select(col("a.l_orderkey").as("l_orderkey"),

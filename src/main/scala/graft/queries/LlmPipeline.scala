@@ -314,7 +314,7 @@ object LlmPipeline {
     QueryDef(
       "l09_cosine_neardup",
       (s, d) => {
-        val emb = Tables.embeddings(s, d).withColumn("label", col("label").cast("int"))
+        val emb = Tables.embeddings(s, d)
         Similarity.blockedNearDupPairs(emb, "label", 0.3)
           .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       },
@@ -593,7 +593,7 @@ object LlmPipeline {
     QueryDef(
       "l20_semantic_dedup",
       (s, d) => {
-        val emb = Tables.embeddings(s, d).withColumn("label", col("label").cast("int"))
+        val emb = Tables.embeddings(s, d)
         val pairs = Similarity.blockedNearDupPairs(emb, "label", 0.3)
           .select(col("id_a"), col("id_b"))
         val cc = Dedup.connectedComponents(pairs).withColumnRenamed("id", "vec_id")
