@@ -115,6 +115,114 @@ case class ThetaUnionAgg(
     copy(child = newChildren(0))
 }
 
+/** kll_sketch(expr, k) → BINARY: KLL quantile sketch of a numeric
+  * column (kernel/Sketches.QuantileSketch). Quantile estimates are
+  * EXACT (= quantile_disc) while a group holds <= k values; past k the
+  * additive rank error is ~O(1/k). Like the theta aggregates, the
+  * VALUE is the point: persist per-shard sketches, merge later with
+  * [[KllMergeAgg]] — cross-corpus length/score distributions without
+  * rescanning or shuffling the raw column.
+  */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Sketches.QuantileSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_sketch"
+
+  // lazy: child.dataType is unresolved at construction during analysis
+  private lazy val toDouble: Any => Double = child.dataType match {
+    case DoubleType => v => v.asInstanceOf[Double]
+    case FloatType => v => v.asInstanceOf[Float].toDouble
+    case LongType => v => v.asInstanceOf[Long].toDouble
+    case IntegerType => v => v.asInstanceOf[Int].toDouble
+    case ShortType => v => v.asInstanceOf[Short].toDouble
+    case ByteType => v => v.asInstanceOf[Byte].toDouble
+    case other => throw new IllegalArgumentException(
+      s"kll_sketch: unsupported input type $other")
+  }
+
+  override def createAggregationBuffer(): Sketches.QuantileSketch =
+    new Sketches.QuantileSketch(k)
+
+  override def update(buffer: Sketches.QuantileSketch,
+      input: InternalRow): Sketches.QuantileSketch = {
+    val v = child.eval(input)
+    if (v != null) buffer.update(toDouble(v))
+    buffer
+  }
+
+  override def merge(buffer: Sketches.QuantileSketch,
+      other: Sketches.QuantileSketch): Sketches.QuantileSketch = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: Sketches.QuantileSketch): Any = buffer.serialized
+  override def serialize(buffer: Sketches.QuantileSketch): Array[Byte] =
+    buffer.serialized
+  override def deserialize(bytes: Array[Byte]): Sketches.QuantileSketch =
+    Sketches.QuantileSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
+/** kll_merge(sketch_binary) → BINARY: merge of serialized KLL sketches
+  * (the re-merge half of the save-state workflow).
+  */
+case class KllMergeAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Sketches.QuantileSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_merge"
+
+  override def createAggregationBuffer(): Sketches.QuantileSketch =
+    new Sketches.QuantileSketch(k)
+
+  override def update(buffer: Sketches.QuantileSketch,
+      input: InternalRow): Sketches.QuantileSketch = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.merge(Sketches.QuantileSketch.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: Sketches.QuantileSketch,
+      other: Sketches.QuantileSketch): Sketches.QuantileSketch = {
+    buffer.merge(other); buffer
+  }
+
+  override def eval(buffer: Sketches.QuantileSketch): Any = buffer.serialized
+  override def serialize(buffer: Sketches.QuantileSketch): Array[Byte] =
+    buffer.serialized
+  override def deserialize(bytes: Array[Byte]): Sketches.QuantileSketch =
+    Sketches.QuantileSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** freq_items(expr, k) → ARRAY<STRUCT<item, count_min, count_max>>:
   * Misra-Gries heavy hitters with at most k counters, counts exact when
   * distinct items <= k, guaranteed bounds otherwise; sorted by

@@ -284,4 +284,189 @@ object Sketches {
       s
     }
   }
+
+  /** KLL quantile sketch (Karnin-Lang-Liberty, FOCS'16) over doubles:
+    * mergeable, O(k log(n/k)) space, additive rank error ~O(1/k).
+    *
+    * Structure: a stack of buffers ("compactors"); items in level h
+    * carry weight 2^h. Level capacities shrink geometrically going
+    * DOWN from the top (ratio 2/3), so the top levels — which carry
+    * the heavy weights — keep the most samples. When total size
+    * exceeds total capacity, the lowest over-full level is compacted:
+    * sort, keep every second item (offset chosen by a deterministic
+    * splitmix64 coin over the compaction counter), promote survivors
+    * one level up.
+    *
+    * Exact regime (the oracle-checkable one): while n <= k only level
+    * 0 exists at capacity k, no compaction ever fires, and
+    * `quantile(q)` returns EXACTLY the discrete quantile
+    * sorted[ceil(q*n)-1] — DuckDB's quantile_disc convention —
+    * independent of insertion/merge order. Past k the estimate's rank
+    * error concentrates around ~2/k (QuantileSketchSpec pins a 5x
+    * safety bound).
+    */
+  final class QuantileSketch(val k: Int) extends Serializable {
+    require(k >= 8 && k <= (1 << 16), s"quantile sketch k out of range: $k")
+    private var levels: Array[java.util.ArrayList[java.lang.Double]] =
+      Array(new java.util.ArrayList[java.lang.Double]())
+    private var count: Long = 0L
+    private var compactions: Long = 0L
+
+    def n: Long = count
+    def numLevels: Int = levels.length
+
+    private def capacity(h: Int): Int = {
+      // top level holds k; each level below holds 2/3 of the one above
+      var c = k.toDouble
+      var i = levels.length - 1
+      while (i > h) { c = c * 2.0 / 3.0; i -= 1 }
+      math.max(math.ceil(c).toInt, 2)
+    }
+
+    private def totalCapacity: Int = {
+      var s = 0
+      var h = 0
+      while (h < levels.length) { s += capacity(h); h += 1 }
+      s
+    }
+
+    private def totalSize: Int = {
+      var s = 0
+      var h = 0
+      while (h < levels.length) { s += levels(h).size; h += 1 }
+      s
+    }
+
+    def update(x: Double): Unit = {
+      levels(0).add(x)
+      count += 1
+      compress()
+    }
+
+    private def compress(): Unit = {
+      while (totalSize > totalCapacity) {
+        // lowest level at/over its capacity (one always exists here)
+        var h = 0
+        while (h < levels.length && levels(h).size < capacity(h)) h += 1
+        if (h >= levels.length) return // defensive; cannot happen
+        compactLevel(h)
+      }
+    }
+
+    private def compactLevel(h: Int): Unit = {
+      if (h == levels.length - 1)
+        levels = levels :+ new java.util.ArrayList[java.lang.Double]()
+      val buf = levels(h)
+      java.util.Collections.sort(buf)
+      // deterministic pseudo-coin: keeps runs reproducible for a given
+      // operation order (exact regime never reaches this at all)
+      val offset = (TextKernel.mix64(compactions + 0x9e37L * h) & 1L).toInt
+      compactions += 1
+      val up = levels(h + 1)
+      var i = offset
+      while (i < buf.size) { up.add(buf.get(i)); i += 2 }
+      buf.clear()
+    }
+
+    def merge(other: QuantileSketch): Unit = {
+      while (levels.length < other.levels.length)
+        levels = levels :+ new java.util.ArrayList[java.lang.Double]()
+      var h = 0
+      while (h < other.levels.length) {
+        levels(h).addAll(other.levels(h))
+        h += 1
+      }
+      count += other.count
+      compress()
+    }
+
+    /** All retained (value, weight=2^level) pairs sorted by value. */
+    private def weighted(): (Array[Double], Array[Long]) = {
+      val m = totalSize
+      val vs = new Array[Double](m)
+      val ws = new Array[Long](m)
+      var i = 0
+      var h = 0
+      while (h < levels.length) {
+        val buf = levels(h)
+        val w = 1L << h
+        var j = 0
+        while (j < buf.size) { vs(i) = buf.get(j); ws(i) = w; i += 1; j += 1 }
+        h += 1
+      }
+      // sort pairs by value (indices sorted via boxed indirection is
+      // fine at O(k log k) per RESULT row, not per input row)
+      val idx = Array.range(0, m).sortBy(vs)
+      (idx.map(vs), idx.map(ws))
+    }
+
+    /** Discrete quantile estimate: smallest retained value whose
+      * cumulative weight reaches ceil(q * n). Exact (= quantile_disc)
+      * while unsaturated. NaN on an empty sketch.
+      */
+    def quantile(q: Double): Double = {
+      require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+      if (count == 0L) return Double.NaN
+      val (vs, ws) = weighted()
+      val target = math.max(math.ceil(q * count).toLong, 1L)
+      var cum = 0L
+      var i = 0
+      while (i < vs.length) {
+        cum += ws(i)
+        if (cum >= target) return vs(i)
+        i += 1
+      }
+      vs(vs.length - 1)
+    }
+
+    /** Estimated rank of x: fraction of the stream strictly below x. */
+    def rank(x: Double): Double = {
+      if (count == 0L) return 0.0
+      val (vs, ws) = weighted()
+      var cum = 0L
+      var i = 0
+      while (i < vs.length && vs(i) < x) { cum += ws(i); i += 1 }
+      cum.toDouble / count
+    }
+
+    /** Canonical bytes: k, n, compactions, numLevels, then each level's
+      * SORTED buffer (count + doubles). Sorting makes the image
+      * insertion-order-canonical per level.
+      */
+    def serialized: Array[Byte] = {
+      var bytes = 4 + 8 + 8 + 4 + 4 * levels.length
+      levels.foreach(b => bytes += 8 * b.size)
+      val bb = java.nio.ByteBuffer.allocate(bytes)
+      bb.putInt(k); bb.putLong(count); bb.putLong(compactions)
+      bb.putInt(levels.length)
+      levels.foreach { b =>
+        java.util.Collections.sort(b)
+        bb.putInt(b.size)
+        var i = 0
+        while (i < b.size) { bb.putDouble(b.get(i)); i += 1 }
+      }
+      bb.array()
+    }
+  }
+
+  object QuantileSketch {
+    def deserialize(bytes: Array[Byte]): QuantileSketch = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val s = new QuantileSketch(bb.getInt)
+      val n = bb.getLong
+      val compactions = bb.getLong
+      val nLevels = bb.getInt
+      s.levels = Array.fill(nLevels)(new java.util.ArrayList[java.lang.Double]())
+      var h = 0
+      while (h < nLevels) {
+        val m = bb.getInt
+        var i = 0
+        while (i < m) { s.levels(h).add(bb.getDouble); i += 1 }
+        h += 1
+      }
+      s.count = n
+      s.compactions = compactions
+      s
+    }
+  }
 }

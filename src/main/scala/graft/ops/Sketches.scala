@@ -1,6 +1,6 @@
 package graft.ops
 
-import graft.functions.{FreqItemsAgg, ThetaSketchAgg, ThetaUnionAgg}
+import graft.functions.{FreqItemsAgg, KllMergeAgg, KllSketchAgg, ThetaSketchAgg, ThetaUnionAgg}
 import graft.kernel.{Sketches => K}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
@@ -64,4 +64,41 @@ object Sketches {
     */
   def freqItems(c: Column, k: Int = 256): Column =
     column(FreqItemsAgg(expression(c), k).toAggregateExpression())
+
+  /** BINARY KLL quantile sketch of a numeric column: quantiles exact
+    * (= quantile_disc) while the group holds <= k values, additive
+    * rank error ~O(1/k) past that.
+    */
+  def kllSketch(c: Column, k: Int = 1024): Column =
+    column(KllSketchAgg(expression(c), k).toAggregateExpression())
+
+  /** Merge of serialized KLL sketches (aggregate over a BINARY sketch
+    * column) → BINARY.
+    */
+  def kllMerge(c: Column, k: Int = 1024): Column =
+    column(KllMergeAgg(expression(c), k).toAggregateExpression())
+
+  private val kllQuantileUdf = udf((sk: Array[Byte], q: Double) =>
+    if (sk == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(
+      K.QuantileSketch.deserialize(sk).quantile(q)))
+
+  private val kllNUdf = udf((sk: Array[Byte]) =>
+    if (sk == null) null.asInstanceOf[java.lang.Long]
+    else java.lang.Long.valueOf(K.QuantileSketch.deserialize(sk).n))
+
+  private val kllRankUdf = udf((sk: Array[Byte], x: Double) =>
+    if (sk == null) null.asInstanceOf[java.lang.Double]
+    else java.lang.Double.valueOf(K.QuantileSketch.deserialize(sk).rank(x)))
+
+  /** Discrete-quantile estimate from a serialized KLL sketch (exact
+    * below k; DuckDB quantile_disc convention: sorted[ceil(q*n)-1]).
+    */
+  def kllQuantile(sketch: Column, q: Column): Column = kllQuantileUdf(sketch, q)
+
+  /** Stream length recorded in a serialized KLL sketch. */
+  def kllN(sketch: Column): Column = kllNUdf(sketch)
+
+  /** Estimated rank (fraction of stream strictly below x). */
+  def kllRank(sketch: Column, x: Column): Column = kllRankUdf(sketch, x)
 }

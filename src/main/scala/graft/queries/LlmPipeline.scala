@@ -919,6 +919,58 @@ object LlmPipeline {
              |                       x -> len(x) > 0)) AS word
              |    FROM documents)
              |SELECT word, COUNT(*) AS n_min, COUNT(*) AS n_max
-             |  FROM toks GROUP BY word""".stripMargin))
+             |  FROM toks GROUP BY word""".stripMargin)),
+
+    // KLL quantile sketch, per-group regime: document-length
+    // distribution per language from one O(k)-state mergeable
+    // aggregate — the shape a 100 TB pipeline uses for length/score
+    // distribution tables without a per-group sort. Exact while each
+    // group holds <= k values (sf0.01: max group 218 << 1024), which
+    // is what the oracle pins: quantile(q) = quantile_disc's
+    // sorted[ceil(q*n)-1] element exactly.
+    QueryDef(
+      "l30_kll_quantiles",
+      (s, d) => {
+        val sk = Sketches.kllSketch(col("n_chars"), 1024)
+        Tables.documents(s, d)
+          .groupBy(col("lang"))
+          .agg(sk.as("sk"))
+          .select(col("lang"),
+            Sketches.kllN(col("sk")).as("n_docs"),
+            Sketches.kllQuantile(col("sk"), lit(0.25)).cast("long").as("p25"),
+            Sketches.kllQuantile(col("sk"), lit(0.5)).cast("long").as("p50"),
+            Sketches.kllQuantile(col("sk"), lit(0.75)).cast("long").as("p75"),
+            Sketches.kllQuantile(col("sk"), lit(0.9)).cast("long").as("p90"))
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+             |       CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25,
+             |       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
+             |       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
+             |       CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90
+             |  FROM documents GROUP BY lang""".stripMargin)),
+
+    // The save-state-and-re-merge half: per-source KLL sketches (what
+    // each ingest shard would persist) merged into the global length
+    // distribution without rescanning documents — kll_merge over
+    // serialized states only.
+    QueryDef(
+      "l31_kll_merge",
+      (s, d) => {
+        val perSource = Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(Sketches.kllSketch(col("n_chars"), 1024).as("sk"))
+        perSource.agg(
+          count(lit(1)).as("n_sources"),
+          Sketches.kllMerge(col("sk"), 1024).as("merged"))
+          .select(col("n_sources"),
+            Sketches.kllN(col("merged")).as("n_docs"),
+            Sketches.kllQuantile(col("merged"), lit(0.5)).cast("long").as("p50"),
+            Sketches.kllQuantile(col("merged"), lit(0.9)).cast("long").as("p90"))
+      },
+      Some("""SELECT COUNT(DISTINCT source) AS n_sources,
+             |       COUNT(*) AS n_docs,
+             |       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
+             |       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
+             |  FROM documents""".stripMargin))
   )
 }

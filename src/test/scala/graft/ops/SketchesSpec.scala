@@ -155,6 +155,78 @@ class SketchesSpec extends AnyFunSuite {
       ("alpha", 9L, 9L), ("beta", 5L, 5L), ("ties", 5L, 5L), ("gamma", 2L, 2L)))
   }
 
+  // ---- kernel: KLL quantiles ----
+
+  test("kll: exact regime equals quantile_disc (sorted[ceil(q*n)-1]) any order") {
+    import graft.kernel.Sketches.QuantileSketch
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0) // n=7
+    for (perm <- Seq(vals, vals.reverse, vals.sorted)) {
+      val s = new QuantileSketch(64)
+      perm.foreach(s.update)
+      val sorted = vals.sorted
+      for (q <- Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)) {
+        val idx = math.max(math.ceil(q * vals.size).toInt, 1) - 1
+        assert(s.quantile(q) == sorted(idx), s"q=$q perm=$perm")
+      }
+    }
+  }
+
+  test("kll: merge in exact regime == single stream, serialized round-trip") {
+    import graft.kernel.Sketches.QuantileSketch
+    val whole = new QuantileSketch(256)
+    (1 to 200).foreach(i => whole.update(i.toDouble))
+    val a = new QuantileSketch(256)
+    val b = new QuantileSketch(256)
+    (1 to 77).foreach(i => a.update(i.toDouble))
+    (78 to 200).foreach(i => b.update(i.toDouble))
+    val a2 = QuantileSketch.deserialize(a.serialized)
+    a2.merge(QuantileSketch.deserialize(b.serialized))
+    assert(a2.n == 200L)
+    for (q <- Seq(0.1, 0.5, 0.95))
+      assert(a2.quantile(q) == whole.quantile(q), s"q=$q")
+  }
+
+  test("kll: rank error bounded past saturation (100k stream, k=256)") {
+    import graft.kernel.Sketches.QuantileSketch
+    val s = new QuantileSketch(256)
+    // adversarial-ish order: interleave low/high halves
+    (0 until 50000).foreach { i =>
+      s.update(i.toDouble); s.update((99999 - i).toDouble)
+    }
+    assert(s.n == 100000L)
+    for (q <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val est = s.quantile(q)
+      val err = math.abs(est / 100000.0 - q)
+      // KLL guarantee is ~O(1/k) ≈ 0.004 at k=256; 5x safety margin
+      assert(err < 0.02, s"q=$q est=$est err=$err")
+    }
+    // state stays O(k log(n/k)), far below n
+    assert(s.serialized.length < 256 * 8 * 8, s.serialized.length)
+  }
+
+  test("kll agg + merge agg: distributed exact regime across 8 partitions") {
+    val df = spark.range(1, 501).select(col("id"),
+      (col("id") % 4).as("g")).repartition(8)
+    val perGroup = df.groupBy("g")
+      .agg(Sketches.kllSketch(col("id"), 1024).as("sk"))
+    val out = perGroup
+      .select(col("g"), Sketches.kllN(col("sk")).as("n"),
+        Sketches.kllQuantile(col("sk"), lit(0.5)).as("p50"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // group g holds {id : 1<=id<=500, id%4==g}; median = ceil(0.5n)-th
+    def expect(g: Long): (Long, Long, Double) = {
+      val vs = (1L to 500L).filter(_ % 4 == g).map(_.toDouble).sorted
+      (g, vs.size.toLong, vs((math.ceil(0.5 * vs.size) - 1).toInt))
+    }
+    assert(out == (0L to 3L).map(expect).toSet)
+    // merge the per-group sketches back to the global distribution
+    val merged = perGroup.agg(Sketches.kllMerge(col("sk"), 1024).as("m"))
+      .select(Sketches.kllN(col("m")), Sketches.kllQuantile(col("m"), lit(0.5)))
+      .collect().head
+    assert(merged.getLong(0) == 500L)
+    assert(merged.getDouble(1) == 250.0) // ceil(0.5*500)=250th of 1..500
+  }
+
   test("sketch state stays O(k) on a wide stream (map-side partial agg)") {
     // 200k distinct through k=256: estimate close, state tiny
     val df = spark.range(0, 200000).repartition(8)
