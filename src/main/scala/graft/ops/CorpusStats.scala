@@ -64,6 +64,51 @@ object CorpusStats {
         col("n_boiler").cast("double") / col("n_grams"))
   }
 
+  /** Line-level corpus dedup (CCNet / RefinedWeb line removal): strip
+    * from every document the lines whose trimmed form appears in at
+    * least `minDocs` distinct documents — navigation chrome, cookie
+    * banners, boilerplate headers/footers — and reassemble the
+    * remaining lines in their original order.
+    *
+    * Convention: lines split on '\n'; blank lines (trim = "") never
+    * count toward document frequency and are always kept (they carry
+    * the paragraph structure). A document whose every line is removed
+    * still appears, with empty clean_text.
+    *
+    * Scale shape: one explode with positional index (map-only), one
+    * wordcount-shaped df aggregate over per-doc-distinct trimmed
+    * lines, and the common-line set — tiny by construction (lines in
+    * ≥ minDocs docs) — broadcasts into a left-anti join under AQE.
+    * Reassembly is one per-doc hash aggregation over the kept lines
+    * (array_sort by index, no window, no per-doc sort exchange).
+    * Output: (doc_id, n_lines, n_removed, clean_text).
+    */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "line")))
+      .withColumn("key", trim(col("line")))
+    val common = lines.filter(col("key") =!= "")
+      .select(col("doc_id"), col("key")).distinct()
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("key"))
+    val kept = lines.join(common, Seq("key"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            x => x("line")),
+          "\n").as("clean_text"))
+    docs.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Vocabulary table: per lowercased whitespace token, total
     * occurrences, document frequency, and fraction of all corpus
     * tokens (the Zipf curve / tokenizer-coverage input). The corpus

@@ -53,4 +53,41 @@ object Decontaminate {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_leaked_ngrams"))
   }
+
+  /** Bloom-prefiltered decontamination — the shape for when the
+    * benchmark fingerprint set itself is large (a full eval-suite
+    * union can reach 10^8 distinct grams: too big to broadcast as an
+    * exact hash relation, still trivial as a bloom).
+    *
+    * Two stages, exact final result:
+    *  1. a Bloom filter over the benchmark fingerprints (~1.2 bytes
+    *     per element at 1% fpp — 100x smaller than the fingerprints)
+    *     is broadcast and applied MAP-SIDE to the corpus explode, so
+    *     ~99%+ of corpus fingerprints die before any shuffle;
+    *  2. the survivors — bloom hits, a sliver containing all true
+    *     matches plus ~fpp false positives — go through the same
+    *     exact join as [[decontaminate]], which removes the false
+    *     positives. The bloom only prunes; it never decides.
+    *
+    * Output is row-for-row identical to [[decontaminate]] (the oracle
+    * pins this), with the corpus-side shuffle cut by ~1/fpp.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13,
+      fpp: Double = 0.01): DataFrame = {
+    val benchFps = fingerprints(benchmark, idCol, textCol, n)
+      .select("fp").distinct()
+    // one pass over the (small-by-nature) benchmark side builds the
+    // bloom on the driver; expected count from a cheap exact count —
+    // still benchmark-side-only work, never touching the corpus
+    val expected = math.max(benchFps.count(), 1L)
+    val bloom = benchFps.stat.bloomFilter("fp", expected, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+    fingerprints(corpus, idCol, textCol, n)
+      .filter(mightContain(col("fp")))
+      .join(benchFps, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_leaked_ngrams"))
+  }
 }

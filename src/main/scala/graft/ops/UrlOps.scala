@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.kernel.UrlKernel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL curation for web corpora: canonicalize URLs, extract the
+  * registrable domain, and cap documents per domain — the standard
+  * pre-dedup steps of CCNet / RefinedWeb-style pipelines (normalize →
+  * URL-level exact dedup → per-domain cap against SEO farms that
+  * would otherwise dominate the corpus).
+  *
+  * Scale shape: normalize/host/domain are row-local (map-only, no
+  * shuffle); the per-domain cap is ONE window over a hash-partitioned
+  * domain key — partitioned, never global, so it scales with
+  * executors. Rank is by a deterministic content-independent hash
+  * (md5 of the id), i.e. a uniform per-domain sample, reproducible
+  * across runs and engines.
+  */
+object UrlOps {
+
+  private val normalizeUdf = udf((u: String) => UrlKernel.normalize(u))
+  private val hostUdf = udf((u: String) => UrlKernel.host(u))
+  private val regDomainUdf = udf((h: String) => UrlKernel.registeredDomain(h))
+
+  /** Canonical URL (see [[UrlKernel.normalize]]). */
+  def normalizeUrl(c: Column): Column = normalizeUdf(c)
+
+  /** Lowercased host of a URL (null when unparseable). */
+  def urlHost(c: Column): Column = hostUdf(c)
+
+  /** Registrable domain of a host (public-suffix-aware heuristic). */
+  def registeredDomain(c: Column): Column = regDomainUdf(c)
+
+  /** Adds norm_url, host, domain columns derived from `urlCol`. */
+  def withUrlColumns(df: DataFrame, urlCol: String): DataFrame =
+    df.withColumn("norm_url", normalizeUrl(col(urlCol)))
+      .withColumn("host", urlHost(col(urlCol)))
+      .withColumn("domain", registeredDomain(col("host")))
+
+  /** Keep at most `maxPerDomain` rows per registrable domain, chosen
+    * by md5-rank of `idCol` (a deterministic uniform sample — no
+    * crawl-order bias). Expects a `domain` column (see
+    * [[withUrlColumns]]); adds nothing, just filters.
+    */
+  def capPerDomain(df: DataFrame, idCol: String, maxPerDomain: Int): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerDomain)
+      .drop("__rk")
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, Decontaminate, Dedup, Multimodal, Similarity, Sketches, TextStats}
+import graft.ops.{CorpusStats, Decontaminate, Dedup, Multimodal, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -971,6 +971,172 @@ object LlmPipeline {
              |       COUNT(*) AS n_docs,
              |       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50,
              |       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90
-             |  FROM documents""".stripMargin))
+             |  FROM documents""".stripMargin)),
+
+    // Line-level corpus dedup (CCNet / RefinedWeb line removal). The
+    // sf corpus is single-line, so — same generative-oracle pattern as
+    // l19/l21/l22 — both engines first build an identical multi-line
+    // corpus from documents (shared header/footer lines with high doc
+    // frequency, an md5 unique line, a blank line, a paired 'mid'
+    // line), then the Spark side runs the production dedupLines
+    // pipeline while the oracle re-derives split/df/anti-join/
+    // reassembly in pure SQL. Any drift in line splitting, blank-line
+    // convention, df counting, or order-preserving reassembly breaks
+    // the hash.
+    QueryDef(
+      "l32_line_dedup",
+      (s, d) => {
+        val docs2 = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            lit("header "), col("doc_id") % 7,
+            lit("\nuniq "), md5(col("doc_id").cast("string")),
+            lit("\n\nmid "), col("doc_id") % 250,
+            lit("\nfooter "), col("doc_id") % 3).as("text"))
+        CorpusStats.dedupLines(docs2, "doc_id", "text", minDocs = 3)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |         'header ' || (doc_id % 7) || chr(10) ||
+             |         'uniq ' || md5(CAST(doc_id AS VARCHAR)) || chr(10) || chr(10) ||
+             |         'mid ' || (doc_id % 250) || chr(10) ||
+             |         'footer ' || (doc_id % 3) AS text
+             |    FROM documents),
+             |exploded AS (
+             |  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+             |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src)),
+             |lines AS (
+             |  SELECT doc_id, i AS line_idx, ls[i] AS line, trim(ls[i]) AS key
+             |    FROM exploded),
+             |common AS (
+             |  SELECT key
+             |    FROM (SELECT DISTINCT doc_id, key FROM lines WHERE key <> '')
+             |   GROUP BY key HAVING COUNT(*) >= 3),
+             |kept AS (
+             |  SELECT * FROM lines WHERE key NOT IN (SELECT key FROM common)),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |         array_to_string(list(line ORDER BY line_idx), chr(10)) AS clean_text
+             |    FROM kept GROUP BY doc_id)
+             |SELECT s.doc_id,
+             |       len(string_split(s.text, chr(10))) AS n_lines,
+             |       len(string_split(s.text, chr(10))) - COALESCE(a.n_kept, 0) AS n_removed,
+             |       COALESCE(a.clean_text, '') AS clean_text
+             |  FROM src s LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // Bloom-prefiltered decontamination: same contract as l23 but the
+    // benchmark fingerprints reach the corpus as a broadcast Bloom
+    // filter applied map-side, with an exact verify join after — the
+    // shape for benchmark sets too large to broadcast exactly. The
+    // oracle is the EXACT overlap (the bloom must only prune, never
+    // decide), over a different benchmark slice and gram width than
+    // l23 so the two queries cannot satisfy each other by accident.
+    QueryDef(
+      "l33_bloom_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontaminate.decontaminateBloom(docs,
+          docs.filter(col("doc_id") % 17 === 0), "doc_id", "text",
+          n = 6, fpp = 0.01)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |win AS (
+             |  SELECT doc_id, ts,
+             |         unnest(generate_series(1, len(ts) - 5)) AS i
+             |    FROM toks),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |         CAST(('0x' || substr(md5(array_to_string(ts[i:i+5], ' ')), 1, 15))
+             |              AS BIGINT) AS fp
+             |    FROM win),
+             |bench AS (
+             |  SELECT DISTINCT fp FROM grams WHERE doc_id % 17 = 0)
+             |SELECT g.doc_id, COUNT(*) AS n_leaked_ngrams
+             |  FROM grams g JOIN bench b USING (fp)
+             | GROUP BY g.doc_id""".stripMargin)),
+
+    // URL canonicalization + registrable-domain extraction. The sf
+    // corpus has no URL column, so both engines synthesize the same
+    // adversarial URL per doc (mixed-case scheme/host, default and
+    // non-default ports, tracking + content query params, fragment) —
+    // the Spark side then runs the production UrlKernel parser while
+    // the oracle re-derives the EXPECTED canonical form and domain
+    // from the generative formula, never from a second parser (the
+    // l21/l22 pattern). Any normalize/host/suffix defect breaks the
+    // hash.
+    QueryDef(
+      "l34_url_normalize",
+      (s, d) => {
+        val withUrl = Tables.documents(s, d).select(col("doc_id"),
+          expr("""CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END
+                 || '://WWW.Site' || (doc_id % 41)
+                 || CASE doc_id % 4 WHEN 0 THEN '.Example.COM' WHEN 1 THEN '.shop.co.uk'
+                                    WHEN 2 THEN '.Data' || (doc_id % 11) || '.io'
+                                    ELSE '.news' || (doc_id % 13) || '.org' END
+                 || CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE ':8080' END
+                 || '/Page/' || doc_id
+                 || '?utm_source=feed&id=' || (doc_id % 13) || '&fbclid=xyz'
+                 || '#sec' || (doc_id % 5)""").as("url"))
+        UrlOps.withUrlColumns(withUrl, "url")
+          .select("doc_id", "url", "norm_url", "host", "domain")
+      },
+      Some("""SELECT doc_id,
+             |       CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END
+             |       || '://WWW.Site' || (doc_id % 41)
+             |       || CASE doc_id % 4 WHEN 0 THEN '.Example.COM' WHEN 1 THEN '.shop.co.uk'
+             |                          WHEN 2 THEN '.Data' || (doc_id % 11) || '.io'
+             |                          ELSE '.news' || (doc_id % 13) || '.org' END
+             |       || CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE ':8080' END
+             |       || '/Page/' || doc_id
+             |       || '?utm_source=feed&id=' || (doc_id % 13) || '&fbclid=xyz'
+             |       || '#sec' || (doc_id % 5) AS url,
+             |       CASE doc_id % 3 WHEN 0 THEN 'http' ELSE 'https' END
+             |       || '://www.site' || (doc_id % 41)
+             |       || CASE doc_id % 4 WHEN 0 THEN '.example.com' WHEN 1 THEN '.shop.co.uk'
+             |                          WHEN 2 THEN '.data' || (doc_id % 11) || '.io'
+             |                          ELSE '.news' || (doc_id % 13) || '.org' END
+             |       || CASE doc_id % 3 WHEN 2 THEN ':8080' ELSE '' END
+             |       || '/Page/' || doc_id || '?id=' || (doc_id % 13) AS norm_url,
+             |       'www.site' || (doc_id % 41)
+             |       || CASE doc_id % 4 WHEN 0 THEN '.example.com' WHEN 1 THEN '.shop.co.uk'
+             |                          WHEN 2 THEN '.data' || (doc_id % 11) || '.io'
+             |                          ELSE '.news' || (doc_id % 13) || '.org' END AS host,
+             |       CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'shop.co.uk'
+             |                       WHEN 2 THEN 'data' || (doc_id % 11) || '.io'
+             |                       ELSE 'news' || (doc_id % 13) || '.org' END AS domain
+             |  FROM documents""".stripMargin)),
+
+    // Per-domain document cap (SEO-farm guard): keep at most 3 docs
+    // per registrable domain, chosen by md5-rank of the id — a
+    // deterministic uniform per-domain sample both engines rank
+    // identically. One PARTITIONED window over the domain key.
+    QueryDef(
+      "l35_domain_cap",
+      (s, d) => {
+        val withUrl = Tables.documents(s, d).select(col("doc_id"),
+          expr("""'https://WWW.Site' || (doc_id % 41)
+                 || CASE doc_id % 4 WHEN 0 THEN '.Example.COM' WHEN 1 THEN '.shop.co.uk'
+                                    WHEN 2 THEN '.Data' || (doc_id % 11) || '.io'
+                                    ELSE '.news' || (doc_id % 13) || '.org' END
+                 || '/p/' || doc_id""").as("url"))
+        UrlOps.capPerDomain(UrlOps.withUrlColumns(withUrl, "url"),
+            "doc_id", maxPerDomain = 3)
+          .select("domain", "doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'shop.co.uk'
+             |                         WHEN 2 THEN 'data' || (doc_id % 11) || '.io'
+             |                         ELSE 'news' || (doc_id % 13) || '.org' END AS domain
+             |    FROM documents),
+             |r AS (
+             |  SELECT domain, doc_id,
+             |         row_number() OVER (PARTITION BY domain
+             |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+             |    FROM u)
+             |SELECT domain, doc_id FROM r WHERE rk <= 3""".stripMargin))
   )
 }

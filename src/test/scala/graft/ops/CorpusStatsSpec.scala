@@ -44,4 +44,36 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows("unique1") == ((1L, 1L, 1.0 / corpusTokens)))
     assert(rows("ab")._2 == 1L)
   }
+
+  test("dedupLines removes common lines, keeps order, blanks, empty docs") {
+    import spark.implicits._
+    val multi = Seq(
+      (1L, "COMMON\nkeep one\n\nkeep two\nCOMMON"),
+      (2L, "COMMON\nkeep three"),
+      (3L, "  COMMON  \nkeep four"), // trimmed form matches COMMON
+      (4L, "COMMON") // every line removed → empty clean_text
+    ).toDF("doc_id", "text").repartition(4)
+    val rows = CorpusStats.dedupLines(multi, "doc_id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // blank line kept (never counted toward df), order preserved
+    assert(rows(1L) == ((5L, 2L, "keep one\n\nkeep two")))
+    assert(rows(2L) == ((2L, 1L, "keep three")))
+    // removal keys on the TRIMMED form, but kept lines keep raw text
+    assert(rows(3L) == ((2L, 1L, "keep four")))
+    assert(rows(4L) == ((1L, 1L, "")))
+  }
+
+  test("dedupLines below minDocs leaves documents untouched") {
+    import spark.implicits._
+    val multi = Seq(
+      (1L, "a\nb"),
+      (2L, "a\nc")
+    ).toDF("doc_id", "text")
+    val rows = CorpusStats.dedupLines(multi, "doc_id", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rows(1L) == ((2L, 0L, "a\nb")))
+    assert(rows(2L) == ((2L, 0L, "a\nc")))
+  }
 }

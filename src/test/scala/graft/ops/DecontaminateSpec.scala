@@ -50,4 +50,30 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(out.length === 1)
     assert(out.head.getLong(1) === 1L) // the 8-gram window counted once
   }
+
+  test("bloom-prefiltered path is row-identical to the exact join") {
+    import spark.implicits._
+    // 200 corpus docs over a shared vocabulary (dense fingerprint
+    // space → bloom false positives likely at fpp=0.2), 20 of which
+    // embed benchmark text verbatim
+    val benchTexts = (0 until 5).map(i =>
+      s"bench q$i alpha beta gamma delta epsilon zeta eta theta")
+    val corpus = (0 until 200).map { i =>
+      val base = s"doc $i filler ${i % 7} alpha beta gamma delta words words"
+      val text = if (i % 10 == 0) s"$base ${benchTexts(i % 5)}" else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text").repartition(8)
+    val benchmark = benchTexts.zipWithIndex
+      .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val exact = canon(Decontaminate.decontaminate(
+      corpus, benchmark, "doc_id", "text", n = 4))
+    // high fpp forces the verify join to actually discard bloom noise
+    val bloom = canon(Decontaminate.decontaminateBloom(
+      corpus, benchmark, "doc_id", "text", n = 4, fpp = 0.2))
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
 }

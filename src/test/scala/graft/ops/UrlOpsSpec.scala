@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkFixture
+import graft.kernel.UrlKernel
+import org.scalatest.funsuite.AnyFunSuite
+
+class UrlOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  // ---- kernel: normalize ----
+
+  test("normalize lowercases scheme+host, strips default ports, keeps path case") {
+    assert(UrlKernel.normalize("HTTP://WWW.Example.COM:80/A/B") ==
+      "http://www.example.com/A/B")
+    assert(UrlKernel.normalize("HTTPS://Host.Org:443/x") == "https://host.org/x")
+    // non-default port preserved; :443 is only default for https
+    assert(UrlKernel.normalize("http://h.com:8080/x") == "http://h.com:8080/x")
+    assert(UrlKernel.normalize("http://h.com:443/x") == "http://h.com:443/x")
+  }
+
+  test("normalize drops fragments and tracking params, keeps the rest in order") {
+    assert(UrlKernel.normalize("https://h.com/p?utm_source=a&id=7&fbclid=z#frag") ==
+      "https://h.com/p?id=7")
+    assert(UrlKernel.normalize("https://h.com/p?b=2&a=1") == "https://h.com/p?b=2&a=1")
+    // query that empties out disappears entirely
+    assert(UrlKernel.normalize("https://h.com/p?utm_campaign=x#s") == "https://h.com/p")
+    assert(UrlKernel.normalize("https://h.com/p?UTM_Medium=x&Ref=y") == "https://h.com/p")
+  }
+
+  test("normalize degrades to identity on non-URL strings, null-safe") {
+    assert(UrlKernel.normalize("not a url") == "not a url")
+    assert(UrlKernel.normalize("mailto:a@b.c") == "mailto:a@b.c") // no ://
+    assert(UrlKernel.normalize(null) == null)
+    // empty path/query/fragment edge
+    assert(UrlKernel.normalize("https://h.com") == "https://h.com")
+    assert(UrlKernel.normalize("https://h.com?") == "https://h.com")
+  }
+
+  // ---- kernel: host + registrable domain ----
+
+  test("host extracts lowercased host without port; null when unparseable") {
+    assert(UrlKernel.host("HTTPS://A.B.C:8443/x?y#z") == "a.b.c")
+    assert(UrlKernel.host("nonsense") == null)
+    assert(UrlKernel.host(null) == null)
+  }
+
+  test("registeredDomain: last two labels, ccSLD-aware, short hosts unchanged") {
+    assert(UrlKernel.registeredDomain("www.site5.example.com") == "example.com")
+    assert(UrlKernel.registeredDomain("a.b.shop.co.uk") == "shop.co.uk")
+    assert(UrlKernel.registeredDomain("shop.co.uk") == "shop.co.uk")
+    assert(UrlKernel.registeredDomain("example.com") == "example.com")
+    assert(UrlKernel.registeredDomain("localhost") == "localhost")
+    assert(UrlKernel.registeredDomain(null) == null)
+  }
+
+  // ---- DataFrame ops ----
+
+  test("capPerDomain keeps <= N per domain, deterministic md5 sample") {
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+      (i, s"https://site${i % 2}.example${i % 2}.com/p/$i"))
+      .toDF("doc_id", "url").repartition(8)
+    val out = UrlOps.capPerDomain(UrlOps.withUrlColumns(df, "url"), "doc_id", 3)
+      .select("domain", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.groupBy(_._1).forall(_._2.length <= 3))
+    assert(out.map(_._1).toSet == Set("example0.com", "example1.com"))
+    // deterministic: a second run picks the identical sample
+    val out2 = UrlOps.capPerDomain(UrlOps.withUrlColumns(df, "url"), "doc_id", 3)
+      .select("domain", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.sortBy(identity).toSeq == out2.sortBy(identity).toSeq)
+  }
+}
