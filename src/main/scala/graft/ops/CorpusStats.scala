@@ -109,6 +109,47 @@ object CorpusStats {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  private val chunksUdf = udf((text: String, c: Int) =>
+    TextKernel.tokens(text).grouped(c).filter(_.length == c)
+      .map(_.mkString(" ")).toArray)
+
+  /** Duplicated-span fraction (chunk-granular exact-substring dedup,
+    * the signal from Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better": how much of a document's text is
+    * verbatim-repeated elsewhere in the corpus). Documents are cut
+    * into consecutive non-overlapping `chunkTokens`-token chunks (the
+    * trailing partial chunk is ignored on both sides of the ratio); a
+    * chunk instance is "duplicated" when its fingerprint occurs in at
+    * least `minDocs` DISTINCT documents. Output per doc with ≥1 full
+    * chunk: (doc_id, n_chunks, n_dup_chunks, dup_fraction).
+    *
+    * Scale shape: same wordcount skeleton as [[boilerplateRatio]] —
+    * chunking is map-only, the df aggregate shuffles 8-byte
+    * fingerprints (not chunk text), and the flagged-fingerprint set
+    * (repeated across ≥ minDocs docs, small by construction)
+    * broadcasts into the per-doc count join under AQE. A true
+    * suffix-array pass (character-exact spans) does not distribute;
+    * chunk granularity is the published practical compromise — with
+    * stride-1 shingles it converges on it, at c× the fingerprints.
+    */
+  def dupChunkFraction(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, minDocs: Int): DataFrame = {
+    val chunks = docs.select(col(idCol).as("doc_id"),
+        explode(chunksUdf(col(textCol), lit(chunkTokens))).as("chunk"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("chunk")).as("fp"))
+    val dup = chunks.distinct()
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("fp"), lit(1).as("is_dup"))
+    chunks.join(dup, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0))).as("n_dup_chunks"))
+      .withColumn("dup_fraction",
+        col("n_dup_chunks").cast("double") / col("n_chunks"))
+  }
+
   /** Vocabulary table: per lowercased whitespace token, total
     * occurrences, document frequency, and fraction of all corpus
     * tokens (the Zipf curve / tokenizer-coverage input). The corpus

@@ -1137,6 +1137,41 @@ object LlmPipeline {
              |         row_number() OVER (PARTITION BY domain
              |             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
              |    FROM u)
-             |SELECT domain, doc_id FROM r WHERE rk <= 3""".stripMargin))
+             |SELECT domain, doc_id FROM r WHERE rk <= 3""".stripMargin)),
+
+    // Duplicated-span fraction (chunk-granular exact-substring dedup,
+    // Lee et al. 2022): 5-token non-overlapping chunks, a chunk
+    // instance is duplicated when its fingerprint appears in >= 2
+    // distinct docs. Oracle re-derives tokenization (shared WsChars),
+    // chunking arithmetic (inclusive DuckDB slices), md5-prefix
+    // fingerprints, the distinct-doc df, and both counts.
+    QueryDef(
+      "l36_dup_spans",
+      (s, d) => CorpusStats.dupChunkFraction(
+        Tables.documents(s, d), "doc_id", "text",
+        chunkTokens = 5, minDocs = 2),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, ts,
+             |         unnest(generate_series(1, CAST(floor(len(ts) / 5.0) AS BIGINT))) AS i
+             |    FROM toks),
+             |fps AS (
+             |  SELECT doc_id,
+             |         CAST(('0x' || substr(md5(array_to_string(ts[(i-1)*5+1 : i*5], ' ')), 1, 15))
+             |              AS BIGINT) AS fp
+             |    FROM chunks),
+             |dup AS (
+             |  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM fps)
+             |   GROUP BY fp HAVING COUNT(*) >= 2)
+             |SELECT doc_id, COUNT(*) AS n_chunks,
+             |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS BIGINT)
+             |         AS n_dup_chunks,
+             |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / COUNT(*) AS dup_fraction
+             |  FROM fps GROUP BY doc_id""".stripMargin))
   )
 }

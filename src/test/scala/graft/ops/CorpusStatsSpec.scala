@@ -76,4 +76,34 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rows(1L) == ((2L, 0L, "a\nb")))
     assert(rows(2L) == ((2L, 0L, "a\nc")))
   }
+
+  test("dupChunkFraction flags cross-doc repeated chunks, drops partial tails") {
+    import spark.implicits._
+    val shared = "one two three four five" // exactly one 5-token chunk
+    val corpus = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon tail tail"), // 2 chunks + 2-token tail
+      (2L, s"$shared zeta eta theta iota kappa"),
+      (3L, "totally different words here now"), // 1 unique chunk
+      (4L, "shorty") // < 5 tokens: no chunks, absent
+    ).toDF("doc_id", "text").repartition(4)
+    val rows = CorpusStats.dupChunkFraction(corpus, "doc_id", "text",
+        chunkTokens = 5, minDocs = 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(1L) == ((2L, 1L, 0.5))) // shared chunk dup; tail ignored
+    assert(rows(2L) == ((2L, 1L, 0.5)))
+    assert(rows(3L) == ((1L, 0L, 0.0)))
+    assert(!rows.contains(4L))
+  }
+
+  test("dupChunkFraction: within-doc repetition alone is not corpus dup") {
+    import spark.implicits._
+    val rep = "a b c d e"
+    val corpus = Seq((1L, s"$rep $rep")).toDF("doc_id", "text")
+    val rows = CorpusStats.dupChunkFraction(corpus, "doc_id", "text", 5, 2)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    // fp occurs twice but in ONE distinct doc → df=1 < 2, not flagged
+    assert(rows(1L) == ((2L, 0L)))
+  }
 }
