@@ -109,9 +109,53 @@ object CorpusStats {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
-  private val chunksUdf = udf((text: String, c: Int) =>
-    TextKernel.tokens(text).grouped(c).filter(_.length == c)
-      .map(_.mkString(" ")).toArray)
+  /** 60-bit md5-prefix fingerprint, identical to [[Dedup.md5Hash60]]'s
+    * column form (15 hex chars of md5, base-16) — computed in-kernel so
+    * chunking and hashing happen in ONE pass over each document.
+    */
+  private def md5Fp60(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = the 60-bit big-endian prefix
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  /** Per-document (fingerprint, instance count) pairs over consecutive
+    * non-overlapping c-token chunks — map-side aggregated, so the
+    * explode emits per-doc-DISTINCT fingerprints only.
+    */
+  private val chunkFpCountsUdf = udf((text: String, c: Int, exact: Boolean) => {
+    val toks = TextKernel.tokens(text)
+    val md = if (exact) java.security.MessageDigest.getInstance("MD5") else null
+    val m = new java.util.HashMap[java.lang.Long, Int]()
+    var i = 0
+    while (i + c <= toks.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + c) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      val chunk = sb.toString
+      val fp: Long =
+        if (exact) md5Fp60(md, chunk)
+        else graft.kernel.Sketches.hashString(chunk)
+      m.merge(fp, 1, (a, b) => a + b)
+      i += c
+    }
+    val out = new Array[(Long, Int)](m.size)
+    val it = m.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = (e.getKey.longValue, e.getValue)
+      k += 1
+    }
+    out
+  })
 
   /** Duplicated-span fraction (chunk-granular exact-substring dedup,
     * the signal from Lee et al., "Deduplicating Training Data Makes
@@ -133,19 +177,29 @@ object CorpusStats {
     * stride-1 shingles it converges on it, at c× the fingerprints.
     */
   def dupChunkFraction(docs: DataFrame, idCol: String, textCol: String,
-      chunkTokens: Int, minDocs: Int): DataFrame = {
-    val chunks = docs.select(col(idCol).as("doc_id"),
-        explode(chunksUdf(col(textCol), lit(chunkTokens))).as("chunk"))
-      .select(col("doc_id"), Dedup.md5Hash60(col("chunk")).as("fp"))
-    val dup = chunks.distinct()
-      .groupBy(col("fp"))
+      chunkTokens: Int, minDocs: Int, exactHash: Boolean = true): DataFrame = {
+    // one tokenize+hash pass per doc (map-side-aggregated fp counts),
+    // then ONE explicit fp-partitioned exchange that BOTH consumers —
+    // the df aggregate and the flag join's probe side — read
+    // (ReusedExchange), instead of recomputing the kernel pass per
+    // branch. exactHash=false swaps md5 for the FNV kernel hash: the
+    // production default (x06), ~4x cheaper; md5 is the oracle-exact
+    // family l36 pins cross-engine.
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        explode(chunkFpCountsUdf(col(textCol), lit(chunkTokens),
+          lit(exactHash))).as("fc"))
+      .select(col("doc_id"), col("fc._1").as("fp"), col("fc._2").as("cnt"))
+    val shuffled = pairs.repartition(col("fp"))
+    val dup = shuffled.groupBy(col("fp"))
+      // pairs are per-doc distinct, so a plain count IS the doc freq
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select(col("fp"), lit(1).as("is_dup"))
-    chunks.join(dup, Seq("fp"), "left")
+    shuffled.join(dup, Seq("fp"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(coalesce(col("is_dup"), lit(0))).as("n_dup_chunks"))
+      .agg(sum(col("cnt")).as("n_chunks"),
+        sum(when(col("is_dup").isNotNull, col("cnt")).otherwise(0L))
+          .as("n_dup_chunks"))
       .withColumn("dup_fraction",
         col("n_dup_chunks").cast("double") / col("n_chunks"))
   }

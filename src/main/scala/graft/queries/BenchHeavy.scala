@@ -163,6 +163,46 @@ object BenchHeavy {
         val queries = Tables.embeddings(s, d).filter(col("vec_id") < 200)
         graft.ops.Similarity.ivfTopK(emb, queries,
           dim = 64, k = 10, nLists = 64, nProbe = 8, iters = 1)
+      }),
+
+    // Line-level dedup throughput over the amplified corpus (same
+    // cached ×-factor dir as x03): five synthesized lines per doc —
+    // shared headers/footers at high df, an md5-unique line, a paired
+    // mid line — through the production explode → df agg → anti-join
+    // → order-preserving reassembly pipeline. l32 is the correctness
+    // twin at sf0.01.
+    QueryDef(
+      "x05_line_dedup",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        val multi = docs.select(col("doc_id"),
+          concat(
+            lit("header "), col("doc_id") % 7,
+            lit("\nuniq "), md5(col("doc_id").cast("string")),
+            lit("\n\nmid "), col("doc_id") % 250,
+            lit("\nfooter "), col("doc_id") % 3).as("text"))
+        graft.ops.CorpusStats.dedupLines(multi, "doc_id", "text", minDocs = 3)
+      }),
+
+    // Duplicated-span fraction over the amplified corpus' REAL text:
+    // tokenize, chunk, fingerprint-df, flag join — the Lee-et-al
+    // signal at 50k+ docs. l36 is the correctness twin.
+    QueryDef(
+      "x06_dup_spans",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        graft.ops.CorpusStats.dupChunkFraction(docs, "doc_id", "text",
+          chunkTokens = 5, minDocs = 2, exactHash = false)
       })
   )
 }
