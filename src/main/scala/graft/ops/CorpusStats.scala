@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.kernel.TextKernel
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level text statistics for training-data curation: C4-style
@@ -178,27 +179,25 @@ object CorpusStats {
     */
   def dupChunkFraction(docs: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, minDocs: Int, exactHash: Boolean = true): DataFrame = {
-    // one tokenize+hash pass per doc (map-side-aggregated fp counts),
-    // then ONE explicit fp-partitioned exchange that BOTH consumers —
-    // the df aggregate and the flag join's probe side — read
-    // (ReusedExchange), instead of recomputing the kernel pass per
-    // branch. exactHash=false swaps md5 for the FNV kernel hash: the
-    // production default (x06), ~4x cheaper; md5 is the oracle-exact
-    // family l36 pins cross-engine.
+    // ONE tokenize+hash pass per doc (map-side-aggregated fp counts,
+    // so only per-doc-DISTINCT fingerprints ever shuffle), then the
+    // doc frequency as count-over-fp-partition on the SAME exchange —
+    // a separate df-aggregate branch re-evaluated the whole kernel
+    // pass (column pruning gave the two branches different exchanges,
+    // so nothing reused; measured 2x at 500k docs). exactHash=false
+    // swaps md5 for the FNV kernel hash: the production default
+    // (x06), ~1.4x cheaper; md5 is the oracle-exact family l36 pins
+    // cross-engine.
     val pairs = docs.select(col(idCol).as("doc_id"),
         explode(chunkFpCountsUdf(col(textCol), lit(chunkTokens),
           lit(exactHash))).as("fc"))
       .select(col("doc_id"), col("fc._1").as("fp"), col("fc._2").as("cnt"))
-    val shuffled = pairs.repartition(col("fp"))
-    val dup = shuffled.groupBy(col("fp"))
-      // pairs are per-doc distinct, so a plain count IS the doc freq
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocs)
-      .select(col("fp"), lit(1).as("is_dup"))
-    shuffled.join(dup, Seq("fp"), "left")
+    // rows are per-doc distinct, so a frameless count IS the doc freq
+    val df = count(lit(1)).over(Window.partitionBy(col("fp")))
+    pairs.withColumn("df", df)
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_chunks"),
-        sum(when(col("is_dup").isNotNull, col("cnt")).otherwise(0L))
+        sum(when(col("df") >= minDocs, col("cnt")).otherwise(0L))
           .as("n_dup_chunks"))
       .withColumn("dup_fraction",
         col("n_dup_chunks").cast("double") / col("n_chunks"))

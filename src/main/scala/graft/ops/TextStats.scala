@@ -45,6 +45,39 @@ object TextStats {
         / size(toks).cast("double"))
   }
 
+  private val charEntropyUdf = udf((text: String) =>
+    if (text == null) null
+    else {
+      // Shannon entropy (bits) of the codepoint distribution — the
+      // classic cheap gibberish/low-quality signal: near-zero for
+      // repeated-char spam, ~4.1 for English prose, higher for CJK.
+      val counts = new java.util.HashMap[Integer, Long]()
+      var i = 0
+      while (i < text.length) {
+        val cp = text.codePointAt(i)
+        counts.merge(cp, 1L, (a, b) => java.lang.Long.valueOf(a + b))
+        i += Character.charCount(cp)
+      }
+      var n = 0L
+      val vit = counts.values().iterator()
+      while (vit.hasNext) n += vit.next()
+      if (n == 0L) java.lang.Double.valueOf(0.0)
+      else {
+        var h = 0.0
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val p = it.next().doubleValue / n
+          h -= p * (math.log(p) / math.log(2.0))
+        }
+        java.lang.Double.valueOf(h)
+      }
+    })
+
+  /** Character-distribution Shannon entropy in bits (codepoint-level;
+    * matches DuckDB's base-2 `entropy()` aggregate over split chars).
+    */
+  def charEntropy(text: Column): Column = charEntropyUdf(text)
+
   private val langIdUdf = udf((text: String) =>
     if (text == null) null else TextKernel.langId(text))
 

@@ -1172,6 +1172,25 @@ object LlmPipeline {
              |         AS n_dup_chunks,
              |       CAST(SUM(CASE WHEN fp IN (SELECT fp FROM dup) THEN 1 ELSE 0 END) AS DOUBLE)
              |         / COUNT(*) AS dup_fraction
-             |  FROM fps GROUP BY doc_id""".stripMargin))
+             |  FROM fps GROUP BY doc_id""".stripMargin)),
+
+    // Character-entropy quality signal (codepoint Shannon entropy in
+    // bits): near-zero flags repeated-char spam, ~4 is prose. The
+    // oracle recomputes it with DuckDB's native base-2 entropy()
+    // aggregate over per-codepoint rows — an INDEPENDENT formulation
+    // (aggregate-over-rows vs kernel single pass) of the same
+    // definition, so summation/log drift beyond 6dp would surface.
+    QueryDef(
+      "l37_char_entropy",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.charEntropy(col("text")).as("char_entropy")),
+      Some("""SELECT d.doc_id, COALESCE(e.h, 0.0) AS char_entropy
+             |  FROM documents d
+             |  LEFT JOIN (
+             |    SELECT doc_id, entropy(c) AS h
+             |      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+             |              FROM documents)
+             |     GROUP BY doc_id) e USING (doc_id)""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkFixture
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Hand-computed expectations for the round-5 curation signals
@@ -50,5 +51,19 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r(2) == "call <PHONE> now")
     assert(r(3) == "all three: <EMAIL> <IP> <PHONE>")
     assert(r(4) == "none here, 1.2.3 not an ip, 12-34-56 not a phone")
+  }
+
+  test("charEntropy: uniform, degenerate, empty, and supplementary-plane cases") {
+    import spark.implicits._
+    val rows = Seq("aabc", "aaaa", "", "ab", "😀😀a")
+      .toDF("t").select(TextStats.charEntropy(col("t")))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(rows(0) - 1.5) < 1e-12) // {a:2,b:1,c:1} → 1.5 bits
+    assert(rows(1) == 0.0) // repeated-char spam
+    assert(rows(2) == 0.0) // empty text
+    assert(math.abs(rows(3) - 1.0) < 1e-12)
+    // surrogate pair counted as ONE codepoint: {😀:2, a:1} ≈ 0.918
+    assert(math.abs(rows(4) - (-(2.0 / 3) * math.log(2.0 / 3) / math.log(2)
+      - (1.0 / 3) * math.log(1.0 / 3) / math.log(2))) < 1e-12)
   }
 }
