@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, Decontaminate, Dedup, Multimodal, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CorpusStats, Decontaminate, Dedup, LmScore, Multimodal, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -1191,6 +1191,57 @@ object LlmPipeline {
              |    SELECT doc_id, entropy(c) AS h
              |      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
              |              FROM documents)
-             |     GROUP BY doc_id) e USING (doc_id)""".stripMargin))
+             |     GROUP BY doc_id) e USING (doc_id)""".stripMargin)),
+
+    // Stupid-Backoff bigram LM quality scoring (the CCNet perplexity
+    // filter): train on the md5-even half of the corpus (the l13 hash
+    // family at rate 0.5 — deterministic, engine-neutral), score every
+    // document's average per-transition log10 probability. The oracle
+    // re-derives tokenization, the train split, both count tables,
+    // N/V, and the exact backoff arithmetic; log10/AVG agree well
+    // under the 6dp canonicalization.
+    QueryDef(
+      "l38_lm_score",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        LmScore.scoreStupidBackoff(docs,
+          Sampling.hashSample(docs, "text", 0.5), "doc_id", "text")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |reft AS (
+             |  SELECT ts FROM toks
+             |   WHERE COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) < 5000),
+             |uni AS (
+             |  SELECT w, COUNT(*) AS c1
+             |    FROM (SELECT unnest(ts) AS w FROM reft) GROUP BY w),
+             |stats AS (SELECT SUM(c1) AS n_tokens, COUNT(*) AS vocab FROM uni),
+             |big AS (
+             |  SELECT pr.prev AS prev, pr.w AS w, COUNT(*) AS c2
+             |    FROM (SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+             |                   i -> struct_pack(prev := ts[i], w := ts[i+1]))) AS pr
+             |            FROM reft)
+             |   GROUP BY 1, 2),
+             |trans AS (
+             |  SELECT doc_id, pr.prev AS prev, pr.w AS w
+             |    FROM (SELECT doc_id,
+             |                 unnest(list_transform(generate_series(1, len(ts) - 1),
+             |                   i -> struct_pack(prev := ts[i], w := ts[i+1]))) AS pr
+             |            FROM toks)),
+             |scored AS (
+             |  SELECT tr.doc_id,
+             |         CASE WHEN b.c2 IS NOT NULL
+             |              THEN log10(CAST(b.c2 AS DOUBLE) / up.c1)
+             |              ELSE log10(0.4 * (COALESCE(uw.c1, 0) + 1) / (s.n_tokens + s.vocab)) END AS logp
+             |    FROM trans tr
+             |    LEFT JOIN big b ON b.prev = tr.prev AND b.w = tr.w
+             |    LEFT JOIN uni up ON up.w = tr.prev
+             |    LEFT JOIN uni uw ON uw.w = tr.w
+             |    CROSS JOIN stats s)
+             |SELECT doc_id, COUNT(*) AS n_trans, AVG(logp) AS avg_logprob
+             |  FROM scored GROUP BY doc_id""".stripMargin))
   )
 }
