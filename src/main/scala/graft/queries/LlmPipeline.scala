@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, Decontaminate, Dedup, LmScore, Multimodal, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CorpusStats, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -1242,6 +1242,34 @@ object LlmPipeline {
              |    LEFT JOIN uni uw ON uw.w = tr.w
              |    CROSS JOIN stats s)
              |SELECT doc_id, COUNT(*) AS n_trans, AVG(logp) AS avg_logprob
-             |  FROM scored GROUP BY doc_id""".stripMargin))
+             |  FROM scored GROUP BY doc_id""".stripMargin)),
+
+    // Deterministic sequence packing (concat-and-chunk, 512-token
+    // packs over 8 bucket-sharded streams): per doc, the pack its
+    // first token lands in and at what offset. The oracle re-derives
+    // token counts, the md5 stream order, the bucket shard, and the
+    // cumulative-sum arithmetic with a partitioned window.
+    QueryDef(
+      "l39_sequence_pack",
+      (s, d) => Packing.packSequences(Tables.documents(s, d),
+        "doc_id", "text", budget = 512, buckets = 8),
+      Some(s"""WITH k AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+             |         md5(CAST(doc_id AS VARCHAR)) AS rk,
+             |         COALESCE(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                  % 10000, 0) % 8 AS bucket
+             |    FROM documents),
+             |c AS (
+             |  SELECT doc_id, bucket, n_tokens,
+             |         CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+             |                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+             |              AS BIGINT) AS start_offset
+             |    FROM k)
+             |SELECT doc_id, bucket, n_tokens, start_offset,
+             |       CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
+             |       start_offset % 512 AS offset_in_pack
+             |  FROM c""".stripMargin))
   )
 }
