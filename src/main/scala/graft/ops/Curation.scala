@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.kernel.TextKernel
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based document curation — the Gopher/C4-style quality gate
+  * that decides keep/drop per document and names the first failing
+  * rule (the "tagger → mixer" decision record a pipeline audits and
+  * tunes). Deliberately built from EXACT-RATIONAL signals only —
+  * token counts, single-division ratios — so the decision is
+  * bit-reproducible across engines and runs: no entropy/log
+  * aggregates whose summation order could flip a threshold.
+  *
+  * Everything is native column expressions over one `split` (no UDF,
+  * fully codegen'd, map-only): at 100 TB this runs at scan speed with
+  * column pruning — only (id, text, lang) are read — and composes
+  * with any downstream filter pushdown. Rules, in cascade order
+  * (first failure wins): too_short, too_long, token_len (mean token
+  * length outside [minMeanLen, maxMeanLen]), alpha (alphabetic-token
+  * fraction below minAlphaFrac), stopwords (no common function word —
+  * Gopher's "symbol soup" guard), lang (metadata language not
+  * allowed).
+  */
+object Curation {
+
+  private def toks(textCol: Column): Column =
+    filter(split(lower(textCol), TextKernel.WsPlus), t => t =!= "")
+
+  /** Per-document rule evaluation. Output: (doc_id, n_tokens,
+    * mean_token_len, alpha_frac, keep, drop_reason) — ratio columns
+    * are NULL for token-less documents (which fail too_short anyway).
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      langCol: String,
+      minTokens: Int = 50,
+      maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
+      allowedLangs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
+    val t = toks(col(textCol))
+    val n = size(t).cast("long")
+    val sumChars = aggregate(transform(t, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long")
+    val meanLen = when(n > 0, sumChars.cast("double") / n)
+    val alphaFrac = when(n > 0, nAlpha.cast("double") / n)
+    val hasStop = arrays_overlap(t, array(stopwords.map(lit): _*))
+    val reason =
+      when(n < minTokens, "too_short")
+        .when(n > maxTokens, "too_long")
+        .when(meanLen < minMeanLen || meanLen > maxMeanLen, "token_len")
+        .when(alphaFrac < minAlphaFrac, "alpha")
+        .when(!hasStop, "stopwords")
+        .when(!col(langCol).isin(allowedLangs.map(lit(_)): _*), "lang")
+    docs.select(col(idCol).as("doc_id"), n.as("n_tokens"),
+      meanLen.as("mean_token_len"), alphaFrac.as("alpha_frac"),
+      reason.isNull.as("keep"), reason.as("drop_reason"))
+  }
+}

@@ -369,22 +369,15 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate pairs on the md5 hash family — the
-    * oracle-exact twin of [[minhashPairs]]: identical pipeline shape
-    * (shingle → signature → band buckets → bucket-join → exact-Jaccard
-    * verify), but every hash is pure column arithmetic over md5, so an
-    * external engine can re-derive the full candidate set bit-for-bit.
-    * Entirely codegen'd (no UDF). Docs shorter than shingleN have no
-    * signature and are excluded (both engines agree).
+  /** (base, banded) md5-family minhash band keys — the shared front of
+    * the all-pairs ([[minhashPairsExact]]) and against-index
+    * ([[minhashNewVsIndexExact]]) variants: per doc, 5-gram shingles →
+    * `numHashes` md5 minhashes → `bands` band-key hashes. Pure column
+    * arithmetic (codegen'd, no UDF) so an external engine re-derives
+    * every key bit-for-bit.
     */
-  def minhashPairsExact(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      shingleN: Int = 5,
-      numHashes: Int = 64,
-      bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+  private def exactBandKeys(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val base = docs
@@ -406,12 +399,87 @@ object Dedup {
             h => h.cast("string"))))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+    (base, banded)
+  }
+
+  /** MinHash+LSH near-duplicate pairs on the md5 hash family — the
+    * oracle-exact twin of [[minhashPairs]]: identical pipeline shape
+    * (shingle → signature → band buckets → bucket-join → exact-Jaccard
+    * verify), but every hash is pure column arithmetic over md5, so an
+    * external engine can re-derive the full candidate set bit-for-bit.
+    * Entirely codegen'd (no UDF). Docs shorter than shingleN have no
+    * signature and are excluded (both engines agree).
+    */
+  def minhashPairsExact(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val (base, banded) =
+      exactBandKeys(docs, idCol, textCol, shingleN, numHashes, bands)
     bandedCandidatePairs(banded, "band_hash", base.select("id", "text"), "text")
       .select(col("id_a"), col("id_b"),
         ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .groupBy(col("id_a"), col("id_b"))
       .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** Incremental dedup of a NEW shard against an already-INDEXED
+    * corpus — the ingest-time operation at 100 TB, where re-running
+    * all-pairs LSH over the full corpus per arriving shard is not an
+    * option: the index side's (id, band, band_hash) triples and
+    * shingle payloads are computed once and persisted (here re-derived
+    * from `indexDocs` for the oracle), and each new shard pays only
+    * its own signature pass plus a band-key join INTO the index.
+    * Output, per new document with at least one verified match:
+    * (new_id, n_matches, best_jaccard, best_match_id) — ties on
+    * jaccard resolve to the smallest matched id, so the decision is
+    * deterministic in both engines.
+    *
+    * Scale shape: the band join moves only key triples (never text);
+    * new-shard rows probe the index's hash-partitioned band buckets —
+    * shuffle is O(shard × bands + matched pairs), independent of
+    * corpus size. Verification joins text back per side by id, and
+    * the final argmax is two hash aggregates on new_id (no window).
+    */
+  def minhashNewVsIndexExact(
+      newDocs: DataFrame,
+      indexDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val (nBase, nBanded) =
+      exactBandKeys(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val (iBase, iBanded) =
+      exactBandKeys(indexDocs, idCol, textCol, shingleN, numHashes, bands)
+    val cand = nBanded
+      .select(col("band"), col("band_hash"), col("id").as("new_id"))
+      .join(iBanded.select(col("band"), col("band_hash"),
+        col("id").as("matched_id")), Seq("band", "band_hash"))
+      .select("new_id", "matched_id").distinct()
+    val ver = cand
+      .join(nBase.select(col("id").as("new_id"), col("text").as("text_a")),
+        "new_id")
+      .join(iBase.select(col("id").as("matched_id"), col("text").as("text_b")),
+        "matched_id")
+      .select(col("new_id"), col("matched_id"),
+        ngramJaccard(col("text_a"), col("text_b"), shingleN).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val best = ver.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
+    // argmax by re-join on the (engine-consistent) max value; ties →
+    // smallest matched id
+    best.join(ver, best("new_id") === ver("new_id") &&
+        ver("jaccard") === best("best_jaccard"))
+      .groupBy(best("new_id"), col("n_matches"), col("best_jaccard"))
+      .agg(min(col("matched_id")).as("best_match_id"))
   }
 
   private val simhashUdf = udf((text: String) =>

@@ -54,4 +54,53 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /** Token-budget mixture sampling: turn TARGET TOKEN SHARES into
+    * per-source document sampling rates — the step that converts a
+    * mixture spec ("20% of training tokens from src0") into an
+    * executable filter when sources differ wildly in size. Per source
+    * s: rate_s = min(1, budget·share_s / tokens_s); documents are then
+    * kept by the deterministic [[hashBucket]] rule at that rate, so
+    * the realized token mix tracks the target in expectation while
+    * membership stays content-hashed (reproducible, re-run-stable).
+    * Sources missing from `shares` get `defaultShare`.
+    *
+    * Determinism across engines: budget·share is folded to one driver-
+    * side double literal and the rate is ONE division, so the
+    * bucket-vs-round(rate·10000) comparison sees bit-identical values
+    * anywhere IEEE doubles are IEEE doubles.
+    *
+    * Scale shape: token counting is a map-only column expression; the
+    * per-source totals are one tiny aggregate (|sources| rows) that
+    * broadcasts back; the filter itself is map-side. No shuffle
+    * touches document text. Output: the kept (doc_id, source,
+    * n_tokens) rows.
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
+      shares: Map[String, Double],
+      defaultShare: Double = 0.0): DataFrame = {
+    require((shares.values ++ Seq(defaultShare)).forall(s => s >= 0 && s <= 1),
+      "all shares must be in [0,1]")
+    val nTok = size(filter(split(lower(col(textCol)),
+      graft.kernel.TextKernel.WsPlus), t => t =!= "")).cast("long")
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"), nTok.as("n_tokens"),
+      hashBucket(col(textCol)).as("bkt"))
+    val totals = base.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+    val budgetShare = shares.foldLeft(lit(budgetTokens * defaultShare): Column) {
+      case (acc, (s, sh)) =>
+        when(col("source") === lit(s), lit(budgetTokens * sh)).otherwise(acc)
+    }
+    val rates = totals.withColumn("rate",
+      least(lit(1.0), budgetShare / col("src_tokens")))
+    base.join(broadcast(rates), "source")
+      .filter(col("bkt") < round(col("rate") * 10000))
+      .select("doc_id", "source", "n_tokens")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CorpusStats, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -1270,6 +1270,127 @@ object LlmPipeline {
              |SELECT doc_id, bucket, n_tokens, start_offset,
              |       CAST(floor(start_offset / 512.0) AS BIGINT) AS pack_id,
              |       start_offset % 512 AS offset_in_pack
-             |  FROM c""".stripMargin))
+             |  FROM c""".stripMargin)),
+
+    // Incremental dedup against an indexed corpus: md5-odd docs are
+    // the arriving shard, md5-even docs the persisted index (the l13
+    // hash family split). Same md5 minhash/band family as l03, so the
+    // oracle re-derives both sides' band keys, the asymmetric band
+    // join, verification, and the deterministic argmax bit-for-bit.
+    QueryDef(
+      "l40_dedup_against_index",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val bkt = Sampling.hashBucket(col("text"))
+        Dedup.minhashNewVsIndexExact(
+            docs.filter(bkt >= 5000), docs.filter(bkt < 5000),
+            "doc_id", "text", shingleN = 5, numHashes = 64, bands = 16,
+            threshold = 0.4)
+          .select(col("new_id"), col("n_matches"),
+            round(col("best_jaccard"), 6).as("best_jaccard"),
+            col("best_match_id"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id AS id, text, ${duckShingles("text")} AS shs,
+              |         COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) AS bkt
+              |    FROM documents WHERE length(text) >= 5),
+              |sig AS (
+              |  SELECT id, bkt,
+              |         list_transform(generate_series(0, 63), j ->
+              |           list_min(list_transform(shs, s1 ->
+              |             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s1), 1, 15)) AS BIGINT)))) AS sig
+              |    FROM base),
+              |banded AS (
+              |  SELECT id, bkt, b AS band,
+              |         CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
+              |             array_to_string(list_transform(sig[b*4+1 : b*4+4],
+              |               h -> CAST(h AS VARCHAR)), ',')), 1, 15)) AS BIGINT) AS band_hash
+              |    FROM sig, generate_series(0, 15) t(b)),
+              |cand AS (
+              |  SELECT DISTINCT n.id AS new_id, i.id AS matched_id
+              |    FROM banded n JOIN banded i
+              |      ON n.band = i.band AND n.band_hash = i.band_hash
+              |   WHERE n.bkt >= 5000 AND i.bkt < 5000),
+              |ver AS (
+              |  SELECT new_id, matched_id, jaccard FROM (
+              |    SELECT c.new_id, c.matched_id,
+              |           ${duckJaccard("a.text", "b2.text")} AS jaccard
+              |      FROM cand c
+              |      JOIN base a ON a.id = c.new_id
+              |      JOIN base b2 ON b2.id = c.matched_id)
+              |   WHERE jaccard >= 0.4),
+              |best AS (
+              |  SELECT new_id, COUNT(*) AS n_matches, MAX(jaccard) AS best_jaccard
+              |    FROM ver GROUP BY new_id)
+              |SELECT b.new_id, b.n_matches, ROUND(b.best_jaccard, 6) AS best_jaccard,
+              |       MIN(v.matched_id) AS best_match_id
+              |  FROM best b JOIN ver v
+              |    ON v.new_id = b.new_id AND v.jaccard = b.best_jaccard
+              | GROUP BY 1, 2, 3""".stripMargin)),
+
+    // Gopher-style rule curation: keep/drop + first-failing-rule per
+    // doc, built from exact-rational signals only (counts and single
+    // divisions) so the decision is bit-reproducible. The oracle
+    // re-derives every signal and the cascade independently.
+    QueryDef(
+      "l41_curation_rules",
+      (s, d) => Curation.gopherRules(Tables.documents(s, d),
+        "doc_id", "text", "lang", minTokens = 40),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |sig AS (
+             |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |         CASE WHEN len(ts) > 0
+             |              THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) END
+             |           AS mean_token_len,
+             |         CASE WHEN len(ts) > 0
+             |              THEN CAST(len(list_filter(ts, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) / len(ts) END
+             |           AS alpha_frac,
+             |         list_has_any(ts, ['the', 'a', 'and', 'of', 'to', 'in']) AS has_stop
+             |    FROM t),
+             |r AS (
+             |  SELECT doc_id, n_tokens, mean_token_len, alpha_frac,
+             |         CASE WHEN n_tokens < 40 THEN 'too_short'
+             |              WHEN n_tokens > 100000 THEN 'too_long'
+             |              WHEN mean_token_len < 3.0 OR mean_token_len > 10.0 THEN 'token_len'
+             |              WHEN alpha_frac < 0.8 THEN 'alpha'
+             |              WHEN NOT has_stop THEN 'stopwords'
+             |              WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+             |         END AS drop_reason
+             |    FROM sig)
+             |SELECT doc_id, n_tokens, mean_token_len, alpha_frac,
+             |       drop_reason IS NULL AS keep, drop_reason
+             |  FROM r""".stripMargin)),
+
+    // Token-budget mixture sampling: target token shares -> per-source
+    // rates -> deterministic hash-bucket membership. budget.share is
+    // interpolated as the driver-computed double literal so both
+    // engines divide the identical numerator.
+    QueryDef(
+      "l42_token_budget_mix",
+      (s, d) => Sampling.tokenBudgetSample(Tables.documents(s, d),
+        "doc_id", "text", "source", budgetTokens = 8000,
+        shares = Map("src0" -> 0.2, "src1" -> 0.2), defaultShare = 0.03),
+      Some(s"""WITH base AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+             |         COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) AS bkt
+             |    FROM documents),
+             |totals AS (
+             |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+             |    FROM base GROUP BY source),
+             |rates AS (
+             |  SELECT source,
+             |         least(1.0, CASE source WHEN 'src0' THEN ${8000 * 0.2}
+             |                                WHEN 'src1' THEN ${8000 * 0.2}
+             |                                ELSE ${8000 * 0.03} END / src_tokens) AS rate
+             |    FROM totals)
+             |SELECT b.doc_id, b.source, b.n_tokens
+             |  FROM base b JOIN rates r ON r.source = b.source
+             | WHERE b.bkt < round(r.rate * 10000)""".stripMargin))
   )
 }

@@ -1,0 +1,50 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def run(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    Curation.gopherRules(rows.toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang",
+        minTokens = 3, maxTokens = 8, minMeanLen = 2.0, maxMeanLen = 6.0,
+        minAlphaFrac = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(4),
+        Option(r.getString(5)).getOrElse("keep"))).toMap
+  }
+
+  test("cascade fires the FIRST failing rule") {
+    val out = run(Seq(
+      (1L, "the quick brown fox", "en"),                    // all pass
+      (2L, "to in", "en"),                                  // too_short
+      (3L, "a b c d e f g h i", "en"),                      // too_long (9 > 8)
+      (4L, "a the b c", "en"),                              // mean len 1.5 < 2
+      (5L, "the 123 456 789", "en"),                        // alpha 1/4 < 0.5
+      (6L, "quick brown foxes jump", "en"),                 // no stopword
+      (7L, "the quick brown fox", "zh"),                    // lang
+      (8L, "", "en")))                                      // 0 tokens: too_short
+    assert(out(1L) == ((true, "keep")))
+    assert(out(2L) == ((false, "too_short")))
+    assert(out(3L) == ((false, "too_long")))
+    assert(out(4L) == ((false, "token_len")))
+    assert(out(5L) == ((false, "alpha")))
+    assert(out(6L) == ((false, "stopwords")))
+    assert(out(7L) == ((false, "lang")))
+    assert(out(8L) == ((false, "too_short")))
+  }
+
+  test("ratio columns are exact single divisions; null when token-less") {
+    import spark.implicits._
+    val r = Curation.gopherRules(
+        Seq((1L, "ab the 12", "en"), (2L, "", "en")).toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(2) == 7.0 / 3)   // mean token len
+    assert(r(1L).getDouble(3) == 2.0 / 3)   // alpha frac ("12" not alpha)
+    assert(r(2L).isNullAt(2) && r(2L).isNullAt(3))
+  }
+}

@@ -218,4 +218,26 @@ class LlmOpsSpec extends AnyFunSuite {
     // same bytes under kind=audio: no JDK codec → stub fallback, null dims
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("width")))
   }
+
+  test("minhashNewVsIndexExact matches a new shard only against the index") {
+    import spark.implicits._
+    val all = plantedDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // index = the 20 base docs; new shard = the 5 planted near-dups plus
+    // one exact copy of base doc 7 (id 200) and one unrelated doc (id 300)
+    val index = all.filter(_._1 < 100L)
+    val fresh = all.filter(_._1 >= 100L) ++ Seq(
+      (200L, all.find(_._1 == 7L).get._2),
+      (300L, "completely unrelated text about nothing in particular at all"))
+    val out = Dedup.minhashNewVsIndexExact(
+        fresh.toDF("doc_id", "text"), index.toDF("doc_id", "text"),
+        "doc_id", "text", threshold = 0.6)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    for (i <- 0 until 5)
+      assert(out(100L + i)._3 == i.toLong, s"planted dup $i matched wrong doc")
+    assert(out(200L) == ((1L, 1.0, 7L))) // exact copy: jaccard 1.0
+    assert(!out.contains(300L)) // unrelated: no verified match
+    // new-vs-new pairs must NOT appear: 100..104 match only index ids
+    assert(out.values.forall(_._3 < 100L))
+  }
 }

@@ -1,0 +1,45 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def docs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // big: ~200 docs x ~20 tokens; tiny: 5 docs x 4 tokens
+    val big = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(15 + rnd.nextInt(10))("w" + rnd.nextInt(50)).mkString(" "), "big"))
+    val tiny = (1000 until 1005).map(i =>
+      (i.toLong, s"a b c d$i", "tiny"))
+    (big ++ tiny).toDF("doc_id", "text", "source")
+  }
+
+  test("rate caps at 1.0: an under-budget source keeps every doc") {
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+        budgetTokens = 10000, shares = Map("tiny" -> 0.5, "big" -> 0.1))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // tiny: budget share 5000 tokens >> 20 available -> rate 1.0
+    assert(out.count(_._2 == "tiny") == 5)
+    // big: 10000*0.1 = 1000 of ~3900 tokens -> roughly a quarter kept
+    val kept = out.filter(_._2 == "big").map(_._3).sum.toDouble
+    assert(kept > 400 && kept < 1800, s"kept $kept tokens")
+  }
+
+  test("membership is deterministic and partitioning-independent") {
+    val a = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+      8000, Map("big" -> 0.2), defaultShare = 0.5).collect().map(_.getLong(0)).toSet
+    val b = Sampling.tokenBudgetSample(docs.repartition(13), "doc_id", "text",
+      "source", 8000, Map("big" -> 0.2), defaultShare = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("zero default share drops unlisted sources entirely") {
+    val out = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
+      8000, Map("tiny" -> 1.0)).collect()
+    assert(out.forall(_.getString(1) == "tiny"))
+  }
+}
