@@ -203,6 +203,24 @@ object BenchHeavy {
             graft.tools.Amplify.documents(_, f)))
         graft.ops.CorpusStats.dupChunkFraction(docs, "doc_id", "text",
           chunkTokens = 5, minDocs = 2, exactHash = false)
+      }),
+
+    // Stupid-Backoff LM scoring over the amplified corpus (same cached
+    // ×-factor dir): train the bigram model on the md5-even half,
+    // score everything — the join-shaped scoring path (transitions ×
+    // bigram/unigram tables) at 50k+ docs / ~2.7M transitions. l38 is
+    // the correctness twin.
+    QueryDef(
+      "x07_lm_score",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        graft.ops.LmScore.scoreStupidBackoff(docs,
+          graft.ops.Sampling.hashSample(docs, "text", 0.5), "doc_id", "text")
       })
   )
 }
