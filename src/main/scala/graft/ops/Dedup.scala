@@ -376,27 +376,32 @@ object Dedup {
     * arithmetic (codegen'd, no UDF) so an external engine re-derives
     * every key bit-for-bit.
     */
-  private def exactBandKeys(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
+  private[graft] def exactBandKeys(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int,
+      carryCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val base = docs
       .filter(length(col(textCol)) >= shingleN)
-      .select(col(idCol).as("id"), col(textCol).as("text"),
-        shingles(col(textCol), shingleN).as("shs"))
+      .select((col(idCol).as("id") +: col(textCol).as("text") +:
+        shingles(col(textCol), shingleN).as("shs") +:
+        carryCols.map(col)): _*)
     // minhash_j = min over shingles of md5-hash("j:" + shingle)
     val sigs = base.withColumn("sig",
       transform(sequence(lit(0), lit(numHashes - 1)),
         j => array_min(transform(col("shs"),
           s => md5Hash60(concat(j.cast("string"), lit(":"), s))))))
-    // band key = md5-hash("b|" + comma-joined slice of the signature)
+    // band key = md5-hash("b|" + comma-joined slice of the signature).
+    // `carryCols` ride along for callers that cannot join the payload
+    // back by id (a streaming side would need a stream-stream join);
+    // batch callers leave it empty and stay payload-free.
     val banded = sigs.select(
-      col("id"),
+      (col("id") +: carryCols.map(col)) :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5Hash60(concat(b.cast("string"), lit("|"),
           concat_ws(",", transform(
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            h => h.cast("string"))))))))
+            h => h.cast("string"))))))): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     (base, banded)

@@ -207,9 +207,10 @@ object BenchHeavy {
 
     // Stupid-Backoff LM scoring over the amplified corpus (same cached
     // ×-factor dir): train the bigram model on the md5-even half,
-    // score everything — the join-shaped scoring path (transitions ×
-    // bigram/unigram tables) at 50k+ docs / ~2.7M transitions. l38 is
-    // the correctness twin.
+    // CACHE the model tables (model-sized, so the scoring joins see
+    // real sizes and AQE broadcasts them — scoring then runs map-only;
+    // the uncached one-shot path re-derives the model subtree per
+    // join, SCALE.md), score everything. l38 is the correctness twin.
     QueryDef(
       "x07_lm_score",
       (s, d) => {
@@ -219,8 +220,9 @@ object BenchHeavy {
             .repartition(s.sparkContext.defaultParallelism)
           else s.read.parquet(amplifiedDir(s, d, "documents", f)(
             graft.tools.Amplify.documents(_, f)))
-        graft.ops.LmScore.scoreStupidBackoff(docs,
-          graft.ops.Sampling.hashSample(docs, "text", 0.5), "doc_id", "text")
+        val model = graft.ops.LmScore.trainStupidBackoff(
+          graft.ops.Sampling.hashSample(docs, "text", 0.5), "text").cache()
+        graft.ops.LmScore.scoreAuto(docs, model, "doc_id", "text")
       })
   )
 }

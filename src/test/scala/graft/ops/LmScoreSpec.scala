@@ -41,6 +41,29 @@ class LmScoreSpec extends AnyFunSuite {
     assert(math.abs(lp - math.log10(0.4 / 8.0)) < 1e-12)
   }
 
+  test("broadcast-kernel path is equivalent to the join path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val words = Vector("a", "b", "c", "zz", "the", "x1")
+    val docs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+        .mkString(" "))).toDF("doc_id", "text")
+    val model = LmScore.trainStupidBackoff(ref, "text")
+    val a = LmScore.scoreWithModel(docs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val b = LmScore.scoreWithBroadcastModel(docs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    for ((k, (n, lp)) <- a) {
+      assert(b(k)._1 == n)
+      assert(math.abs(b(k)._2 - lp) < 1e-12, s"doc $k")
+    }
+    // and the size gate picks the kernel path without changing results
+    val c = LmScore.scoreAuto(docs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == a.view.mapValues(_._1).toMap)
+  }
+
   test("documents with < 2 tokens are absent; case folds; alpha honored") {
     import spark.implicits._
     val docs = Seq((1L, "solo"), (2L, ""), (3L, "A B")).toDF("doc_id", "text")
