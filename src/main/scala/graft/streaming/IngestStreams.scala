@@ -53,17 +53,15 @@ object IngestStreams {
       .join(iBase.select(col("id"), col("text").as("text_b")), "id")
       .select(col("id").as("matched_id"), col("text_b"),
         col("band"), col("band_hash"))
-    // stream side: band keys computed map-side, text carried through
-    // (a payload-free self-join-back would be a stream-stream join)
-    val (nBase, nBanded) = Dedup.exactBandKeys(
-      newDocs.select(col(idCol), col(textCol), col(tsCol).as("ts")),
-      idCol, textCol, shingleN, numHashes, bands)
-    val streamSide = nBanded.join(
-      nBase.sparkSession.emptyDataFrame.limit(0).columns.isEmpty match {
-        case _ => newDocs.select(col(idCol).as("id"),
-          col(textCol).as("text_a"), col(tsCol).as("ts"))
-      }, "id")
-    streamSide
+    // stream side: band keys computed map-side with text and ts
+    // CARRIED through the explode (a payload-free join-back by id
+    // would be a stream-stream join and need its own watermark state)
+    val (_, nBanded) = Dedup.exactBandKeys(
+      newDocs.select(col(idCol), col(textCol).as("text_a"),
+        col(textCol), col(tsCol).as("ts")),
+      idCol, textCol, shingleN, numHashes, bands,
+      carryCols = Seq("text_a", "ts"))
+    nBanded
       .join(indexSide, Seq("band", "band_hash"))
       .select(col("id").as("new_id"), col("matched_id"),
         Dedup.ngramJaccard(col("text_a"), col("text_b"), shingleN)
