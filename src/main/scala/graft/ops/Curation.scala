@@ -62,4 +62,37 @@ object Curation {
       meanLen.as("mean_token_len"), alphaFrac.as("alpha_frac"),
       reason.isNull.as("keep"), reason.as("drop_reason"))
   }
+
+  /** End-to-end curation pipeline — the composition a real corpus
+    * build runs as ONE job: rule gate ([[gopherRules]]) → corpus-level
+    * line dedup ([[CorpusStats.dedupLines]]) → exact dedup keep-one
+    * (md5 of the cleaned text, smallest id is canonical — the l01
+    * convention). Documents emptied by line removal are dropped.
+    * Output, one row per surviving canonical document:
+    * (doc_id, clean_len, n_dupes — how many kept docs collapsed into
+    * this canonical text).
+    *
+    * Scale shape: each stage is individually scale-audited (map-only
+    * rules; wordcount-shaped line df + anti-join; one hash aggregate
+    * on a 32-char md5 key, never on the full text). Composing them
+    * adds no new shuffle class — Catalyst pipelines the rule filter
+    * into the line-dedup scan.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, minTokens: Int = 50, lineMinDocs: Int = 3): DataFrame = {
+    val kept = gopherRules(docs, idCol, textCol, langCol,
+        minTokens = minTokens)
+      .filter(col("keep")).select(col("doc_id"))
+    val keptDocs = docs.join(kept, docs(idCol) === kept("doc_id"))
+      .select(docs(idCol), docs(textCol))
+    val cleaned = CorpusStats
+      .dedupLines(keptDocs, idCol, textCol, minDocs = lineMinDocs)
+      .filter(col("clean_text") =!= "")
+    cleaned
+      .groupBy(md5(col("clean_text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(length(col("clean_text")).cast("long")).as("clean_len"),
+        count(lit(1)).as("n_dupes"))
+      .select("doc_id", "clean_len", "n_dupes")
+  }
 }

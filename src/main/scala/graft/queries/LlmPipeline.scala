@@ -1391,6 +1391,57 @@ object LlmPipeline {
              |    FROM totals)
              |SELECT b.doc_id, b.source, b.n_tokens
              |  FROM base b JOIN rates r ON r.source = b.source
-             | WHERE b.bkt < round(r.rate * 10000)""".stripMargin))
+             | WHERE b.bkt < round(r.rate * 10000)""".stripMargin)),
+
+    // End-to-end curation pipeline: rule gate -> corpus line dedup ->
+    // exact keep-one canonicalization, one composed job. The oracle
+    // re-composes the l41 and l32 oracle shapes and the l01 md5
+    // keep-one convention over the same stages.
+    QueryDef(
+      "l43_curation_pipeline",
+      (s, d) => Curation.curate(Tables.documents(s, d),
+        "doc_id", "text", "lang", minTokens = 40, lineMinDocs = 3),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |r AS (
+             |  SELECT doc_id, text,
+             |         CASE WHEN len(ts) < 40 THEN 'too_short'
+             |              WHEN len(ts) > 100000 THEN 'too_long'
+             |              WHEN (CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts)) < 3.0
+             |                OR (CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts)) > 10.0
+             |                THEN 'token_len'
+             |              WHEN (CAST(len(list_filter(ts, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) / len(ts)) < 0.8
+             |                THEN 'alpha'
+             |              WHEN NOT list_has_any(ts, ['the', 'a', 'and', 'of', 'to', 'in']) THEN 'stopwords'
+             |              WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+             |         END AS drop_reason
+             |    FROM t),
+             |keptdocs AS (SELECT doc_id, text FROM r WHERE drop_reason IS NULL),
+             |exploded AS (
+             |  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+             |    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM keptdocs)),
+             |lines AS (
+             |  SELECT doc_id, i AS line_idx, ls[i] AS line, trim(ls[i]) AS key
+             |    FROM exploded),
+             |common AS (
+             |  SELECT key
+             |    FROM (SELECT DISTINCT doc_id, key FROM lines WHERE key <> '')
+             |   GROUP BY key HAVING COUNT(*) >= 3),
+             |keptlines AS (
+             |  SELECT * FROM lines WHERE key NOT IN (SELECT key FROM common)),
+             |agg AS (
+             |  SELECT doc_id,
+             |         array_to_string(list(line ORDER BY line_idx), chr(10)) AS clean_text
+             |    FROM keptlines GROUP BY doc_id),
+             |clean AS (
+             |  SELECT k.doc_id, COALESCE(a.clean_text, '') AS clean_text
+             |    FROM keptdocs k LEFT JOIN agg a USING (doc_id))
+             |SELECT MIN(doc_id) AS doc_id, MIN(len(clean_text)) AS clean_len,
+             |       COUNT(*) AS n_dupes
+             |  FROM clean WHERE clean_text <> ''
+             | GROUP BY md5(clean_text)""".stripMargin))
   )
 }

@@ -37,6 +37,28 @@ class CurationSpec extends AnyFunSuite {
     assert(out(8L) == ((false, "too_short")))
   }
 
+  test("curate pipelines rules -> line dedup -> keep-one") {
+    import spark.implicits._
+    val body = "the quick brown fox jumps over the lazy dog" // 9 tokens, passes
+    val banner = "SHARED COOKIE BANNER the a"
+    val docs = Seq(
+      (1L, s"$banner\n$body one", "en"),
+      (2L, s"$banner\n$body one", "en"),   // exact dup of 1 after cleaning
+      (3L, s"$banner\n$body two", "en"),   // distinct after cleaning
+      (4L, s"$banner\n$body one", "zh"),   // dropped by lang rule
+      (5L, banner, "en"),                  // only the common line: emptied
+      (6L, s"$body three", "en"))          // no banner
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.curate(docs, "doc_id", "text", "lang",
+        minTokens = 4, lineMinDocs = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // banner appears in kept docs 1,2,3,5 (>=3) -> removed everywhere
+    assert(out.keySet == Set(1L, 3L, 6L))
+    assert(out(1L)._2 == 2L) // docs 1+2 collapsed
+    assert(out(3L)._2 == 1L)
+    assert(out(1L)._1 == (body + " one").length.toLong)
+  }
+
   test("ratio columns are exact single divisions; null when token-less") {
     import spark.implicits._
     val r = Curation.gopherRules(
