@@ -95,4 +95,32 @@ object Curation {
         count(lit(1)).as("n_dupes"))
       .select("doc_id", "clean_len", "n_dupes")
   }
+
+  /** Adaptive per-group quality cutoff — thresholds that FOLLOW the
+    * data instead of a global constant (a fixed length floor that is
+    * right for English drops half of Chinese): per group (language,
+    * source, …), the q-quantile of `valueCol` is estimated with the
+    * mergeable KLL sketch and rows below their group's cutoff are
+    * dropped. Output: the surviving rows as (doc_id, group, value,
+    * cutoff).
+    *
+    * Scale shape: the sketch aggregate is mergeable (map-side partial
+    * sketches, one k-bounded state per group), the cutoff table is
+    * |groups| rows and broadcasts into a map-side filter — the corpus
+    * is scanned twice but shuffled never. In the exact regime
+    * (group ≤ k) the cutoff equals quantile_disc, which is what the
+    * oracle checks; past k the sketch guarantee (≈O(1/k) rank error)
+    * takes over, property-tested in SketchesSpec.
+    */
+  def adaptiveQuantileCut(docs: DataFrame, idCol: String, valueCol: String,
+      groupCol: String, q: Double = 0.1, k: Int = 1024): DataFrame = {
+    val cuts = docs.groupBy(col(groupCol))
+      .agg(Sketches.kllSketch(col(valueCol), k).as("sk"))
+      .select(col(groupCol),
+        Sketches.kllQuantile(col("sk"), lit(q)).cast("long").as("cutoff"))
+    docs.join(broadcast(cuts), groupCol)
+      .filter(col(valueCol) >= col("cutoff"))
+      .select(col(idCol).as("doc_id"), col(groupCol), col(valueCol),
+        col("cutoff"))
+  }
 }

@@ -1442,6 +1442,20 @@ object LlmPipeline {
              |SELECT MIN(doc_id) AS doc_id, MIN(len(clean_text)) AS clean_len,
              |       COUNT(*) AS n_dupes
              |  FROM clean WHERE clean_text <> ''
-             | GROUP BY md5(clean_text)""".stripMargin))
+             | GROUP BY md5(clean_text)""".stripMargin)),
+
+    // Adaptive per-language length cutoff: drop each language's
+    // bottom decile by n_chars, cutoff from the mergeable KLL sketch
+    // (exact regime at this group size — quantile_disc in the oracle).
+    QueryDef(
+      "l44_adaptive_cut",
+      (s, d) => Curation.adaptiveQuantileCut(Tables.documents(s, d),
+        "doc_id", "n_chars", "lang", q = 0.1),
+      Some("""WITH cuts AS (
+             |  SELECT lang, CAST(quantile_disc(n_chars, 0.1) AS BIGINT) AS cutoff
+             |    FROM documents GROUP BY lang)
+             |SELECT d.doc_id, d.lang, d.n_chars, c.cutoff
+             |  FROM documents d JOIN cuts c USING (lang)
+             | WHERE d.n_chars >= c.cutoff""".stripMargin))
   )
 }

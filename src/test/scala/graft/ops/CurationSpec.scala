@@ -59,6 +59,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._1 == (body + " one").length.toLong)
   }
 
+  test("adaptiveQuantileCut drops each group's tail at its own cutoff") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (i.toLong, "en", i.toLong)) ++
+      (101 to 110).map(i => (i.toLong, "zh", (i * 1000).toLong))
+    val out = Curation.adaptiveQuantileCut(
+        rows.toDF("doc_id", "lang", "n_chars"), "doc_id", "n_chars", "lang",
+        q = 0.1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    val en = out.filter(_._2 == "en")
+    val zh = out.filter(_._2 == "zh")
+    // exact regime (quantile_disc, rank ceil(q*n)): en p10 = 10th
+    // smallest = 10; zh (10 rows) p10 = 1st smallest = 101000
+    assert(en.forall(_._3 == 10L) && en.length == 91)
+    assert(zh.forall(_._3 == 101000L) && zh.length == 10)
+    // an en doc below ITS group cutoff is dropped even though every zh
+    // doc (its own group) survives
+    assert(!out.exists(_._1 == 5L))
+  }
+
   test("ratio columns are exact single divisions; null when token-less") {
     import spark.implicits._
     val r = Curation.gopherRules(
