@@ -369,6 +369,109 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** Production incremental dedup of a NEW shard against an INDEXED
+    * corpus on the fast FNV kernel hash family — the throughput twin
+    * of [[minhashNewVsIndexExact]] (same pipeline shape; the exact
+    * variant's md5 column arithmetic is what the oracle re-derives).
+    * Both sides flow tagged through ONE (band, band_hash)-keyed
+    * shuffle and pairs are verified bucket-locally over the compact
+    * 32-bit shingle-hash arrays — the x03 lesson (a pair-join verify
+    * moved ~110 GB at sf10): shuffle is O((shard + index) × bands),
+    * and only CROSS-side pairs are verified, so a shard arriving into
+    * a huge already-deduped index never re-verifies index-internal
+    * pairs. In production the index side's (id, band keys, hash set)
+    * is computed once and persisted; re-deriving it here keeps the
+    * two sides' kernel provably identical.
+    * Output, per new doc with ≥1 verified match:
+    * (new_id, n_matches, best_jaccard, best_match_id).
+    */
+  def minhashNewVsIndex(
+      newDocs: DataFrame,
+      indexDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    def prep(docs: DataFrame, side: Int) = docs
+      .filter(length(col(textCol)) >= shingleN)
+      .select(col(idCol).as("id"), lit(side).as("side"),
+        sigAndSetUdf(col(textCol), lit(shingleN), lit(numHashes)).as("ss"))
+      .select(col("id"), col("side"),
+        col("ss._1").as("sig"), col("ss._2").as("shs"))
+    val banded = prep(indexDocs, 0).unionByName(prep(newDocs, 1))
+      .select(
+        col("id"), col("side"), col("shs"),
+        posexplode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .select(col("pos").as("band"), col("col").as("band_hash"),
+        col("id"), col("side"), col("shs"))
+    val thr = threshold
+    val pairs = banded.as[(Int, Int, Long, Int, Array[Int])]
+      .repartition(col("band"), col("band_hash"))
+      .sortWithinPartitions(col("band"), col("band_hash"))
+      .mapPartitions { iter =>
+        // stream sorted groups; per bucket, verify cross-side pairs
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Int])]
+        var curBand = Int.MinValue
+        var curHash = Int.MinValue
+        def flush(): Iterator[(Long, Long, Double)] = {
+          if (members.length < 2) { members.clear(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var i = 0
+            while (i < members.length) {
+              var j = i + 1
+              while (j < members.length) {
+                val (ia, sideA, sa) = members(i)
+                val (ib, sideB, sb) = members(j)
+                if (sideA != sideB) {
+                  val jac = TextKernel.jaccardSortedInt(sa, sb)
+                  if (jac >= thr) {
+                    // orient as (new_id, matched_id)
+                    if (sideA == 1) out += ((ia, ib, jac))
+                    else out += ((ib, ia, jac))
+                  }
+                }
+                j += 1
+              }
+              i += 1
+            }
+            members.clear()
+            out.iterator
+          }
+        }
+        (iter.map(Some(_)) ++ Iterator(None)).flatMap {
+          case Some((band, bandHash, id, side, shs)) =>
+            if (band != curBand || bandHash != curHash) {
+              val emitted = flush()
+              curBand = band; curHash = bandHash
+              members += ((id, side, shs))
+              emitted
+            } else {
+              members += ((id, side, shs))
+              Iterator.empty
+            }
+          case None => flush()
+        }
+      }
+      .toDF("new_id", "matched_id", "jaccard")
+      .groupBy(col("new_id"), col("matched_id"))
+      .agg(max(col("jaccard")).as("jaccard"))
+    val best = pairs.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
+    best.join(pairs, best("new_id") === pairs("new_id") &&
+        pairs("jaccard") === best("best_jaccard"))
+      .groupBy(best("new_id"), col("n_matches"), col("best_jaccard"))
+      .agg(min(col("matched_id")).as("best_match_id"))
+  }
+
   /** (base, banded) md5-family minhash band keys — the shared front of
     * the all-pairs ([[minhashPairsExact]]) and against-index
     * ([[minhashNewVsIndexExact]]) variants: per doc, 5-gram shingles →

@@ -219,6 +219,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("width")))
   }
 
+  test("minhashNewVsIndex (fast kernel) agrees with the exact twin on planted dups") {
+    import spark.implicits._
+    val all = plantedDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val index = all.filter(_._1 < 100L).toDF("doc_id", "text")
+    val fresh = all.filter(_._1 >= 100L).toDF("doc_id", "text")
+    val fast = Dedup.minhashNewVsIndex(fresh, index, "doc_id", "text",
+        threshold = 0.6)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    for (i <- 0 until 5)
+      assert(fast(100L + i) == ((1L, i.toLong)), s"planted dup $i")
+    // verified jaccard, not just band collision: thresholds hold
+    val loose = Dedup.minhashNewVsIndex(fresh, index, "doc_id", "text",
+      threshold = 0.999).collect()
+    assert(loose.isEmpty) // one-word mutations are below 0.999
+  }
+
   test("minhashNewVsIndexExact matches a new shard only against the index") {
     import spark.implicits._
     val all = plantedDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
