@@ -393,25 +393,64 @@ object Dedup {
       shingleN: Int = 5,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    minhashNewVsPrebuiltIndex(newDocs,
+      minhashIndex(indexDocs, idCol, textCol, shingleN, numHashes, bands),
+      idCol, textCol, shingleN, numHashes, bands, threshold)
+
+  /** The persisted-index form: per index doc, its exploded
+    * (band, band_hash) keys plus the compact sorted shingle-hash set
+    * the verify step needs — (id, band, band_hash, shs). This is what
+    * an ingest pipeline computes ONCE per corpus generation and
+    * writes to parquet (bucketed by band_hash if the store supports
+    * it); every arriving shard then pays only its own shingling.
+    */
+  def minhashIndex(
+      indexDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val spark = newDocs.sparkSession
-    import spark.implicits._
-    def prep(docs: DataFrame, side: Int) = docs
+    indexDocs
       .filter(length(col(textCol)) >= shingleN)
-      .select(col(idCol).as("id"), lit(side).as("side"),
+      .select(col(idCol).as("id"),
         sigAndSetUdf(col(textCol), lit(shingleN), lit(numHashes)).as("ss"))
-      .select(col("id"), col("side"),
-        col("ss._1").as("sig"), col("ss._2").as("shs"))
-    val banded = prep(indexDocs, 0).unionByName(prep(newDocs, 1))
+      .select(col("id"), col("ss._1").as("sig"), col("ss._2").as("shs"))
       .select(
-        col("id"), col("side"), col("shs"),
+        col("id"), col("shs"),
         posexplode(
           transform(sequence(lit(0), lit(bands - 1)),
             b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .select(col("pos").as("band"), col("col").as("band_hash"),
-        col("id"), col("side"), col("shs"))
+        col("id"), col("shs"))
+  }
+
+  /** Shard-vs-prebuilt-index matching — see [[minhashNewVsIndex]] for
+    * the contract; `index` is [[minhashIndex]] output (possibly read
+    * back from parquet).
+    */
+  def minhashNewVsPrebuiltIndex(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val newBanded =
+      minhashIndex(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val banded = index
+      .select(col("band"), col("band_hash"), col("id"), lit(0).as("side"),
+        col("shs"))
+      .unionByName(newBanded.withColumn("side", lit(1)))
+      .select(col("band"), col("band_hash"), col("id"), col("side"), col("shs"))
     val thr = threshold
     val pairs = banded.as[(Int, Int, Long, Int, Array[Int])]
       .repartition(col("band"), col("band_hash"))
@@ -464,12 +503,15 @@ object Dedup {
       .toDF("new_id", "matched_id", "jaccard")
       .groupBy(col("new_id"), col("matched_id"))
       .agg(max(col("jaccard")).as("jaccard"))
-    val best = pairs.groupBy(col("new_id"))
-      .agg(count(lit(1)).as("n_matches"), max(col("jaccard")).as("best_jaccard"))
-    best.join(pairs, best("new_id") === pairs("new_id") &&
-        pairs("jaccard") === best("best_jaccard"))
-      .groupBy(best("new_id"), col("n_matches"), col("best_jaccard"))
-      .agg(min(col("matched_id")).as("best_match_id"))
+    // single-aggregate argmax (the exact twin keeps the join form its
+    // oracle mirrors): (jaccard, -matched_id) struct ordering = max
+    // jaccard, ties to the smallest matched id
+    pairs.groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("jaccard")).as("best_jaccard"),
+        max_by(col("matched_id"),
+          struct(col("jaccard"), (-col("matched_id")).as("neg")))
+          .as("best_match_id"))
   }
 
   /** (base, banded) md5-family minhash band keys — the shared front of

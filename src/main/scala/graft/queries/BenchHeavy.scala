@@ -64,6 +64,22 @@ object BenchHeavy {
     out.getAbsolutePath
   }
 
+  /** Derive-once cache for bench-scoped artifacts that production
+    * would persist (e.g. the x08 minhash index): same reuse contract
+    * as [[amplifiedDir]] but for an arbitrary derived DataFrame.
+    */
+  private def cachedDir(d: String, name: String)(
+      derive: => org.apache.spark.sql.DataFrame): String = {
+    val tag = new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bench_$name$tag.parquet")
+    this.synchronized {
+      if (!out.exists())
+        derive.write.mode("overwrite").parquet(out.getAbsolutePath)
+    }
+    out.getAbsolutePath
+  }
+
   /** doc_id → deterministic read (genome id*131-strided offset). */
   private def readsFrom(docs: org.apache.spark.sql.DataFrame) = {
     val genomes = LayerB.syntheticGenomes(NGenomes, GenomeLen)
@@ -223,6 +239,32 @@ object BenchHeavy {
         val model = graft.ops.LmScore.trainStupidBackoff(
           graft.ops.Sampling.hashSample(docs, "text", 0.5), "text").cache()
         graft.ops.LmScore.scoreAuto(docs, model, "doc_id", "text")
+      }),
+
+    // Incremental dedup throughput: a 10% md5-bucket shard arriving
+    // into the other 90% as a PERSISTED index (minhashIndex derived
+    // once into a cached parquet — the artifact production keeps;
+    // re-deriving it per shard was the first cut and doubled the
+    // number with work a real ingest never repeats). Production
+    // kernel-hash path, cross-side bucket-local verify; l40 is the
+    // md5-exact oracle twin. Measures the per-shard ingest cost a
+    // continuously-growing corpus actually pays: shard shingling +
+    // one (band, band_hash) shuffle + bucket verify.
+    QueryDef(
+      "x08_dedup_incremental",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        val bkt = graft.ops.Sampling.hashBucket(col("text"))
+        val index = s.read.parquet(cachedDir(d, s"mhindex_x$f")(
+          graft.ops.Dedup.minhashIndex(docs.filter(bkt < 9000),
+            "doc_id", "text")))
+        graft.ops.Dedup.minhashNewVsPrebuiltIndex(
+          docs.filter(bkt >= 9000), index, "doc_id", "text", threshold = 0.4)
       })
   )
 }
