@@ -446,7 +446,23 @@ object Dedup {
     import spark.implicits._
     val newBanded =
       minhashIndex(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    // only index buckets the SHARD touches can emit cross-side pairs,
+    // and with index ≫ shard (the design case) that is a small
+    // fraction (87% of buckets untouched at the 500k probe): a semi
+    // join on the shard's distinct band keys keeps the index side's
+    // shingle-array payload out of the shuffle for every untouched
+    // bucket. The key set is shard×bands rows — bigger than the 10 MB
+    // auto-broadcast default at even modest shards, which silently
+    // degraded the semi join to a full index SMJ shuffle (measured
+    // 46.8 → 68.4 s at 500k); under the same stats gate the fast LSH
+    // path uses, force the broadcast so the prune is map-side.
+    val touchedRaw = newBanded.select(col("band"), col("band_hash")).distinct()
+    val touched =
+      if (newDocs.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20))
+        broadcast(touchedRaw)
+      else touchedRaw
     val banded = index
+      .join(touched, Seq("band", "band_hash"), "left_semi")
       .select(col("band"), col("band_hash"), col("id"), lit(0).as("side"),
         col("shs"))
       .unionByName(newBanded.withColumn("side", lit(1)))
