@@ -47,4 +47,35 @@ class IngestStreamsSpec extends AnyFunSuite {
       assert(exact._3 == 1.0)
     } finally query.stop()
   }
+
+  test("pair-emission guard state survives a checkpoint restart") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val index = Seq((10L, base)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_ckpt").toString
+    val src = s"$dir/src"; val out = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    new java.io.File(src).mkdirs()
+    def writeDoc(file: String, id: Long, text: String, ts: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/$file"),
+        s"""{"doc_id": $id, "text": "$text", "ts": "$ts"}""")
+    val schema = "doc_id LONG, text STRING, ts TIMESTAMP"
+    def start() = IngestStreams.dedupAgainstIndex(
+        spark.readStream.schema(schema).json(src), index,
+        "doc_id", "text", "ts", threshold = 0.5)
+      .writeStream.format("parquet")
+      .option("checkpointLocation", ckpt).option("path", out)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    writeDoc("b1.json", 1L, base, "2026-01-01 10:00:00")
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    // while DOWN: the same pair arrives again (within the watermark
+    // horizon) plus a genuinely new near-dup
+    writeDoc("b2.json", 1L, base, "2026-01-01 10:01:00")
+    writeDoc("b3.json", 4L, base.replace("dog", "cat"), "2026-01-01 10:01:30")
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    val rows = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("matched_id")))
+    assert(rows.count(_ == ((1L, 10L))) == 1) // restored state deduped the replay
+    assert(rows.count(_ == ((4L, 10L))) == 1)
+    assert(rows.length == 2)
+  }
 }
