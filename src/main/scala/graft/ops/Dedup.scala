@@ -398,12 +398,18 @@ object Dedup {
       minhashIndex(indexDocs, idCol, textCol, shingleN, numHashes, bands),
       idCol, textCol, shingleN, numHashes, bands, threshold)
 
-  /** The persisted-index form: per index doc, its exploded
-    * (band, band_hash) keys plus the compact sorted shingle-hash set
-    * the verify step needs — (id, band, band_hash, shs). This is what
+  /** The persisted-index form — ONE compact row per document:
+    * (id, shs — the sorted shingle-hash set the verify step needs,
+    * band_hashes — the `bands` precomputed band keys). This is what
     * an ingest pipeline computes ONCE per corpus generation and
-    * writes to parquet (bucketed by band_hash if the store supports
-    * it); every arriving shard then pays only its own shingling.
+    * writes to parquet; every arriving shard then pays only its own
+    * shingling. The first cut persisted the EXPLODED
+    * (id, band, band_hash, shs) form and replicated the shingle array
+    * per band — a 32× storage amplification (3.7 GB index for a
+    * 117 MB corpus at the 500k probe; the aborted 5M build was headed
+    * past 50 GB). The compact form is corpus-sized; the explode is
+    * re-derived at read time, map-only, and only materializes in the
+    * post-prune shuffle.
     */
   def minhashIndex(
       indexDocs: DataFrame,
@@ -418,15 +424,20 @@ object Dedup {
       .filter(length(col(textCol)) >= shingleN)
       .select(col(idCol).as("id"),
         sigAndSetUdf(col(textCol), lit(shingleN), lit(numHashes)).as("ss"))
-      .select(col("id"), col("ss._1").as("sig"), col("ss._2").as("shs"))
-      .select(
-        col("id"), col("shs"),
-        posexplode(
-          transform(sequence(lit(0), lit(bands - 1)),
-            b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .select(col("id"), col("ss._2").as("shs"),
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("ss._1"), b * rowsPerBand + 1, lit(rowsPerBand)), b))
+          .as("band_hashes"))
+  }
+
+  /** Compact index rows → the exploded (band, band_hash, id, shs)
+    * stream the bucket verify consumes.
+    */
+  private def explodeBanded(compact: DataFrame): DataFrame =
+    compact
+      .select(col("id"), col("shs"), posexplode(col("band_hashes")))
       .select(col("pos").as("band"), col("col").as("band_hash"),
         col("id"), col("shs"))
-  }
 
   /** Shard-vs-prebuilt-index matching — see [[minhashNewVsIndex]] for
     * the contract; `index` is [[minhashIndex]] output (possibly read
@@ -444,8 +455,8 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val spark = newDocs.sparkSession
     import spark.implicits._
-    val newBanded =
-      minhashIndex(newDocs, idCol, textCol, shingleN, numHashes, bands)
+    val newBanded = explodeBanded(
+      minhashIndex(newDocs, idCol, textCol, shingleN, numHashes, bands))
     // only index buckets the SHARD touches can emit cross-side pairs,
     // and with index ≫ shard (the design case) that is a small
     // fraction (87% of buckets untouched at the 500k probe): a semi
@@ -461,7 +472,7 @@ object Dedup {
       if (newDocs.queryExecution.optimizedPlan.stats.sizeInBytes < (256L << 20))
         broadcast(touchedRaw)
       else touchedRaw
-    val banded = index
+    val banded = explodeBanded(index)
       .join(touched, Seq("band", "band_hash"), "left_semi")
       .select(col("band"), col("band_hash"), col("id"), lit(0).as("side"),
         col("shs"))

@@ -260,7 +260,7 @@ object BenchHeavy {
           else s.read.parquet(amplifiedDir(s, d, "documents", f)(
             graft.tools.Amplify.documents(_, f)))
         val bkt = graft.ops.Sampling.hashBucket(col("text"))
-        val index = s.read.parquet(cachedDir(d, s"mhindex_x$f")(
+        val index = s.read.parquet(cachedDir(d, s"mhindexc_x$f")(
           graft.ops.Dedup.minhashIndex(docs.filter(bkt < 9000),
             "doc_id", "text")))
         graft.ops.Dedup.minhashNewVsPrebuiltIndex(

@@ -35,14 +35,13 @@ object Curate2Probe {
           .write.mode("overwrite").parquet(dir.getAbsolutePath)
       val docs = spark.read.parquet(dir.getAbsolutePath)
       val n = docs.count()
-      // the amplified corpus lacks a lang column variety? it has lang.
       val tCurate = time(graft.ops.Curation
         .curate(docs, "doc_id", "text", "lang", minTokens = 40)
         .write.format("noop").mode("overwrite").save())
       val bkt = graft.ops.Sampling.hashBucket(col("text"))
       // persisted index, derived once per factor (production artifact)
       val idxDir = new java.io.File(
-        sys.props("java.io.tmpdir"), s"graft_curate2_mhindex_x$f.parquet")
+        sys.props("java.io.tmpdir"), s"graft_curate2_mhindexc_x$f.parquet")
       val tIndex =
         if (idxDir.exists()) 0.0
         else time(graft.ops.Dedup.minhashIndex(docs.filter(bkt < 9000),
