@@ -85,9 +85,27 @@ object CorpusStats {
     * Output: (doc_id, n_lines, n_removed, clean_text).
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
-      minDocs: Int): DataFrame = {
+      minDocs: Int): DataFrame =
+    dedupSegments(docs, idCol, textCol, minDocs, "\n")
+
+  /** Paragraph-granular variant (RefinedWeb also removes repeated
+    * PARAGRAPHS — cookie walls, bios, legal blocks — that line
+    * granularity shreds): identical pipeline with blank-line-separated
+    * segments.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame =
+    dedupSegments(docs, idCol, textCol, minDocs, "\n\n")
+
+  /** Shared engine of [[dedupLines]]/[[dedupParagraphs]]: `sep` is a
+    * literal separator (regex-quoted for the split, verbatim for the
+    * reassembly join).
+    */
+  private def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int, sep: String): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("line_idx", "line")))
+        posexplode(split(col(textCol), sepRe, -1)).as(Seq("line_idx", "line")))
       .withColumn("key", trim(col("line")))
     val common = lines.filter(col("key") =!= "")
       .select(col("doc_id"), col("key")).distinct()
@@ -101,9 +119,9 @@ object CorpusStats {
         array_join(
           transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
             x => x("line")),
-          "\n").as("clean_text"))
+          sep).as("clean_text"))
     docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+        size(split(col(textCol), sepRe, -1)).cast("long").as("n_lines"))
       .join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0))).as("n_removed"),

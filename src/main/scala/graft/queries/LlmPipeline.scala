@@ -1456,6 +1456,48 @@ object LlmPipeline {
              |    FROM documents GROUP BY lang)
              |SELECT d.doc_id, d.lang, d.n_chars, c.cutoff
              |  FROM documents d JOIN cuts c USING (lang)
-             | WHERE d.n_chars >= c.cutoff""".stripMargin))
+             | WHERE d.n_chars >= c.cutoff""".stripMargin)),
+
+    // Paragraph-granular corpus dedup (RefinedWeb paragraph removal):
+    // same pipeline as l32 at blank-line-separated segments — cookie
+    // walls and legal blocks that line granularity shreds. Synthetic
+    // multi-paragraph docs: two high-df paragraphs, one unique.
+    QueryDef(
+      "l45_paragraph_dedup",
+      (s, d) => {
+        val docs2 = Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            lit("accept our cookies "), col("doc_id") % 3,
+            lit("\n\nuniq para "), md5(col("doc_id").cast("string")),
+            lit("\n\nwritten by staff writer "), col("doc_id") % 5).as("text"))
+        CorpusStats.dedupParagraphs(docs2, "doc_id", "text", minDocs = 3)
+      },
+      Some("""WITH src AS (
+             |  SELECT doc_id,
+             |         'accept our cookies ' || (doc_id % 3) || chr(10) || chr(10) ||
+             |         'uniq para ' || md5(CAST(doc_id AS VARCHAR)) || chr(10) || chr(10) ||
+             |         'written by staff writer ' || (doc_id % 5) AS text
+             |    FROM documents),
+             |exploded AS (
+             |  SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS i
+             |    FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ls FROM src)),
+             |lines AS (
+             |  SELECT doc_id, i AS line_idx, ls[i] AS line, trim(ls[i]) AS key
+             |    FROM exploded),
+             |common AS (
+             |  SELECT key
+             |    FROM (SELECT DISTINCT doc_id, key FROM lines WHERE key <> '')
+             |   GROUP BY key HAVING COUNT(*) >= 3),
+             |kept AS (
+             |  SELECT * FROM lines WHERE key NOT IN (SELECT key FROM common)),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_kept,
+             |         array_to_string(list(line ORDER BY line_idx), chr(10) || chr(10)) AS clean_text
+             |    FROM kept GROUP BY doc_id)
+             |SELECT s.doc_id,
+             |       len(string_split(s.text, chr(10) || chr(10))) AS n_lines,
+             |       len(string_split(s.text, chr(10) || chr(10))) - COALESCE(a.n_kept, 0) AS n_removed,
+             |       COALESCE(a.clean_text, '') AS clean_text
+             |  FROM src s LEFT JOIN agg a USING (doc_id)""".stripMargin))
   )
 }
