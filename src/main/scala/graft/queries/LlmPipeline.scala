@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -1498,6 +1498,23 @@ object LlmPipeline {
              |       len(string_split(s.text, chr(10) || chr(10))) AS n_lines,
              |       len(string_split(s.text, chr(10) || chr(10))) - COALESCE(a.n_kept, 0) AS n_removed,
              |       COALESCE(a.clean_text, '') AS clean_text
-             |  FROM src s LEFT JOIN agg a USING (doc_id)""".stripMargin))
+             |  FROM src s LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // Sharded corpus materialization: write 8 deterministic training
+    // shards + manifest, register the MANIFEST (shard doc/token
+    // counts) — the oracle re-derives shard assignment and totals, so
+    // a wrong bucket rule or a dropped row breaks the compare.
+    QueryDef(
+      "l46_corpus_shards",
+      (s, d) => CorpusWriter.writeShards(Tables.documents(s, d),
+        "doc_id", "text", "/tmp/graft_l46_shards", shards = 8),
+      Some(s"""WITH t AS (
+             |  SELECT COALESCE(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             |                  % 10000, 0) % 8 AS shard,
+             |         CAST(len(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
+             |    FROM documents)
+             |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+             |  FROM t GROUP BY shard""".stripMargin))
   )
 }
