@@ -59,6 +59,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out(1L)._1 == (body + " one").length.toLong)
   }
 
+  test("curate output is deterministic and partitioning-independent") {
+    import spark.implicits._
+    val docs = (0 until 120).map { i =>
+      val dup = i % 4 // 4 content classes -> collapsing groups
+      (i.toLong, s"the quick brown fox number $dup jumps again", "en")
+    }.toDF("doc_id", "text", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.curate(df, "doc_id", "text", "lang", minTokens = 4,
+        lineMinDocs = 1000).collect().map(_.toSeq).toSet
+    assert(run(docs) == run(docs.repartition(17)) && run(docs).nonEmpty)
+  }
+
   test("adaptiveQuantileCut drops each group's tail at its own cutoff") {
     import spark.implicits._
     val rows = (1 to 100).map(i => (i.toLong, "en", i.toLong)) ++

@@ -48,6 +48,27 @@ class IngestStreamsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("the rule gate composes with a document stream unchanged (map-only)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val query = graft.ops.Curation.gopherRules(
+        input.toDF().toDF("doc_id", "text", "lang"),
+        "doc_id", "text", "lang", minTokens = 3)
+      .writeStream.format("memory").queryName("graft_rules_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, "the quick brown fox", "en"), (2L, "to in", "en"))
+      query.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT doc_id, keep, drop_reason FROM graft_rules_stream")
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), Option(r.getString(2)))).toMap
+      assert(rows(1L) == ((true, None)))
+      assert(rows(2L) == ((false, Some("too_short"))))
+    } finally query.stop()
+  }
+
   test("pair-emission guard state survives a checkpoint restart") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again"
