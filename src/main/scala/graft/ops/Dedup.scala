@@ -369,6 +369,40 @@ object Dedup {
       .agg(max(col("jaccard")).as("jaccard"))
   }
 
+  /** Canonical-document selection over near-dup clusters — the
+    * decision step real pipelines run AFTER [[connectedComponents]]:
+    * keep the highest-QUALITY member of each cluster (longest /
+    * best-scored — RefinedWeb keeps the longest document, SemDeDup
+    * the lowest-perplexity one), not the smallest id. Ties on the
+    * score resolve to the smallest id, so the decision is
+    * deterministic. Documents in no cluster are their own canonical.
+    * Output, one row per surviving document:
+    * (component, n_members, keep_id, best_score).
+    *
+    * Scale shape: one model-sized join of the cluster table to the
+    * per-doc scores, one hash aggregate per component, and an
+    * anti-join for the singleton side — all hash-partitioned, no
+    * windows, no collects.
+    */
+  def keepBest(docs: DataFrame, components: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val scored = components.join(
+      docs.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+    val best = scored.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(col("id"), struct(col("score"), (-col("id")).as("neg")))
+          .as("keep_id"),
+        max(col("score")).as("best_score"))
+      .select("component", "n_members", "keep_id", "best_score")
+    val singles = docs
+      .select(col(idCol).as("keep_id"), col(scoreCol).as("best_score"))
+      .join(components.select(col("id").as("keep_id")), Seq("keep_id"),
+        "left_anti")
+      .select(col("keep_id").as("component"), lit(1L).as("n_members"),
+        col("keep_id"), col("best_score"))
+    best.unionByName(singles)
+  }
+
   /** Production incremental dedup of a NEW shard against an INDEXED
     * corpus on the fast FNV kernel hash family — the throughput twin
     * of [[minhashNewVsIndexExact]] (same pipeline shape; the exact

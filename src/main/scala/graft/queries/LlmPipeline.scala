@@ -1515,6 +1515,53 @@ object LlmPipeline {
              |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens
              |    FROM documents)
              |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-             |  FROM t GROUP BY shard""".stripMargin))
+             |  FROM t GROUP BY shard""".stripMargin)),
+
+    // Keep-best canonical selection: the l12 cluster formation
+    // followed by the RefinedWeb keep-the-longest decision (score =
+    // n_chars, integer — no float-equality hazard; ties to smallest
+    // id). Singletons are their own canonical. The oracle re-derives
+    // clusters (recursive CTE), the argmax, and the singleton union.
+    QueryDef(
+      "l47_keep_best",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = docs.select((col("doc_id") - 1).as("id_a"),
+          col("text").as("text_b"), col("doc_id").as("id_b"))
+        val pairs = a.join(b, "id_a")
+          .filter(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5) >= 0.2)
+          .select(col("id_a"), col("id_b"))
+        Dedup.keepBest(docs, Dedup.connectedComponents(pairs),
+          "doc_id", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
+              |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+              |scored AS (
+              |  SELECT c.component, c.id, d.n_chars AS score
+              |    FROM comp c JOIN documents d ON d.doc_id = c.id),
+              |best AS (
+              |  SELECT component, COUNT(*) AS n_members, MAX(score) AS best_score
+              |    FROM scored GROUP BY component),
+              |sel AS (
+              |  SELECT b.component, b.n_members, MIN(s.id) AS keep_id, b.best_score
+              |    FROM best b JOIN scored s
+              |      ON s.component = b.component AND s.score = b.best_score
+              |   GROUP BY 1, 2, 4)
+              |SELECT component, n_members, keep_id, best_score FROM sel
+              |UNION ALL
+              |SELECT doc_id AS component, 1 AS n_members, doc_id AS keep_id,
+              |       n_chars AS best_score
+              |  FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)""".stripMargin))
   )
 }

@@ -219,6 +219,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(rows(2L).isNullAt(rows(2L).fieldIndex("width")))
   }
 
+  test("keepBest keeps the highest-scored cluster member, ties to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),   // cluster {1,2,3}: tie 2 vs 3 -> 2
+      (4L, 5L), (5L, 99L),               // cluster {4,5}: 5 wins
+      (9L, 7L))                          // singleton
+      .toDF("doc_id", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "component")
+    val out = Dedup.keepBest(docs, comps, "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((3L, 2L, 30L)))
+    assert(out(4L) == ((2L, 5L, 99L)))
+    assert(out(9L) == ((1L, 9L, 7L)))
+    assert(out.size == 3)
+  }
+
   test("minhashNewVsIndex (fast kernel) agrees with the exact twin on planted dups") {
     import spark.implicits._
     val all = plantedDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
