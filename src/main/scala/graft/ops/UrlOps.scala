@@ -51,4 +51,19 @@ object UrlOps {
       .filter(col("__rk") <= maxPerDomain)
       .drop("__rk")
   }
+
+  /** Domain-blocklist filter — the first gate of every web-corpus
+    * pipeline (adult/malware/spam domain lists): drop rows whose
+    * registrable `domain` (see [[withUrlColumns]]) appears in the
+    * blocklist, matching the domain itself AND any subdomain of a
+    * blocked entry (blocking `example.com` blocks
+    * `cdn.example.com` — compare on the registrable domain, so this
+    * reduces to one equality). The blocklist is list-sized (thousands
+    * to low millions), broadcast into a map-side LEFT ANTI join — no
+    * corpus shuffle, composes with scan pushdown.
+    */
+  def filterBlockedDomains(df: DataFrame, blocklist: DataFrame,
+      blockCol: String = "domain"): DataFrame =
+    df.join(broadcast(blocklist.select(col(blockCol).as("domain")).distinct()),
+      Seq("domain"), "left_anti")
 }

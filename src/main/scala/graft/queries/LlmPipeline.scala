@@ -1562,6 +1562,35 @@ object LlmPipeline {
               |UNION ALL
               |SELECT doc_id AS component, 1 AS n_members, doc_id AS keep_id,
               |       n_chars AS best_score
-              |  FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)""".stripMargin))
+              |  FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)""".stripMargin)),
+
+    // Domain-blocklist gate over the l35 synthetic URL family:
+    // registrable-domain equality against a broadcast blocklist
+    // (map-side anti join). The oracle re-derives the domains and the
+    // NOT IN.
+    QueryDef(
+      "l48_domain_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val withUrl = Tables.documents(s, d).select(col("doc_id"),
+          expr("""'https://WWW.Site' || (doc_id % 41)
+                 || CASE doc_id % 4 WHEN 0 THEN '.Example.COM' WHEN 1 THEN '.shop.co.uk'
+                                    WHEN 2 THEN '.Data' || (doc_id % 11) || '.io'
+                                    ELSE '.news' || (doc_id % 13) || '.org' END
+                 || '/p/' || doc_id""").as("url"))
+        val blocklist = Seq("example.com", "shop.co.uk", "news7.org")
+          .toDF("domain")
+        UrlOps.filterBlockedDomains(
+            UrlOps.withUrlColumns(withUrl, "url"), blocklist)
+          .select("doc_id", "domain")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |         CASE doc_id % 4 WHEN 0 THEN 'example.com' WHEN 1 THEN 'shop.co.uk'
+             |                         WHEN 2 THEN 'data' || (doc_id % 11) || '.io'
+             |                         ELSE 'news' || (doc_id % 13) || '.org' END AS domain
+             |    FROM documents)
+             |SELECT doc_id, domain FROM u
+             | WHERE domain NOT IN ('example.com', 'shop.co.uk', 'news7.org')""".stripMargin))
   )
 }

@@ -71,4 +71,18 @@ class UrlOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.sortBy(identity).toSeq == out2.sortBy(identity).toSeq)
   }
+
+  test("filterBlockedDomains drops blocked registrable domains incl. subdomains") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://bad.example.com/x"),      // subdomain of blocked domain
+      (2L, "https://example.com/y"),          // blocked exactly
+      (3L, "https://good.other.org/z"))
+      .toDF("doc_id", "url")
+    val block = Seq("example.com").toDF("domain")
+    val out = UrlOps.filterBlockedDomains(
+        UrlOps.withUrlColumns(df, "url"), block)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(3L))
+  }
 }
