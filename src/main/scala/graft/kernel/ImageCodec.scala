@@ -64,6 +64,26 @@ object ImageCodec {
     Some(Decoded(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
   }
 
+  /** Nearest-neighbor resize, re-encoded as lossless PNG: destination
+    * pixel (x2, y2) samples source ((x2·w)/w2, (y2·h)/h2) with integer
+    * floor division — a convention an external oracle re-derives with
+    * plain `//` arithmetic, so the l49 compare exercises the REAL
+    * decode→sample→re-encode path end to end. None when the payload
+    * is not a decodable image.
+    */
+  def resizeNearestPng(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
+    require(w2 > 0 && h2 > 0, "target dims must be positive")
+    if (!looksLikeImage(bytes)) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    Some(encodePng(w2, h2,
+      (x2, y2) => img.getRGB((x2 * w) / w2, (y2 * h) / h2) & 0xffffff))
+  }
+
   /** Encode an RGB pixel function to PNG bytes (lossless — decode
     * returns exactly these pixels). Used by the l21 fixture generator
     * and tests; real pipelines bring their own image bytes.

@@ -180,6 +180,18 @@ object Multimodal {
         mk(col("doc_id")).as("payload"))
   }
 
+  /** Dataset-wide image normalization: resize every image payload to
+    * (w, h) — real pixel ops (nearest-neighbor through the decoder)
+    * re-encoded as lossless PNG. Map-only, the shape of a 100 TB
+    * preprocessing pass; payloads that do not decode yield a NULL
+    * resized column (the caller's drop/keep decision).
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val rz = udf((p: Array[Byte]) =>
+      graft.kernel.ImageCodec.resizeNearestPng(p, w, h).orNull)
+    media.withColumn("payload_resized", rz(col("payload")))
+  }
+
   /** Deterministic frame sampling: slice the payload into fixed-size
     * "frames" and keep every `everyN`-th — the distributed shape of
     * video frame extraction (explode → per-frame rows).

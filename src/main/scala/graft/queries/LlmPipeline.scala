@@ -1591,6 +1591,43 @@ object LlmPipeline {
              |                         ELSE 'news' || (doc_id % 13) || '.org' END AS domain
              |    FROM documents)
              |SELECT doc_id, domain FROM u
-             | WHERE domain NOT IN ('example.com', 'shop.co.uk', 'news7.org')""".stripMargin))
+             | WHERE domain NOT IN ('example.com', 'shop.co.uk', 'news7.org')""".stripMargin)),
+
+    // Image resize (real decode -> nearest-neighbor sample -> PNG
+    // re-encode -> real re-decode): the oracle never sees a byte — it
+    // re-derives the resized channel means from the l21 generative
+    // formula plus the floor-division index mapping, so any sampling
+    // or codec defect breaks the hash.
+    QueryDef(
+      "l49_image_resize",
+      (s, d) => {
+        val media = Multimodal.syntheticImages(Tables.documents(s, d), 200)
+        val resized = Multimodal.resizeImages(media, 5, 3)
+          .select(col("media_id"), col("kind"),
+            col("payload_resized").as("payload"))
+        Multimodal.extractFeatures(resized)
+          .select(col("media_id"), col("width"), col("height"),
+            round(col("mean_r"), 6).as("mean_r"),
+            round(col("mean_g"), 6).as("mean_g"),
+            round(col("mean_b"), 6).as("mean_b"))
+      },
+      Some("""WITH imgs AS (
+             |  SELECT doc_id AS media_id,
+             |         CAST(2 + doc_id % 7 AS INTEGER) AS w,
+             |         CAST(2 + doc_id % 5 AS INTEGER) AS h
+             |    FROM documents WHERE doc_id < 200),
+             |m AS (
+             |  SELECT media_id,
+             |         flatten(list_transform(generate_series(0, 4), x2 ->
+             |           list_transform(generate_series(0, 2), y2 ->
+             |             [(media_id * 7 + ((x2 * w) // 5) * 13 + ((y2 * h) // 3) * 31) % 256,
+             |              (media_id * 11 + ((x2 * w) // 5) * 17 + ((y2 * h) // 3) * 5) % 256,
+             |              (media_id * 3 + ((x2 * w) // 5) * 29 + ((y2 * h) // 3) * 23) % 256]))) AS px
+             |    FROM imgs)
+             |SELECT media_id, 5 AS width, 3 AS height,
+             |       ROUND(CAST(list_sum(list_transform(px, p -> p[1])) AS DOUBLE) / 15, 6) AS mean_r,
+             |       ROUND(CAST(list_sum(list_transform(px, p -> p[2])) AS DOUBLE) / 15, 6) AS mean_g,
+             |       ROUND(CAST(list_sum(list_transform(px, p -> p[3])) AS DOUBLE) / 15, 6) AS mean_b
+             |  FROM m""".stripMargin))
   )
 }

@@ -57,4 +57,22 @@ class ImageCodecSpec extends AnyFunSuite {
     val truncated = full.take(20)
     assert(ImageCodec.decode(truncated).isEmpty)
   }
+
+  test("resizeNearestPng samples (x2*w/w2, y2*h/h2) and round-trips losslessly") {
+    def px(x: Int, y: Int): Int = ((x * 50 + y) % 256) << 16 | (x ^ y) << 8 | y
+    val src = ImageCodec.encodePng(7, 4, px)
+    val out = ImageCodec.resizeNearestPng(src, 3, 2).get
+    // decode the resized PNG and check every pixel against the mapping
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(img.getWidth == 3 && img.getHeight == 2)
+    for (x2 <- 0 until 3; y2 <- 0 until 2)
+      assert((img.getRGB(x2, y2) & 0xffffff) == px((x2 * 7) / 3, (y2 * 4) / 2),
+        s"pixel ($x2,$y2)")
+    // upscale hits each source pixel repeatedly, still exact
+    val up = ImageCodec.resizeNearestPng(src, 14, 8).get
+    val upImg = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert((upImg.getRGB(13, 7) & 0xffffff) == px(6, 3))
+    // non-image payloads refuse politely
+    assert(ImageCodec.resizeNearestPng("nope".getBytes, 2, 2).isEmpty)
+  }
 }
