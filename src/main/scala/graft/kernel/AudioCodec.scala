@@ -132,4 +132,41 @@ object AudioCodec {
     AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
+
+  /** Decimation resample, re-encoded as WAV: keep frames 0, N, 2N, …
+    * (ceil(n/N) survive) and divide the declared sample rate by N
+    * (integer floor) — conventions an external oracle re-derives with
+    * plain `//` arithmetic, so the l50 compare exercises the real
+    * decode→sample→re-encode path. 16-bit signed PCM only (what
+    * [[encodeWav]] emits); anything else → None.
+    */
+  def decimateWav(bytes: Array[Byte], everyN: Int): Option[Array[Byte]] = {
+    require(everyN > 0, "everyN must be positive")
+    if (!looksLikeAudio(bytes)) return None
+    val ais =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+        fmt.getSampleSizeInBits != 16 || fmt.getChannels <= 0) return None
+      val channels = fmt.getChannels
+      val frameSize = fmt.getFrameSize
+      if (frameSize != channels * 2) return None
+      val rate = math.round(fmt.getSampleRate)
+      if (rate <= 0) return None
+      val bigEndian = fmt.isBigEndian
+      val raw = ais.readAllBytes()
+      val nFrames = raw.length / frameSize
+      def sampleAt(t: Int, c: Int): Short = {
+        val off = t * frameSize + c * 2
+        val lo = if (bigEndian) raw(off + 1) else raw(off)
+        val hi = if (bigEndian) raw(off) else raw(off + 1)
+        ((((hi & 0xff) << 8) | (lo & 0xff)).toShort)
+      }
+      val kept = (nFrames + everyN - 1) / everyN
+      Some(encodeWav(channels, math.max(1, rate / everyN), kept,
+        (c, t) => sampleAt(t * everyN, c)))
+    } finally ais.close()
+  }
 }

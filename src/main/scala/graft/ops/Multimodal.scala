@@ -192,6 +192,16 @@ object Multimodal {
     media.withColumn("payload_resized", rz(col("payload")))
   }
 
+  /** Dataset-wide audio normalization: decimate every audio payload
+    * by `everyN` (real decode → frame sampling → WAV re-encode) —
+    * map-only; non-decodable payloads yield NULL.
+    */
+  def decimateAudio(media: DataFrame, everyN: Int): DataFrame = {
+    val dz = udf((p: Array[Byte]) =>
+      graft.kernel.AudioCodec.decimateWav(p, everyN).orNull)
+    media.withColumn("payload_resampled", dz(col("payload")))
+  }
+
   /** Deterministic frame sampling: slice the payload into fixed-size
     * "frames" and keep every `everyN`-th — the distributed shape of
     * video frame extraction (explode → per-frame rows).

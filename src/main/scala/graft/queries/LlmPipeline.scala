@@ -1628,6 +1628,40 @@ object LlmPipeline {
              |       ROUND(CAST(list_sum(list_transform(px, p -> p[1])) AS DOUBLE) / 15, 6) AS mean_r,
              |       ROUND(CAST(list_sum(list_transform(px, p -> p[2])) AS DOUBLE) / 15, 6) AS mean_g,
              |       ROUND(CAST(list_sum(list_transform(px, p -> p[3])) AS DOUBLE) / 15, 6) AS mean_b
+             |  FROM m""".stripMargin)),
+
+    // Audio decimation (real decode -> keep every 2nd frame -> WAV
+    // re-encode -> real re-decode): the oracle re-derives kept-frame
+    // stats from the l22 generative formula at t*2, halved rate,
+    // ceil(n/2) frames — never touching WAV bytes.
+    QueryDef(
+      "l50_audio_decimate",
+      (s, d) => {
+        val media = Multimodal.syntheticAudio(Tables.documents(s, d), 200)
+        val resampled = Multimodal.decimateAudio(media, 2)
+          .select(col("media_id"), col("kind"),
+            col("payload_resampled").as("payload"))
+        Multimodal.extractFeatures(resampled)
+          .select(col("media_id"), col("channels"), col("sample_rate"),
+            col("n_frames"), col("duration_ms"),
+            round(col("mean_amp"), 6).as("mean_amp"), col("peak_abs"))
+      },
+      Some("""WITH auds AS (
+             |  SELECT doc_id AS media_id,
+             |         CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             |         CAST((8000 * (1 + doc_id % 3)) // 2 AS INTEGER) AS sample_rate,
+             |         CAST((40 + doc_id % 25 + 1) // 2 AS BIGINT) AS n_frames
+             |    FROM documents WHERE doc_id < 200),
+             |m AS (
+             |  SELECT media_id, channels, sample_rate, n_frames,
+             |         flatten(list_transform(generate_series(0, channels - 1), c ->
+             |           list_transform(generate_series(0, CAST(n_frames AS INTEGER) - 1), t ->
+             |             ((media_id * 7919 + c * 104729 + (t * 2) * 1299721) % 65536) - 32768))) AS s
+             |    FROM auds)
+             |SELECT media_id, channels, sample_rate, n_frames,
+             |       (n_frames * 1000) // sample_rate AS duration_ms,
+             |       ROUND(CAST(list_sum(s) AS DOUBLE) / (channels * n_frames), 6) AS mean_amp,
+             |       CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak_abs
              |  FROM m""".stripMargin))
   )
 }

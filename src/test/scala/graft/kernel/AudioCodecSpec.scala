@@ -68,4 +68,20 @@ class AudioCodecSpec extends AnyFunSuite {
     // either rejected or partial frames — must not throw, never a lie about frames
     d.foreach(x => assert(x.nFrames <= 100L))
   }
+
+  test("decimateWav keeps frames 0, N, 2N... and halves the declared rate") {
+    def s(c: Int, t: Int): Short = ((c * 1000 + t * 7) % 30000).toShort
+    val wav = AudioCodec.encodeWav(2, 16000, 9, s)
+    val out = AudioCodec.decimateWav(wav, 2).get
+    val dec = AudioCodec.decode(out).get
+    assert(dec.channels == 2 && dec.sampleRate == 8000)
+    assert(dec.nFrames == 5L) // ceil(9/2): t = 0,2,4,6,8
+    val expSum = (for (t <- Seq(0, 2, 4, 6, 8); c <- 0 to 1) yield s(c, t).toLong).sum
+    assert(dec.sumSamples == expSum)
+    // everyN=1 is an exact round-trip
+    val same = AudioCodec.decode(AudioCodec.decimateWav(wav, 1).get).get
+    assert(same.nFrames == 9L && same.sumSamples ==
+      AudioCodec.decode(wav).get.sumSamples)
+    assert(AudioCodec.decimateWav("nope".getBytes, 2).isEmpty)
+  }
 }
