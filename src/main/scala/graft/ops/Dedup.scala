@@ -403,6 +403,31 @@ object Dedup {
     best.unionByName(singles)
   }
 
+  /** Leakage-free train/eval split: assign documents to splits by the
+    * md5 bucket of their near-dup CLUSTER representative, not their
+    * own id — so a document and its near-duplicates can never land on
+    * opposite sides of the split (the train/test contamination that
+    * inflates eval numbers). Documents in no cluster hash on their
+    * own id; `trainPerMille` of the 1000-bucket space goes to train.
+    * Output: (id, component, split ∈ {"train", "eval"}).
+    *
+    * Scale shape: one left join of the corpus to the cluster table
+    * (cluster table ≪ corpus — only docs with a near-dup appear),
+    * then a map-side hash bucket. Composes with
+    * [[connectedComponents]] upstream and any writer downstream.
+    */
+  def leakageFreeSplit(docs: DataFrame, components: DataFrame,
+      idCol: String, trainPerMille: Int): DataFrame = {
+    require(trainPerMille >= 0 && trainPerMille <= 1000,
+      "trainPerMille must be in [0, 1000]")
+    docs.select(col(idCol).as("id"))
+      .join(components, Seq("id"), "left")
+      .withColumn("component", coalesce(col("component"), col("id")))
+      .withColumn("split",
+        when(Sampling.hashBucket(col("component").cast("string")) % 1000
+          < trainPerMille, "train").otherwise("eval"))
+  }
+
   /** Production incremental dedup of a NEW shard against an INDEXED
     * corpus on the fast FNV kernel hash family — the throughput twin
     * of [[minhashNewVsIndexExact]] (same pipeline shape; the exact

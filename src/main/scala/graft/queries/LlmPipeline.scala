@@ -1662,6 +1662,42 @@ object LlmPipeline {
              |       (n_frames * 1000) // sample_rate AS duration_ms,
              |       ROUND(CAST(list_sum(s) AS DOUBLE) / (channels * n_frames), 6) AS mean_amp,
              |       CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS peak_abs
-             |  FROM m""".stripMargin))
+             |  FROM m""".stripMargin)),
+
+    // Leakage-free train/eval split: split key = md5 bucket of the
+    // near-dup CLUSTER representative (l12's clusters), so duplicates
+    // never straddle the split. 900‰ to train. Oracle re-derives
+    // clusters, the coalesce, and the bucket rule.
+    QueryDef(
+      "l51_leakage_free_split",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = docs.select((col("doc_id") - 1).as("id_a"),
+          col("text").as("text_b"), col("doc_id").as("id_b"))
+        val pairs = a.join(b, "id_a")
+          .filter(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5) >= 0.2)
+          .select(col("id_a"), col("id_b"))
+        Dedup.leakageFreeSplit(docs, Dedup.connectedComponents(pairs),
+          "doc_id", trainPerMille = 900)
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
+              |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+              |SELECT d.doc_id AS id,
+              |       COALESCE(c.component, d.doc_id) AS component,
+              |       CASE WHEN COALESCE(CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
+              |                          % 10000, 0) % 1000 < 900
+              |            THEN 'train' ELSE 'eval' END AS split
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin))
   )
 }

@@ -237,6 +237,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("leakageFreeSplit keeps every cluster on one side of the split") {
+    import spark.implicits._
+    val docs = (0L to 99L).map(i => Tuple1(i)).toDF("doc_id")
+    // clusters {0..4} and {10,11}; everything else singleton
+    val comps = (Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (10L, 10L), (11L, 10L))).toDF("id", "component")
+    val out = Dedup.leakageFreeSplit(docs, comps, "doc_id", trainPerMille = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 100)
+    // cluster members share one split
+    for (cluster <- Seq(Set(0L, 1L, 2L, 3L, 4L), Set(10L, 11L)))
+      assert(out.filter(r => cluster(r._1)).map(_._3).toSet.size == 1)
+    // singletons got their own id as component, both splits populated
+    assert(out.filter(_._1 == 50L).head._2 == 50L)
+    assert(out.map(_._3).toSet == Set("train", "eval"))
+  }
+
   test("minhashNewVsIndex (fast kernel) agrees with the exact twin on planted dups") {
     import spark.implicits._
     val all = plantedDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
