@@ -130,6 +130,25 @@ object TextStats {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  private val nfcUdf = udf((text: String) =>
+    if (text == null) null
+    else java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC))
+
+  /** Unicode/whitespace canonicalization — the cleaning pass every
+    * pipeline runs before hashing or tokenizing (without it, NFC-vs-
+    * NFD twins of the same string dodge exact dedup): NFC
+    * normalization, control characters stripped (except \n and \t),
+    * space/tab runs collapsed to one space, outer whitespace trimmed.
+    * The regex steps are engine-portable patterns (the oracle runs
+    * the identical replacements on DuckDB's nfc_normalize); NFC
+    * itself is the JDK normalizer, spec-tested on combining-mark and
+    * compatibility cases.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcUdf(text), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   /** Composite quality report per document. */
   def qualityReport(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val en = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "with")

@@ -1698,6 +1698,30 @@ object LlmPipeline {
               |       CASE WHEN COALESCE(CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
               |                          % 10000, 0) % 1000 < 900
               |            THEN 'train' ELSE 'eval' END AS split
-              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin))
+              |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin)),
+
+    // Unicode/whitespace canonicalization over deterministically
+    // dirtied text (leading spaces, tab runs, a BEL control): both
+    // engines build the identical dirty string, normalize it (JDK NFC
+    // + portable regex steps vs DuckDB nfc_normalize + the same
+    // regexes), and compare the cleaned form exactly.
+    QueryDef(
+      "l52_text_normalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextStats.normalizeText(
+            concat(lit("  "), col("text"), lit("\t\t tail!")))
+            .as("norm_text"))
+        .withColumn("norm_len", length(col("norm_text")).cast("long")),
+      Some("""SELECT doc_id,
+             |       trim(regexp_replace(regexp_replace(
+             |           nfc_normalize('  ' || text || chr(9) || chr(9) || ' tail' || chr(7) || '!'),
+             |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |         '[ \t]+', ' ', 'g')) AS norm_text,
+             |       CAST(len(trim(regexp_replace(regexp_replace(
+             |           nfc_normalize('  ' || text || chr(9) || chr(9) || ' tail' || chr(7) || '!'),
+             |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             |         '[ \t]+', ' ', 'g'))) AS BIGINT) AS norm_len
+             |  FROM documents""".stripMargin))
   )
 }

@@ -66,4 +66,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(math.abs(rows(4) - (-(2.0 / 3) * math.log(2.0 / 3) / math.log(2)
       - (1.0 / 3) * math.log(1.0 / 3) / math.log(2))) < 1e-12)
   }
+
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301"   // e + combining acute (NFD spelling)
+    val composed = "caf\u00e9"      // precomposed (NFC spelling)
+    val rows = Seq(
+      (1L, s"  $decomposed\u0007\t\tbarbaz "),
+      (2L, "a \t b\nc"), // \n survives; space-tab runs collapse
+      (3L, composed))    // already composed: unchanged
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextStats.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(1L) == s"$composed barbaz") // composed, BEL gone, trimmed
+    assert(rows(2L) == "a b\nc")
+    assert(rows(3L) == composed)
+    // NFC makes the two spellings hash-identical (the dedup point)
+    assert(rows(1L).startsWith(rows(3L)))
+  }
 }
