@@ -360,11 +360,11 @@ object LlmPipeline {
           .select(col("id_a"), col("id_b"))
         Dedup.connectedComponents(pairs)
       },
-      Some(s"""WITH RECURSIVE pairs AS (
+      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
               |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
               |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT id_a AS src, id_b AS dst FROM pairs
               |  UNION SELECT id_b, id_a FROM pairs),
               |reach AS (
@@ -603,14 +603,14 @@ object LlmPipeline {
             coalesce(col("component"), col("vec_id")).as("component"),
             (coalesce(col("component"), col("vec_id")) === col("vec_id")).as("keep"))
       },
-      Some(s"""WITH RECURSIVE pairs AS (
+      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
               |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
               |    FROM embeddings a JOIN embeddings b
               |      ON a.label = b.label AND a.vec_id < b.vec_id
               |   WHERE ${duckDot("a.embedding", "b.embedding")} /
               |         (sqrt(${duckDot("a.embedding", "a.embedding")}) *
               |          sqrt(${duckDot("b.embedding", "b.embedding")})) >= 0.3),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT id_a AS src, id_b AS dst FROM pairs
               |  UNION SELECT id_b, id_a FROM pairs),
               |reach AS (
@@ -1535,18 +1535,18 @@ object LlmPipeline {
         Dedup.keepBest(docs, Dedup.connectedComponents(pairs),
           "doc_id", "n_chars")
       },
-      Some(s"""WITH RECURSIVE pairs AS (
+      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
               |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
               |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT id_a AS src, id_b AS dst FROM pairs
               |  UNION SELECT id_b, id_a FROM pairs),
               |reach AS (
               |  SELECT src AS id, src AS r FROM edges
               |  UNION
               |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
-              |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
               |scored AS (
               |  SELECT c.component, c.id, d.n_chars AS score
               |    FROM comp c JOIN documents d ON d.doc_id = c.id),
@@ -1681,18 +1681,18 @@ object LlmPipeline {
         Dedup.leakageFreeSplit(docs, Dedup.connectedComponents(pairs),
           "doc_id", trainPerMille = 900)
       },
-      Some(s"""WITH RECURSIVE pairs AS (
+      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
               |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
               |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
-              |edges AS (
+              |edges AS MATERIALIZED (
               |  SELECT id_a AS src, id_b AS dst FROM pairs
               |  UNION SELECT id_b, id_a FROM pairs),
               |reach AS (
               |  SELECT src AS id, src AS r FROM edges
               |  UNION
               |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
-              |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
               |SELECT d.doc_id AS id,
               |       COALESCE(c.component, d.doc_id) AS component,
               |       CASE WHEN COALESCE(CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1722,6 +1722,68 @@ object LlmPipeline {
              |           nfc_normalize('  ' || text || chr(9) || chr(9) || ' tail' || chr(7) || '!'),
              |           '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
              |         '[ \t]+', ' ', 'g'))) AS BIGINT) AS norm_len
-             |  FROM documents""".stripMargin))
+             |  FROM documents""".stripMargin)),
+
+    // Dedup-savings audit: ONE global row quantifying what near-dup
+    // canonicalization buys — docs and tokens before/after keep-best
+    // (l47's clusters, keep the longest). tokens = n_chars here
+    // (exact-integer proxy so the report is hash-exact). The oracle
+    // re-derives the clusters, the argmax keeps, and both totals.
+    QueryDef(
+      "l53_dedup_savings",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val a = docs.select(col("doc_id").as("id_a"), col("text").as("text_a"))
+        val b = docs.select((col("doc_id") - 1).as("id_a"),
+          col("text").as("text_b"), col("doc_id").as("id_b"))
+        val pairs = a.join(b, "id_a")
+          .filter(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5) >= 0.2)
+          .select(col("id_a"), col("id_b"))
+        val kept = Dedup.keepBest(docs, Dedup.connectedComponents(pairs),
+            "doc_id", "n_chars")
+          .select(col("keep_id").as("doc_id"))
+        val totals = docs.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars_total"))
+        val keptTotals = docs.join(kept, "doc_id")
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+        totals.crossJoin(keptTotals)
+          .select(col("n_docs"), col("n_kept"), col("chars_total"),
+            col("chars_kept"),
+            ((col("chars_total") - col("chars_kept")).cast("double")
+              / col("chars_total")).as("savings_frac"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
+              |edges AS MATERIALIZED (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+              |scored AS (
+              |  SELECT c.component, c.id, d.n_chars AS score
+              |    FROM comp c JOIN documents d ON d.doc_id = c.id),
+              |best AS (
+              |  SELECT component, MAX(score) AS best_score FROM scored GROUP BY component),
+              |sel AS (
+              |  SELECT b.component, MIN(s.id) AS keep_id
+              |    FROM best b JOIN scored s
+              |      ON s.component = b.component AND s.score = b.best_score
+              |   GROUP BY 1),
+              |keeps AS (
+              |  SELECT keep_id FROM sel
+              |  UNION ALL
+              |  SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)),
+              |t AS (SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_total
+              |        FROM documents),
+              |k AS (SELECT COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+              |        FROM keeps JOIN documents d ON d.doc_id = keeps.keep_id)
+              |SELECT t.n_docs, k.n_kept, t.chars_total, k.chars_kept,
+              |       CAST(t.chars_total - k.chars_kept AS DOUBLE) / t.chars_total AS savings_frac
+              |  FROM t, k""".stripMargin))
   )
 }
