@@ -135,13 +135,13 @@ object LlmPipeline {
       Some(s"""WITH base AS (
               |  SELECT doc_id AS id, text, ${duckShingles("text")} AS shs
               |    FROM documents WHERE length(text) >= 5),
-              |sig AS (
+              |sig AS MATERIALIZED (
               |  SELECT id, text,
               |         list_transform(generate_series(0, 63), j ->
               |           list_min(list_transform(shs, s1 ->
               |             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s1), 1, 15)) AS BIGINT)))) AS sig
               |    FROM base),
-              |banded AS (
+              |banded AS MATERIALIZED (
               |  SELECT id, text, b AS band,
               |         CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
               |             array_to_string(list_transform(sig[b*4+1 : b*4+4],
@@ -168,7 +168,7 @@ object LlmPipeline {
              |         list_transform(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
              |                                    x -> len(x) > 0), tk -> md5(tk)) AS ths
              |    FROM documents),
-             |bits AS (
+             |bits AS MATERIALIZED (
              |  SELECT id,
              |         list_transform(generate_series(0, 59), j ->
              |           CASE WHEN list_sum(list_transform(ths, m ->
@@ -176,7 +176,7 @@ object LlmPipeline {
              |                        // CAST(pow(2, j % 4) AS BIGINT)) % 2) - 1)) > 0
              |                THEN 1 ELSE 0 END) AS bits
              |    FROM t),
-             |banded AS (
+             |banded AS MATERIALIZED (
              |  SELECT id, bits, b AS band,
              |         CAST(list_sum(list_transform(generate_series(0, 11), jj ->
              |           bits[b*12 + jj + 1] * CAST(pow(2, jj) AS BIGINT))) AS BIGINT) AS band_bits
@@ -1294,13 +1294,13 @@ object LlmPipeline {
               |  SELECT doc_id AS id, text, ${duckShingles("text")} AS shs,
               |         COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) AS bkt
               |    FROM documents WHERE length(text) >= 5),
-              |sig AS (
+              |sig AS MATERIALIZED (
               |  SELECT id, bkt,
               |         list_transform(generate_series(0, 63), j ->
               |           list_min(list_transform(shs, s1 ->
               |             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s1), 1, 15)) AS BIGINT)))) AS sig
               |    FROM base),
-              |banded AS (
+              |banded AS MATERIALIZED (
               |  SELECT id, bkt, b AS band,
               |         CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
               |             array_to_string(list_transform(sig[b*4+1 : b*4+4],
@@ -1341,7 +1341,7 @@ object LlmPipeline {
              |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
              |                     x -> len(x) > 0) AS ts
              |    FROM documents),
-             |sig AS (
+             |sig AS MATERIALIZED (
              |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens,
              |         CASE WHEN len(ts) > 0
              |              THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) END
