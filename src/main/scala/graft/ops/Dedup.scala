@@ -309,39 +309,75 @@ object Dedup {
     // keep the one-shuffle shape (identical output either way).
     val pruneMin = BigInt(spark.conf.getOption("spark.graft.lsh.prune.minBytes")
       .map(_.toLong).getOrElse(256L << 20))
-    val bandedForVerify =
-      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < pruneMin) banded
+    // Degenerate-bucket skew split (triangle-join parallelization,
+    // EXACT — every pair still verified exactly once): a bucket of m
+    // members costs O(m²) in ONE task; above `cap` members the bucket
+    // is split into g = ceil(m/cap) sub-groups by id hash and each
+    // row is replicated to the g task-pairs containing its sub-group
+    // — task (i, j) verifies within-group pairs when i == j and
+    // cross-group pairs when i < j, so per-task work is bounded by
+    // ~cap² and a 100k-member pathological bucket spreads over
+    // ~g²/2 tasks instead of stalling one. Normal buckets take g = 1
+    // (task (0, 0) — exactly the path they always had). The bucket
+    // COUNTS come from the same aggregate the two-pass pruning
+    // already pays (one exchange, two consumers), so below the prune
+    // gate — where that ids-only pass would be a fresh re-shingling
+    // cost — small inputs skip the split entirely (a small input
+    // cannot hold a cap-sized bucket worth splitting anyway).
+    val cap = spark.conf.getOption("spark.graft.lsh.bucket.cap")
+      .map(_.toInt).getOrElse(2048)
+    val tasks =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes < pruneMin)
+        banded.select(col("band"), col("band_hash"),
+          lit(0).as("ti"), lit(0).as("tj"), col("id"), lit(0).as("sub"),
+          col("shs"))
       else {
-        val surviving = banded
+        val counts = banded
           .groupBy(col("band"), col("band_hash"))
           .agg(count(lit(1)).as("n"))
-          .filter(col("n") > 1)
+        val surviving = counts.filter(col("n") > 1)
           .select(col("band"), col("band_hash"))
+        val bigBuckets = counts.filter(col("n") > cap)
+          .select(col("band"), col("band_hash"),
+            ceil(col("n").cast("double") / cap).cast("int").as("g"))
         banded.join(surviving, Seq("band", "band_hash"))
-          .select(col("band"), col("band_hash"), col("id"), col("shs"))
+          .join(broadcast(bigBuckets), Seq("band", "band_hash"), "left")
+          .withColumn("g", coalesce(col("g"), lit(1)))
+          .withColumn("sub", pmod(hash(col("id")), col("g")))
+          .select(col("band"), col("band_hash"), col("id"), col("shs"),
+            col("sub"), explode(sequence(lit(0), col("g") - 1)).as("t"))
+          .select(col("band"), col("band_hash"),
+            least(col("sub"), col("t")).as("ti"),
+            greatest(col("sub"), col("t")).as("tj"),
+            col("id"), col("sub"), col("shs"))
       }
     val thr = threshold
-    bandedForVerify.as[(Int, Int, Long, Array[Int])]
-      .repartition(col("band"), col("band_hash"))
-      .sortWithinPartitions(col("band"), col("band_hash"))
+    tasks.as[(Int, Int, Int, Int, Long, Int, Array[Int])]
+      .repartition(col("band"), col("band_hash"), col("ti"), col("tj"))
+      .sortWithinPartitions(col("band"), col("band_hash"), col("ti"), col("tj"))
       .mapPartitions { iter =>
-        // stream sorted groups; per bucket, verify all pairs
-        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Int])]
+        // stream sorted task groups; per task, verify its pair share
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Int])]
         var curBand = Int.MinValue
         var curHash = Int.MinValue
+        var curTi = Int.MinValue
+        var curTj = Int.MinValue
         def flush(): Iterator[(Long, Long, Double)] = {
           if (members.length < 2) { members.clear(); Iterator.empty }
           else {
+            val cross = curTi != curTj // split task: cross-group pairs only
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             var i = 0
             while (i < members.length) {
               var j = i + 1
               while (j < members.length) {
-                val (ia, sa) = members(i)
-                val (ib, sb) = members(j)
-                val jac = TextKernel.jaccardSortedInt(sa, sb)
-                if (jac >= thr)
-                  out += ((math.min(ia, ib), math.max(ia, ib), jac))
+                val (ia, subA, sa) = members(i)
+                val (ib, subB, sb) = members(j)
+                if (!cross || subA != subB) {
+                  val jac = TextKernel.jaccardSortedInt(sa, sb)
+                  if (jac >= thr)
+                    out += ((math.min(ia, ib), math.max(ia, ib), jac))
+                }
                 j += 1
               }
               i += 1
@@ -351,14 +387,14 @@ object Dedup {
           }
         }
         (iter.map(Some(_)) ++ Iterator(None)).flatMap {
-          case Some((band, bandHash, id, shs)) =>
-            if (band != curBand || bandHash != curHash) {
+          case Some((band, bandHash, ti, tj, id, sub, shs)) =>
+            if (band != curBand || bandHash != curHash || ti != curTi || tj != curTj) {
               val emitted = flush()
-              curBand = band; curHash = bandHash
-              members += ((id, shs))
+              curBand = band; curHash = bandHash; curTi = ti; curTj = tj
+              members += ((id, sub, shs))
               emitted
             } else {
-              members += ((id, shs))
+              members += ((id, sub, shs))
               Iterator.empty
             }
           case None => flush()

@@ -48,6 +48,31 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.lsh.prune.minBytes")
   }
 
+  test("degenerate-bucket triangle split is output-identical and exact") {
+    import spark.implicits._
+    // 40 exact copies -> one 40-member bucket per band; with cap=8 the
+    // bucket splits into g=5 sub-groups across 15 task-pairs, and all
+    // C(40,2) = 780 pairs must still appear exactly once
+    val dups = (0 until 40).map(i => (i.toLong, "identical duplicated content here"))
+    val rest = (100 until 120).map(i => (i.toLong, s"unique text number $i nothing else"))
+    val docs = (dups ++ rest).toDF("doc_id", "text")
+    def run() = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 5, numHashes = 64, bands = 16, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val baseline = run().toSet // below the prune gate: no split path
+    assert(baseline.size == 40 * 39 / 2)
+    spark.conf.set("spark.graft.lsh.prune.minBytes", "0")
+    spark.conf.set("spark.graft.lsh.bucket.cap", "8")
+    try {
+      val split = run()
+      assert(split.length == split.toSet.size) // exactly once, never twice
+      assert(split.toSet == baseline)
+    } finally {
+      spark.conf.unset("spark.graft.lsh.prune.minBytes")
+      spark.conf.unset("spark.graft.lsh.bucket.cap")
+    }
+  }
+
   test("simhashPairs finds planted near-duplicates") {
     val pairs = Dedup.simhashPairs(plantedDocs, "doc_id", "text", maxHamming = 12)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
