@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus (Robertson/Spärck
+  * Jones probabilistic ranking, the Lucene-style `ln(1 + (N-df+0.5)/
+  * (df+0.5))` idf variant so scores are always non-negative).
+  *
+  * This is the keyword-side complement of [[Similarity]]'s embedding
+  * ANN: a training-data pipeline uses it for contamination hunting
+  * ("which corpus docs score high against eval-set queries"), targeted
+  * corpus audits, and hybrid (BM25 + cosine) retrieval.
+  *
+  * Scale shape (the 100 TB contract):
+  *  - the query set is tiny and BROADCAST everywhere it meets corpus
+  *    data; corpus postings are filtered map-side to the query
+  *    vocabulary BEFORE the only corpus-keyed shuffles, so shuffle
+  *    volume is O(matching postings), never O(corpus tokens);
+  *  - document frequency is a map-side-combinable `groupBy(term)` of
+  *    the vocab-filtered postings (one row per term per map partition
+  *    reaches the reducers — no per-term hot reducer, unlike a
+  *    `count(*) OVER (PARTITION BY term)` window, which would funnel
+  *    every posting of a common term into one task);
+  *  - per-query top-k rides the O(k)-state [[graft.functions.TopKAgg]]
+  *    so the final shuffle carries k rows per (query, partition).
+  *
+  * A one-shot [[bm25TopK]] pays three corpus passes (postings, doc
+  * frequency, corpus stats). A standing deployment tokenizes ONCE:
+  * [[bm25Index]] materializes the postings table (the inverted index
+  * in relational form — persist it partitioned/bucketed by term), and
+  * [[bm25TopKFromIndex]] serves queries from it without touching the
+  * raw text again — the same persist-once-serve-many contract as
+  * `Dedup.minhashIndex`.
+  */
+object Retrieval {
+
+  private def toks = udf((t: String) => graft.kernel.TextKernel.tokens(t))
+
+  /** Postings in relational form: one row per (doc, term) with the
+    * term frequency and the document's token length. `docs` needs
+    * (`idCol`, `textCol`). Tokenization is `TextKernel.tokens` (the
+    * repo-wide lowercase + `WsChars` whitespace split, shared with the
+    * quality/dedup ops so one tokenizer governs the whole pipeline).
+    */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+
+  /** BM25 top-k per query against a prebuilt postings index
+    * (schema of [[bm25Index]]). `queries` needs (query_id,
+    * query_text) and is assumed small (broadcast).
+    *
+    * Corpus stats (N, avgdl) are re-derived from the index via a
+    * `distinct(doc_id, dl)` — a map-side-combinable two-long-column
+    * pass over the persisted postings, no text re-tokenization. A
+    * deployment serving many query batches would persist that 1-row
+    * stats table alongside the index; it is kept inline here so the
+    * operator stays a pure function of its inputs.
+    */
+  def bm25TopKFromIndex(
+      postings: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qterms = queries
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(toks(col("query_text"))).as("term"))
+      .distinct()
+    val vocab = qterms.select("term").distinct()
+    // map-side posting filter: only query-vocabulary postings survive
+    // into any shuffle below
+    val tf = postings.join(broadcast(vocab), "term")
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKBy(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
+  /** One-shot BM25 top-k: tokenize, index, score in a single plan. */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25TopKFromIndex(bm25Index(docs, idCol, textCol), queries, k, k1, b)
+
+  /** Overlapping token-window chunking with provenance — the
+    * RAG/pretraining chunker: each document becomes
+    * `ceil(max(dl - chunk, 0) / stride) + 1` windows of up to `chunk`
+    * tokens starting every `stride` tokens. Output: (doc_id, chunk_id,
+    * start_tok, n_tok, chunk_text). Unlike `Packing.packSequences`
+    * (which concatenates documents into fixed training sequences),
+    * chunks here never cross document boundaries and OVERLAP by
+    * `chunk - stride` tokens, preserving retrieval context.
+    *
+    * Scale shape: pure map-side — tokenize, generate chunk ordinals
+    * with `sequence` + `posexplode`, slice; no shuffle at all, so it
+    * composes with any downstream partitioning (e.g. feed straight
+    * into [[bm25Index]] or an embedding UDF).
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunk: Int,
+      stride: Int): DataFrame = {
+    require(chunk > 0 && stride > 0 && stride <= chunk,
+      s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+    val nChunks = (ceil(greatest(col("dl") - chunk, lit(0)).cast("double") / stride)
+      + 1).cast("int")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), toks(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .filter(col("dl") > 0)
+      .select(col("doc_id"), col("dl"), col("toks"),
+        posexplode(sequence(lit(0), nChunks - 1)))
+      .select(
+        col("doc_id"),
+        col("col").cast("long").as("chunk_id"),
+        (col("col").cast("long") * stride).as("start_tok"),
+        least(lit(chunk).cast("long"), col("dl") - col("col") * stride).as("n_tok"),
+        concat_ws(" ",
+          slice(col("toks"), (col("col") * stride + 1).cast("int"), lit(chunk)))
+          .as("chunk_text"))
+  }
+}

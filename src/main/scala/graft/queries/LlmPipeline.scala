@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -1784,6 +1784,81 @@ object LlmPipeline {
               |        FROM keeps JOIN documents d ON d.doc_id = keeps.keep_id)
               |SELECT t.n_docs, k.n_kept, t.chars_total, k.chars_kept,
               |       CAST(t.chars_total - k.chars_kept AS DOUBLE) / t.chars_total AS savings_frac
-              |  FROM t, k""".stripMargin))
+              |  FROM t, k""".stripMargin)),
+
+    // BM25 keyword retrieval: 3 fixed queries, top-10 per query.
+    // The oracle re-derives the whole ranking function (Lucene-variant
+    // idf, k1=1.2 b=0.75 saturation) from the shared tokenizer — the
+    // literal arithmetic mirrors Retrieval.bm25TopKFromIndex's
+    // expression shapes so both engines execute the same IEEE ops.
+    QueryDef(
+      "l54_bm25_topk",
+      (s, d) => {
+        import s.implicits._
+        val q = Seq(
+          (0L, "spark window agg"),
+          (1L, "vector stream join"),
+          (2L, "customer query filter table"))
+          .toDF("query_id", "query_text")
+        Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text", q, 10)
+      },
+      Some(s"""WITH q(query_id, query_text) AS (
+             |  VALUES (0, 'spark window agg'), (1, 'vector stream join'),
+             |         (2, 'customer query filter table')),
+             |dt AS MATERIALIZED (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS toks
+             |    FROM documents),
+             |qt AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(list_filter(string_split_regex(lower(query_text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                            x -> len(x) > 0)) AS term
+             |    FROM q),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+             |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dt)
+             |   WHERE term IN (SELECT term FROM qt)
+             |   GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl
+             |            FROM dt WHERE len(toks) > 0),
+             |scored AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |         SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |             * (tf.tf * (1.2 + 1.0))
+             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS score
+             |    FROM tf JOIN qt USING (term) JOIN df USING (term), stats
+             |   GROUP BY 1, 2),
+             |r AS (SELECT query_id, doc_id, score,
+             |             row_number() OVER (PARTITION BY query_id
+             |                                ORDER BY score DESC, doc_id) AS rank
+             |        FROM scored)
+             |SELECT CAST(query_id AS BIGINT) AS query_id,
+             |       CAST(doc_id AS BIGINT) AS doc_id, score,
+             |       CAST(rank AS BIGINT) AS rank
+             |  FROM r WHERE rank <= 10""".stripMargin)),
+
+    // Overlapping token-window chunking (8-token windows every 5):
+    // map-side only, chunks never cross documents. The oracle slices
+    // the same token lists with DuckDB's 1-based inclusive list
+    // slicing.
+    QueryDef(
+      "l55_chunk_text",
+      (s, d) => Retrieval.chunkTokens(Tables.documents(s, d),
+        "doc_id", "text", chunk = 8, stride = 5),
+      Some(s"""WITH dt AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS toks
+             |    FROM documents),
+             |d2 AS (SELECT doc_id, toks, len(toks) AS dl FROM dt WHERE len(toks) > 0),
+             |c AS (SELECT doc_id, dl, toks,
+             |             unnest(range(CAST(ceil(greatest(dl - 8, 0) / 5.0) AS BIGINT) + 1)) AS chunk_id
+             |        FROM d2)
+             |SELECT doc_id, chunk_id, chunk_id * 5 AS start_tok,
+             |       least(8, dl - chunk_id * 5) AS n_tok,
+             |       array_to_string(toks[chunk_id * 5 + 1 : chunk_id * 5 + 8], ' ') AS chunk_text
+             |  FROM c""".stripMargin))
   )
 }

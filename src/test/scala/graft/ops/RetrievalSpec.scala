@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (0L, "alpha beta gamma alpha alpha"),       // tf(alpha)=3, dl=5
+      (1L, "alpha beta"),                         // short doc, tf(alpha)=1
+      (2L, "beta beta beta gamma delta epsilon"), // no alpha
+      (3L, "alpha " * 30 + "filler " * 30),       // long doc, tf(alpha)=30, dl=60
+      (4L, "zeta eta theta")                      // no query terms at all
+    ).toDF("doc_id", "text")
+  }
+
+  private def q(text: String) = {
+    import spark.implicits._
+    Seq((0L, text)).toDF("query_id", "query_text")
+  }
+
+  test("bm25: only docs containing a query term are returned, ranked, k-capped") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", q("alpha"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(out.length == 2)                    // k caps the 3 alpha docs
+    assert(out.map(_._2).sorted.sameElements(Array(1L, 2L)))
+    assert(!out.map(_._1).contains(2L) && !out.map(_._1).contains(4L))
+  }
+
+  test("bm25: saturation — tf 30 in a 60-token doc does not swamp tf 3 in a 5-token doc") {
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", q("alpha"), k = 3)
+      .collect().sortBy(_.getLong(3)).map(_.getLong(1))
+    // doc 0 (dense short doc) must beat doc 1 (tf=1); doc 3's raw tf
+    // advantage is damped by k1-saturation and its dl-penalty
+    assert(out.head == 0L || out.head == 3L)
+    assert(out.indexOf(0L) < out.indexOf(1L))
+  }
+
+  test("bm25: multi-term query sums per-term contributions; rarer term weighs more") {
+    // "delta" appears in 1 doc, "beta" in 3 — doc 2 holds both
+    val rows = Retrieval.bm25TopK(docs, "doc_id", "text", q("beta delta"), k = 5).collect()
+    // beta ∪ delta appears in docs 0, 1, 2 only
+    assert(rows.map(_.getLong(1)).toSet == Set(0L, 1L, 2L))
+    val ranked = rows.sortBy(_.getLong(3)).map(_.getLong(1))
+    assert(ranked.head == 2L, s"doc with the rare term must rank first, got ${ranked.toSeq}")
+  }
+
+  test("bm25: index form and one-shot form agree exactly") {
+    val idx = Retrieval.bm25Index(docs, "doc_id", "text")
+    val a = Retrieval.bm25TopKFromIndex(idx, q("alpha beta"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = Retrieval.bm25TopK(docs, "doc_id", "text", q("alpha beta"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("bm25: query-side joins are broadcast and postings filter precedes the score shuffle") {
+    val plan = Retrieval.bm25TopK(docs, "doc_id", "text", q("alpha beta"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in:\n$plan")
+  }
+
+  test("chunking: full coverage, correct overlap, chunks never cross documents") {
+    import spark.implicits._
+    val d = Seq((7L, (1 to 13).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Retrieval.chunkTokens(d, "doc_id", "text", chunk = 8, stride = 5)
+      .collect().sortBy(_.getLong(1))
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // dl=13: ceil((13-8)/5)+1 = 2 chunks
+    assert(out.length == 2)
+    assert(out(0) == ((0L, 0L, 8L, (1 to 8).map(i => s"t$i").mkString(" "))))
+    assert(out(1) == ((1L, 5L, 8L, (6 to 13).map(i => s"t$i").mkString(" "))))
+  }
+
+  test("chunking: short doc yields exactly one whole-doc chunk; empty doc yields none") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "   ")).toDF("doc_id", "text")
+    val out = Retrieval.chunkTokens(d, "doc_id", "text", chunk = 8, stride = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 0L && r.getLong(3) == 3L
+      && r.getString(4) == "a b c")
+  }
+
+  test("chunking is map-side only: no exchange in the plan") {
+    val plan = Retrieval.chunkTokens(docs, "doc_id", "text", 8, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunker must not shuffle:\n$plan")
+  }
+}
