@@ -84,6 +84,44 @@ object ImageCodec {
       (x2, y2) => img.getRGB((x2 * w) / w2, (y2 * h) / h2) & 0xffffff))
   }
 
+  /** 56-bit perceptual difference hash (dHash): nearest-sample the
+    * image onto a 9×7 grid (the same `(x2·w)/W` floor-division
+    * convention as [[resizeNearestPng]]), reduce each cell to integer
+    * luma `(299r + 587g + 114b) / 1000`, and set bit `x·7 + y` when
+    * the right neighbor is strictly brighter. 8×7 = 56 bits keeps the
+    * hash in a non-negative signed 64-bit range, so external engines
+    * can band/XOR it without unsigned-overflow traps. Every step is
+    * integer arithmetic — an oracle that knows the generative pixel
+    * formula re-derives the exact hash without ever seeing the bytes
+    * (how l56 pins the real decode path). None when the payload is
+    * not a decodable image.
+    */
+  def dHash56(bytes: Array[Byte]): Option[Long] = {
+    if (!looksLikeImage(bytes)) return None
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    def luma(x2: Int, y2: Int): Int = {
+      val rgb = img.getRGB((x2 * w) / 9, (y2 * h) / 7)
+      (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+        + 114 * (rgb & 0xff)) / 1000
+    }
+    var hash = 0L
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 7) {
+        if (luma(x + 1, y) > luma(x, y)) hash |= 1L << (x * 7 + y)
+        y += 1
+      }
+      x += 1
+    }
+    Some(hash)
+  }
+
   /** Encode an RGB pixel function to PNG bytes (lossless — decode
     * returns exactly these pixels). Used by the l21 fixture generator
     * and tests; real pipelines bring their own image bytes.

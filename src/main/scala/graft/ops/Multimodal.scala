@@ -143,8 +143,18 @@ object Multimodal {
     * encode (here) + decode (ImageCodec in extractFeatures). PNG is
     * lossless, so the two must agree exactly.
     */
-  def syntheticImages(docs: DataFrame, limit: Long): DataFrame = {
-    val mk = udf((id: Long) => {
+  def syntheticImages(docs: DataFrame, limit: Long): DataFrame =
+    syntheticImages(docs, limit, contentMod = 0L)
+
+  /** As [[syntheticImages]], but with `contentMod > 0` the pixel
+    * CONTENT is a function of `media_id % contentMod` while media_id
+    * stays unique — i.e. the fixture plants exact duplicate images
+    * under distinct ids, which is what the perceptual-dedup query
+    * (l56) needs a ground truth for.
+    */
+  def syntheticImages(docs: DataFrame, limit: Long, contentMod: Long): DataFrame = {
+    val mk = udf((id0: Long) => {
+      val id = if (contentMod > 0) id0 % contentMod else id0
       val w = (2 + id % 7).toInt
       val h = (2 + id % 5).toInt
       graft.kernel.ImageCodec.encodePng(w, h, (x, y) => {
@@ -213,4 +223,45 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame_b64")
       .filter(col("frame_no") % everyN === 0 && length(col("frame_b64")) > 0)
+
+  /** Perceptual hash per image row via the REAL decode path
+    * (`ImageCodec.dHash56`): (media_id, dhash). Non-decodable
+    * payloads are dropped (they have no perceptual content to hash;
+    * byte-level dedup covers them). Map-only.
+    */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val dh = udf((p: Array[Byte]) => graft.kernel.ImageCodec.dHash56(p))
+    media.select(col("media_id"), dh(col("payload")).as("dhash"))
+      .filter(col("dhash").isNotNull)
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash56, banded into
+    * 4×14-bit buckets (pigeonhole: any pair within Hamming distance
+    * ≤ 3 shares at least one band), verified by the exact popcount of
+    * the XOR. Output (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Scale shape — identical to `Dedup.simhashPairs`: candidates form
+    * only inside (band, band_bits) buckets, so the corpus is never
+    * all-pairs joined; the per-image state that moves through the
+    * shuffle is one 8-byte hash. At 100 TB of images the decode+hash
+    * is the map-side cost and this join is O(bucket collisions).
+    */
+  def dhashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = imageDHash(media).select(col("media_id").as("id"), col("dhash"))
+    val keys = sigs.select(col("id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 14).bitwiseAND(lit(0x3fffL))): _*)))
+      .select(col("pos").as("band"), col("col").as("band_bits"),
+        col("id"), col("dhash"))
+    keys.select(col("band"), col("band_bits"), col("id").as("id_a"),
+        col("dhash").as("h_a"))
+      .join(keys.select(col("band"), col("band_bits"), col("id").as("id_b"),
+        col("dhash").as("h_b")), Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
 }

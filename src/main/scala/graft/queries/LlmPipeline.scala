@@ -1859,6 +1859,46 @@ object LlmPipeline {
              |SELECT doc_id, chunk_id, chunk_id * 5 AS start_tok,
              |       least(8, dl - chunk_id * 5) AS n_tok,
              |       array_to_string(toks[chunk_id * 5 + 1 : chunk_id * 5 + 8], ' ') AS chunk_text
-             |  FROM c""".stripMargin))
+             |  FROM c""".stripMargin)),
+
+    // Perceptual image dedup through the REAL decode path: the
+    // fixture plants exact-duplicate pixel content under distinct
+    // media ids (content key = id % 80), the Spark side dHash-es the
+    // DECODED PNGs and finds near-dup pairs via banded Hamming LSH,
+    // and the oracle re-derives every 56-bit hash from the generative
+    // pixel formula in pure integer SQL — DuckDB never sees a PNG, so
+    // any decoder/sampling/luma defect breaks the hash compare. The
+    // oracle verifies ALL pairs O(n²); 4×14-bit bands guarantee recall
+    // at Hamming ≤ 3 (pigeonhole), so the two pair sets are equal by
+    // construction, not by luck.
+    QueryDef(
+      "l56_image_dhash_dedup",
+      (s, d) => {
+        val media = Multimodal.syntheticImages(
+          Tables.documents(s, d), 200, contentMod = 80)
+        Multimodal.dhashNearDupPairs(media, maxHamming = 3)
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id AS media_id, doc_id % 80 AS cid,
+             |         2 + (doc_id % 80) % 7 AS w, 2 + (doc_id % 80) % 5 AS h
+             |    FROM documents WHERE doc_id < 200),
+             |hsh AS (
+             |  SELECT media_id,
+             |         CAST(list_sum(flatten(list_transform(generate_series(0, 7), x2 ->
+             |           list_transform(generate_series(0, 6), y2 ->
+             |             CASE WHEN
+             |               (299 * ((cid * 7 + (((x2 + 1) * w) // 9) * 13 + ((y2 * h) // 7) * 31) % 256)
+             |                + 587 * ((cid * 11 + (((x2 + 1) * w) // 9) * 17 + ((y2 * h) // 7) * 5) % 256)
+             |                + 114 * ((cid * 3 + (((x2 + 1) * w) // 9) * 29 + ((y2 * h) // 7) * 23) % 256)) // 1000
+             |               >
+             |               (299 * ((cid * 7 + ((x2 * w) // 9) * 13 + ((y2 * h) // 7) * 31) % 256)
+             |                + 587 * ((cid * 11 + ((x2 * w) // 9) * 17 + ((y2 * h) // 7) * 5) % 256)
+             |                + 114 * ((cid * 3 + ((x2 * w) // 9) * 29 + ((y2 * h) // 7) * 23) % 256)) // 1000
+             |             THEN CAST(1 AS BIGINT) << (x2 * 7 + y2) ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS dhash
+             |    FROM g)
+             |SELECT a.media_id AS id_a, b.media_id AS id_b,
+             |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+             |  FROM hsh a JOIN hsh b ON b.media_id > a.media_id
+             | WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin))
   )
 }

@@ -75,4 +75,31 @@ class ImageCodecSpec extends AnyFunSuite {
     // non-image payloads refuse politely
     assert(ImageCodec.resizeNearestPng("nope".getBytes, 2, 2).isEmpty)
   }
+
+  test("dHash56: matches a hand-rolled reference over the same mapping/luma") {
+    val w = 5; val h = 4
+    def px(x: Int, y: Int): Int =
+      (((x * 41 + y * 67) % 256) << 16) | (((x * 89 + y * 13) % 256) << 8) | ((x * 7 + y * 29) % 256)
+    val bytes = ImageCodec.encodePng(w, h, px)
+    def luma(x2: Int, y2: Int): Int = {
+      val p = px((x2 * w) / 9, (y2 * h) / 7)
+      (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+    }
+    var expect = 0L
+    for (x <- 0 until 8; y <- 0 until 7)
+      if (luma(x + 1, y) > luma(x, y)) expect |= 1L << (x * 7 + y)
+    assert(ImageCodec.dHash56(bytes).get == expect)
+    // 56 bits: always non-negative in a signed long
+    assert(ImageCodec.dHash56(bytes).get >= 0L)
+  }
+
+  test("dHash56: identical pixels hash equal; a brightness ramp flip changes it; non-images refuse") {
+    val a = ImageCodec.encodePng(6, 6, (x, _) => (x * 40) << 16 | (x * 40) << 8 | (x * 40))
+    val b = ImageCodec.encodePng(6, 6, (x, _) => { val v = (5 - x) * 40; (v << 16) | (v << 8) | v })
+    val ha = ImageCodec.dHash56(a).get
+    val hb = ImageCodec.dHash56(b).get
+    assert(ha == ImageCodec.dHash56(a).get)
+    assert(ha != hb, "reversed ramp must flip comparison bits")
+    assert(ImageCodec.dHash56("not an image".getBytes).isEmpty)
+  }
 }

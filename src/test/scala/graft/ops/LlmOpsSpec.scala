@@ -316,4 +316,28 @@ class LlmOpsSpec extends AnyFunSuite {
     // new-vs-new pairs must NOT appear: 100..104 match only index ids
     assert(out.values.forall(_._3 < 100L))
   }
+
+  test("image dHash near-dup: planted duplicate pixel content pairs up at Hamming 0") {
+    import spark.implicits._
+    // 3 distinct pixel contents, each planted under 2-3 media ids; one
+    // non-decodable payload must be ignored, not fail the pipeline
+    def img(seed: Long): Array[Byte] =
+      graft.kernel.ImageCodec.encodePng(8, 6, (x, y) =>
+        (((seed * 31 + x * 57 + y * 17) % 256).toInt << 16) |
+        (((seed * 13 + x * 7 + y * 43) % 256).toInt << 8) |
+        ((seed * 5 + x * 23 + y * 3) % 256).toInt)
+    val media = Seq(
+      (0L, "image", img(1)), (1L, "image", img(2)), (2L, "image", img(1)),
+      (3L, "image", img(3)), (4L, "image", img(2)), (5L, "image", img(1)),
+      (6L, "image", "not an image".getBytes)
+    ).toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.dhashNearDupPairs(media, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // content img(1): ids {0,2,5} -> 3 pairs; img(2): ids {1,4} -> 1 pair
+    assert(pairs.contains((0L, 2L, 0L)) && pairs.contains((0L, 5L, 0L))
+      && pairs.contains((2L, 5L, 0L)) && pairs.contains((1L, 4L, 0L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), "undecodable payload leaked in")
+    // distinct contents must not collide at Hamming 0 on an 8x6 ramp family
+    assert(!pairs.exists(p => Set(3L).contains(p._1) || Set(3L).contains(p._2)))
+  }
 }
