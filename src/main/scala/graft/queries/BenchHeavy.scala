@@ -265,6 +265,30 @@ object BenchHeavy {
             "doc_id", "text")))
         graft.ops.Dedup.minhashNewVsPrebuiltIndex(
           docs.filter(bkt >= 9000), index, "doc_id", "text", threshold = 0.4)
+      }),
+
+    // BM25 retrieval throughput: a 16-query batch served from a
+    // PERSISTED postings index over the amplified corpus (the
+    // tokenize-once artifact production keeps — same contract as
+    // x08's minhash index), measuring what a standing keyword-search
+    // deployment pays per batch: map-side vocab filter, posting
+    // score, O(k)-state top-k. l54 is the correctness twin.
+    QueryDef(
+      "x09_bm25_topk",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        val postings = s.read.parquet(cachedDir(d, s"bm25idx_x$f")(
+          graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")))
+        val queries = s.range(16).select(col("id").as("query_id"),
+          concat(lit("spark window agg stream "),
+            (col("id") % 4).cast("string"),
+            lit(" customer vector filter table join")).as("query_text"))
+        graft.ops.Retrieval.bm25TopKFromIndex(postings, queries, k = 20)
       })
   )
 }
