@@ -109,6 +109,38 @@ object Retrieval {
       b: Double = 0.75): DataFrame =
     bm25TopKFromIndex(bm25Index(docs, idCol, textCol), queries, k, k1, b)
 
+  /** Reciprocal Rank Fusion over per-query ranked lists — the
+    * standard hybrid-retrieval combiner (BM25 ∪ embedding-cosine):
+    * each system contributes `1/(c + rank)` for every (query, doc) it
+    * ranked; fused score = the sum, top-k under (score DESC, doc_id).
+    * Rank-based fusion needs no score calibration between systems,
+    * which is why it is the robust default for keyword+vector hybrid.
+    *
+    * Each input needs (query_id, doc_id, rank). With two systems the
+    * fused sum has at most two addends, so IEEE addition is exact and
+    * engine-order-independent — an external oracle reproduces scores
+    * bit-for-bit. Scale shape: inputs are already top-k lists
+    * (O(k · queries) rows), so the fuse is a trivially small
+    * hash aggregate; the heavy lifting happened inside the systems
+    * being fused, each with its own scale-correct plan.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val unioned = rankings
+      .map(_.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank")))
+      .reduce(_ union _)
+    unioned
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(lit(1.0) / (lit(c) + col("rank"))).as("rrf"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKBy(col("rrf"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("rrf"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Overlapping token-window chunking with provenance — the
     * RAG/pretraining chunker: each document becomes
     * `ceil(max(dl - chunk, 0) / stride) + 1` windows of up to `chunk`

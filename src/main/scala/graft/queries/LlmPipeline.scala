@@ -1899,6 +1899,91 @@ object LlmPipeline {
              |SELECT a.media_id AS id_a, b.media_id AS id_b,
              |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
              |  FROM hsh a JOIN hsh b ON b.media_id > a.media_id
-             | WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin))
+             | WHERE bit_count(xor(a.dhash, b.dhash)) <= 3""".stripMargin)),
+
+    // Hybrid retrieval: BM25 keyword top-30 fused with brute-force
+    // cosine top-30 by Reciprocal Rank Fusion (c=60), final top-10.
+    // Both constituent rankings are integer-rank lists the oracle
+    // already re-derives exactly (l54's BM25, l05's cosine), and the
+    // two-addend RRF sum is IEEE-exact, so the fused scores hash-match
+    // bit-for-bit. Query ids pair a text query with the same-id
+    // embedding (documents and embeddings share the id space).
+    QueryDef(
+      "l57_hybrid_rrf",
+      (s, d) => {
+        import s.implicits._
+        val qtext = Seq(
+          (0L, "spark window agg"),
+          (1L, "vector stream join"),
+          (2L, "customer query filter table"),
+          (3L, "merge batch line sort"),
+          (4L, "hash group data column"))
+          .toDF("query_id", "query_text")
+        val emb = Tables.embeddings(s, d)
+        val bm = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+            qtext, 30)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val cos = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 30)
+          .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(bm, cos), k = 10)
+      },
+      Some(s"""WITH q(query_id, query_text) AS (
+             |  VALUES (0, 'spark window agg'), (1, 'vector stream join'),
+             |         (2, 'customer query filter table'),
+             |         (3, 'merge batch line sort'), (4, 'hash group data column')),
+             |dt AS MATERIALIZED (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS toks
+             |    FROM documents),
+             |qt AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(list_filter(string_split_regex(lower(query_text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                            x -> len(x) > 0)) AS term
+             |    FROM q),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+             |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dt)
+             |   WHERE term IN (SELECT term FROM qt)
+             |   GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl
+             |            FROM dt WHERE len(toks) > 0),
+             |bm_scored AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |         SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |             * (tf.tf * (1.2 + 1.0))
+             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS score
+             |    FROM tf JOIN qt USING (term) JOIN df USING (term), stats
+             |   GROUP BY 1, 2),
+             |bm_r AS (SELECT query_id, doc_id,
+             |                row_number() OVER (PARTITION BY query_id
+             |                                   ORDER BY score DESC, doc_id) AS rank
+             |           FROM bm_scored),
+             |cos_pairs AS MATERIALIZED (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+             |         ${duckDot("c.embedding", "q.embedding")} /
+             |           (sqrt(${duckDot("c.embedding", "c.embedding")}) *
+             |            sqrt(${duckDot("q.embedding", "q.embedding")})) AS cos
+             |    FROM embeddings c, embeddings q
+             |   WHERE q.vec_id < 5 AND c.vec_id != q.vec_id),
+             |cos_r AS (SELECT query_id, doc_id,
+             |                 row_number() OVER (PARTITION BY query_id
+             |                                    ORDER BY cos DESC, doc_id) AS rank
+             |            FROM cos_pairs),
+             |u AS (SELECT query_id, doc_id, rank FROM bm_r WHERE rank <= 30
+             |      UNION ALL
+             |      SELECT query_id, doc_id, rank FROM cos_r WHERE rank <= 30),
+             |sc AS (SELECT query_id, doc_id,
+             |              SUM(CAST(1 AS DOUBLE) / (60 + rank)) AS rrf
+             |         FROM u GROUP BY 1, 2),
+             |f AS (SELECT query_id, doc_id, rrf,
+             |             row_number() OVER (PARTITION BY query_id
+             |                                ORDER BY rrf DESC, doc_id) AS rank
+             |        FROM sc)
+             |SELECT CAST(query_id AS BIGINT) AS query_id,
+             |       CAST(doc_id AS BIGINT) AS doc_id, rrf,
+             |       CAST(rank AS BIGINT) AS rank
+             |  FROM f WHERE rank <= 10""".stripMargin))
   )
 }

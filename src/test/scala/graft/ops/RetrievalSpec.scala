@@ -86,6 +86,21 @@ class RetrievalSpec extends AnyFunSuite {
       && r.getString(4) == "a b c")
   }
 
+  test("rrf fusion: consensus docs outrank single-system docs; c damps rank gaps") {
+    import spark.implicits._
+    // system A ranks docs 1,2,3; system B ranks 3,4,5 — doc 3 is the
+    // only consensus doc and must win despite rank 3 in A and 1 in B
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 3L, 1L), (0L, 4L, 2L), (0L, 5L, 3L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), k = 5)
+      .collect().sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.head._1 == 3L)
+    assert(math.abs(out.head._2 - (1.0 / 63 + 1.0 / 61)) < 1e-15)
+    // singletons order by their 1/(60+rank): doc 1 (1/61), then docs
+    // 2 and 4 tie at 1/62 and break deterministically by doc_id
+    assert(out.map(_._1).toSeq == Seq(3L, 1L, 2L, 4L, 5L))
+  }
+
   test("chunking is map-side only: no exchange in the plan") {
     val plan = Retrieval.chunkTokens(docs, "doc_id", "text", 8, 5)
       .queryExecution.executedPlan.toString
