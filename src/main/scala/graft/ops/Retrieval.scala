@@ -141,6 +141,40 @@ object Retrieval {
         col("col.score").as("rrf"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Hard-negative mining for retrieval-model training: for each
+    * (query, positive-doc) pair, the top BM25 hits that are NOT the
+    * labeled positives — the classic contrastive-training negatives
+    * (high lexical overlap, wrong answer). `positives` needs
+    * (query_id, doc_id); output (query_id, doc_id, score, rank) with
+    * rank re-numbered 1..k over the surviving negatives.
+    *
+    * Scale shape: mine with a k-budget of `k + positives-per-query`
+    * (caller-tuned via `overfetch`) so the anti-join never forces a
+    * re-query; the anti join is a broadcast of the (tiny) positives
+    * label set; re-ranking is per-query over ≤ overfetch rows.
+    */
+  def hardNegatives(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      positives: DataFrame,
+      k: Int,
+      overfetch: Int = 8,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val mined = bm25TopK(docs, idCol, textCol, queries, k + overfetch, k1, b)
+    val pos = positives.select(col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"))
+    mined
+      .join(broadcast(pos), Seq("query_id", "doc_id"), "left_anti")
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKBy(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** Overlapping token-window chunking with provenance — the
     * RAG/pretraining chunker: each document becomes
     * `ceil(max(dl - chunk, 0) / stride) + 1` windows of up to `chunk`

@@ -289,6 +289,31 @@ object BenchHeavy {
             (col("id") % 4).cast("string"),
             lit(" customer vector filter table join")).as("query_text"))
         graft.ops.Retrieval.bm25TopKFromIndex(postings, queries, k = 20)
+      }),
+
+    // Multimodal decode throughput: dHash every image payload of a
+    // PERSISTED 50k-image media table (real javax.imageio decode per
+    // row — the map-side cost that dominates any 100 TB image-dedup
+    // pass) and aggregate hash groups. Deliberately NOT the pair join:
+    // the synthetic fixtures are 2–8 px, so their hash space is tiny
+    // and a 50k-image LSH would bench a pathological collision
+    // cluster, not decode throughput (the pair path is l56's job at
+    // oracle scale, and real-resolution corpora do not share hashes
+    // 20k ways). l56 is the correctness twin.
+    QueryDef(
+      "x10_image_dhash",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        val media = s.read.parquet(cachedDir(d, s"imgmedia_x$f")(
+          graft.ops.Multimodal.syntheticImages(docs, Long.MaxValue,
+            contentMod = 20000)))
+        graft.ops.Multimodal.imageDHash(media)
+          .groupBy(col("dhash")).agg(count(lit(1)).as("n"))
       })
   )
 }

@@ -1984,6 +1984,75 @@ object LlmPipeline {
              |SELECT CAST(query_id AS BIGINT) AS query_id,
              |       CAST(doc_id AS BIGINT) AS doc_id, rrf,
              |       CAST(rank AS BIGINT) AS rank
-             |  FROM f WHERE rank <= 10""".stripMargin))
+             |  FROM f WHERE rank <= 10""".stripMargin)),
+
+    // Hard-negative mining: top BM25 hits minus the labeled positives,
+    // re-ranked 1..k — the contrastive-training negatives op. The
+    // oracle mirrors the two-stage shape exactly (overfetch cut, then
+    // anti-join, then re-rank) so boundary ties resolve identically.
+    QueryDef(
+      "l58_hard_negatives",
+      (s, d) => {
+        import s.implicits._
+        val qtext = Seq(
+          (0L, "spark window agg"),
+          (1L, "vector stream join"),
+          (2L, "customer query filter table"))
+          .toDF("query_id", "query_text")
+        val positives = Seq(
+          (0L, 0L), (0L, 1L), (1L, 3L), (1L, 4L), (2L, 6L), (2L, 7L))
+          .toDF("query_id", "doc_id")
+        Retrieval.hardNegatives(Tables.documents(s, d), "doc_id", "text",
+          qtext, positives, k = 8, overfetch = 4)
+      },
+      Some(s"""WITH q(query_id, query_text) AS (
+             |  VALUES (0, 'spark window agg'), (1, 'vector stream join'),
+             |         (2, 'customer query filter table')),
+             |pos(query_id, doc_id) AS (
+             |  VALUES (0, 0), (0, 1), (1, 3), (1, 4), (2, 6), (2, 7)),
+             |dt AS MATERIALIZED (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS toks
+             |    FROM documents),
+             |qt AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(list_filter(string_split_regex(lower(query_text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                            x -> len(x) > 0)) AS term
+             |    FROM q),
+             |tf AS MATERIALIZED (
+             |  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+             |    FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM dt)
+             |   WHERE term IN (SELECT term FROM qt)
+             |   GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl
+             |            FROM dt WHERE len(toks) > 0),
+             |scored AS (
+             |  SELECT qt.query_id, tf.doc_id,
+             |         SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |             * (tf.tf * (1.2 + 1.0))
+             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS score
+             |    FROM tf JOIN qt USING (term) JOIN df USING (term), stats
+             |   GROUP BY 1, 2),
+             |mined AS (
+             |  SELECT query_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, doc_id) AS rank
+             |    FROM scored),
+             |neg AS (
+             |  SELECT m.query_id, m.doc_id, m.score
+             |    FROM mined m
+             |    LEFT JOIN pos p ON p.query_id = m.query_id AND p.doc_id = m.doc_id
+             |   WHERE m.rank <= 12 AND p.query_id IS NULL),
+             |rr AS (
+             |  SELECT query_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, doc_id) AS rank
+             |    FROM neg)
+             |SELECT CAST(query_id AS BIGINT) AS query_id,
+             |       CAST(doc_id AS BIGINT) AS doc_id, score,
+             |       CAST(rank AS BIGINT) AS rank
+             |  FROM rr WHERE rank <= 8""".stripMargin))
   )
 }

@@ -86,6 +86,19 @@ class RetrievalSpec extends AnyFunSuite {
       && r.getString(4) == "a b c")
   }
 
+  test("hard negatives: labeled positives never surface; ranks renumber densely") {
+    import spark.implicits._
+    val qdf = q("alpha")
+    val pos = Seq((0L, 0L)).toDF("query_id", "doc_id") // doc 0 is the labeled answer
+    val out = Retrieval.hardNegatives(docs, "doc_id", "text", qdf, pos,
+        k = 2, overfetch = 2)
+      .collect().sortBy(_.getLong(3)).map(r => (r.getLong(1), r.getLong(3)))
+    assert(!out.map(_._1).contains(0L), "positive leaked into negatives")
+    assert(out.map(_._2).toSeq == (1L to out.length).toSeq, "ranks must be dense from 1")
+    // alpha docs are {0,1,3}; with 0 removed the negatives are from {1,3}
+    assert(out.map(_._1).toSet.subsetOf(Set(1L, 3L)) && out.nonEmpty)
+  }
+
   test("rrf fusion: consensus docs outrank single-system docs; c damps rank gaps") {
     import spark.implicits._
     // system A ranks docs 1,2,3; system B ranks 3,4,5 — doc 3 is the
