@@ -32,4 +32,62 @@ object ScalableOps {
     spark.createDataFrame(indexed,
       StructType(sorted.schema.fields :+ StructField(rnCol, LongType, nullable = false)))
   }
+
+  /** Backward as-of join (the reference engine's `ASOF LEFT JOIN ...
+    * ON l.key = r.key AND l.time >= r.time`): each left row picks up
+    * the payload of the LATEST right row at-or-before its timestamp
+    * within the key group; unmatched left rows keep null payload.
+    *
+    * Scale shape — the union/carry-forward form, NOT a per-row range
+    * probe: both sides are tagged and unioned, ONE shuffle partitions
+    * by key, one within-partition sort by (time, side) orders right
+    * rows before the left rows they serve, and a running
+    * `last_value(payload, ignoreNulls)` carries the latest right
+    * payload forward. Cost is one exchange + one sort over |L|+|R| —
+    * the same shape a 1000-executor time-series backfill uses; no
+    * key's data ever leaves its task after the shuffle, and per-key
+    * state is one payload struct.
+    *
+    * `right`'s non-key, non-time columns become the carried payload
+    * and must not collide with left column names (pre-rename them —
+    * the a41 registration shows the pattern). Right rows whose
+    * payload struct is entirely null still count as matches (the
+    * struct itself is non-null); equal timestamps on the two sides
+    * match (>= semantics), and equal timestamps WITHIN the right side
+    * are resolved by the later row in (time, side, payload-struct)
+    * sort order — callers needing a total order there should include
+    * a tiebreaker column in the payload.
+    */
+  def asofJoinBackward(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val payloadCols = rhs.columns.filterNot(c =>
+      keys.contains(c) || c == rightTime).toSeq
+    require(payloadCols.nonEmpty, "right side needs payload columns")
+    val collide = payloadCols.filter(lhs.columns.contains)
+    require(collide.isEmpty, s"right payload collides with left: $collide")
+    val leftCols = lhs.columns.toSeq
+    val rTagged = rhs.select(
+      keys.map(col) ++ Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__p"))
+        ++ leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(lhs.schema(c).dataType).as(c)): _*)
+    val lTagged = lhs.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+        lit(null).cast(rTagged.schema("__p").dataType).as("__p"))
+        ++ leftCols.filterNot(keys.contains).map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rTagged.unionByName(lTagged)
+      .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__carried.$c").as(c)): _*)
+  }
 }

@@ -360,6 +360,38 @@ object LayerA2 {
              |       MIN(o_totalprice) AS min_price,
              |       MAX(o_totalprice) AS max_price,
              |       COUNT(*) AS n
-             |  FROM orders""".stripMargin))
+             |  FROM orders""".stripMargin)),
+
+    // A41 (beyond the §2A inventory): backward ASOF LEFT JOIN — the
+    // reference engine's native `ASOF LEFT JOIN ... ON l.k = r.k AND
+    // l.ts >= r.ts` (each click picks up the latest at-or-before error
+    // for its user). Spark has no ASOF operator; the implementation is
+    // the one-shuffle union/carry-forward form (ScalableOps), not a
+    // per-row range probe. The oracle is DuckDB's ASOF JOIN itself, so
+    // the semantics are pinned against the reference engine directly.
+    QueryDef(
+      "a41_asof_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("__rt"),
+            col("ts").as("err_ts"), col("event_id").as("err_id"),
+            col("value").as("err_value"))
+        graft.ops.ScalableOps.asofJoinBackward(
+          clicks, errors, Seq("user_id"), "ts", "__rt")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |   WHERE event_type = 'click'),
+             |errors AS (
+             |  SELECT user_id, ts AS err_ts, event_id AS err_id,
+             |         value AS err_value
+             |    FROM events WHERE event_type = 'error')
+             |SELECT c.event_id, c.user_id, c.ts, c.value,
+             |       e.err_ts, e.err_id, e.err_value
+             |  FROM clicks c ASOF LEFT JOIN errors e
+             |    ON c.user_id = e.user_id AND c.ts >= e.err_ts""".stripMargin))
   )
 }
