@@ -90,4 +90,46 @@ object ScalableOps {
       .select(leftCols.map(col) ++
         payloadCols.map(c => col(s"__carried.$c").as(c)): _*)
   }
+
+  /** Binned interval (range) join: inner-join `points` (one numeric
+    * timestamp each) to `intervals` ([start, end], both inclusive)
+    * within key groups — the containment join the reference engine
+    * plans with its inequality-join optimizer and Spark would
+    * otherwise execute as a broadcast-nested-loop scan.
+    *
+    * Scale shape: both sides map their time onto `binWidth`-sized bins
+    * (intervals explode onto every bin they overlap), the join is a
+    * plain hash equi-join on (keys, bin), and exact containment is a
+    * post-filter. Cost: |points| + |intervals| · (len/binWidth + 1)
+    * rows through one hash shuffle — pick binWidth near the typical
+    * interval length so the explode factor stays ~2 and each bin's
+    * population bounds the per-task verify. No nested loop, no
+    * cartesian, AQE-skew-splittable like any equi-join.
+    *
+    * Time columns must be integral (epoch micros, positions, ...);
+    * interval and point column names must not collide (keys excepted).
+    */
+  def rangeJoinBinned(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(binWidth > 0, "binWidth must be positive")
+    val collide = intervals.columns.filterNot(keys.contains)
+      .filter(points.columns.contains)
+    require(collide.isEmpty, s"interval columns collide with points: ${collide.toSeq}")
+    // integer `div` keeps binning exact at epoch-micro magnitudes
+    // (double floor() would be fine below 2^53 but div is exact, full stop)
+    val iBinned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"$startCol div $binWidth"),
+        expr(s"$endCol div $binWidth"))))
+    val pBinned = points.withColumn("__bin", expr(s"$pointTime div $binWidth"))
+    iBinned.join(pBinned, keys :+ "__bin")
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
+      .drop("__bin")
+  }
 }

@@ -392,6 +392,93 @@ object LayerA2 {
              |SELECT c.event_id, c.user_id, c.ts, c.value,
              |       e.err_ts, e.err_id, e.err_value
              |  FROM clicks c ASOF LEFT JOIN errors e
-             |    ON c.user_id = e.user_id AND c.ts >= e.err_ts""".stripMargin))
+             |    ON c.user_id = e.user_id AND c.ts >= e.err_ts""".stripMargin)),
+
+    // A42 (beyond the inventory): interval containment join — clicks
+    // within 5 minutes after each error, zero-filled counts. The
+    // reference engine plans `BETWEEN start AND end` with its
+    // inequality-join optimizer; Spark would nested-loop it, so the
+    // implementation is the binned equi-join (ScalableOps
+    // .rangeJoinBinned: explode intervals onto 5-minute bins, hash
+    // join on (user, bin), exact containment post-filter).
+    QueryDef(
+      "a42_range_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("c_us"))
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            unix_micros(col("ts").cast("timestamp")).as("start_us"),
+            (unix_micros(col("ts").cast("timestamp")) + 300000000L).as("end_us"))
+        val joined = graft.ops.ScalableOps.rangeJoinBinned(
+          clicks, errs, Seq("user_id"), "c_us", "start_us", "end_us",
+          binWidth = 300000000L)
+        errs.select("err_id")
+          .join(joined.groupBy(col("err_id")).agg(count(lit(1)).as("n")),
+            Seq("err_id"), "left")
+          .select(col("err_id"), coalesce(col("n"), lit(0L)).as("n_clicks"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT user_id, epoch_us(ts) AS c_us FROM events
+             |   WHERE event_type = 'click'),
+             |errs AS (
+             |  SELECT user_id, event_id AS err_id, epoch_us(ts) AS start_us,
+             |         epoch_us(ts) + 300000000 AS end_us
+             |    FROM events WHERE event_type = 'error')
+             |SELECT e.err_id, COUNT(c.c_us) AS n_clicks
+             |  FROM errs e LEFT JOIN clicks c
+             |    ON c.user_id = e.user_id
+             |   AND c.c_us BETWEEN e.start_us AND e.end_us
+             | GROUP BY 1""".stripMargin)),
+
+    // A43 (beyond the inventory): PIVOT — per-user event-type counts
+    // as columns. Spark's relational pivot with an EXPLICIT value list
+    // (deterministic output schema, no discovery scan); missing combos
+    // zero-filled to match the oracle's conditional aggregation.
+    QueryDef(
+      "a43_pivot",
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .pivot("event_type",
+            Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+        p.select(col("user_id") +:
+          Seq("click", "error", "purchase", "signup", "view")
+            .map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      },
+      Some("""SELECT user_id,
+             |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+             |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+             |  FROM events GROUP BY user_id""".stripMargin)),
+
+    // A44 (beyond the inventory): time-based RANGE window frame — per
+    // user, the moving 10-minute sum of `value`, exact-cents so the
+    // running double sum can't drift off the oracle's. RANGE frames
+    // over an epoch-micros ORDER BY are the portable spelling of the
+    // reference's `RANGE BETWEEN INTERVAL ...` windows.
+    QueryDef(
+      "a44_time_range_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-600000000L, 0L)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"), LayerA1.cents("value").as("cents"))
+          .withColumn("mov_value",
+            (sum(col("cents")).over(w) / 100.0))
+          .select(col("event_id"), col("user_id"), col("us"), col("mov_value"))
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS us,
+             |       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+             |         PARTITION BY user_id ORDER BY epoch_us(ts)
+             |         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+             |       ) AS DOUBLE) / 100.0 AS mov_value
+             |  FROM events""".stripMargin))
   )
 }

@@ -51,6 +51,22 @@ class ScalableOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"no join operator expected:\n$plan")
   }
 
+  test("range join binned: inclusive bounds, multi-bin intervals, no duplicate pairs") {
+    import spark.implicits._
+    val pts = Seq(("a", 10L, 1L), ("a", 25L, 2L), ("a", 30L, 3L),
+      ("a", 31L, 4L), ("b", 25L, 5L)).toDF("key", "t", "pid")
+    // interval [10, 30] spans bins 1..3 at binWidth=10; [100,100] empty-match
+    val ivs = Seq(("a", 10L, 30L, 100L), ("b", 100L, 100L, 200L))
+      .toDF("key", "s", "e", "iid")
+    val out = ScalableOps.rangeJoinBinned(pts, ivs, Seq("key"), "t", "s", "e", 10L)
+      .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both bounds inclusive: t=10 and t=30 match; t=31 does not; key b point
+    // is outside its interval; exactly one row per matching pair
+    assert(out == Set((100L, 1L), (100L, 2L), (100L, 3L)))
+    val n = ScalableOps.rangeJoinBinned(pts, ivs, Seq("key"), "t", "s", "e", 10L).count()
+    assert(n == 3L, "pairs must appear exactly once despite multi-bin intervals")
+  }
+
   test("asof backward: colliding payload names are rejected up front") {
     val (lhs, rhs) = sides
     val bad = rhs.withColumnRenamed("tag", "value")
