@@ -479,6 +479,42 @@ object LayerA2 {
              |         PARTITION BY user_id ORDER BY epoch_us(ts)
              |         RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
              |       ) AS DOUBLE) / 100.0 AS mov_value
-             |  FROM events""".stripMargin))
+             |  FROM events""".stripMargin)),
+
+    // A45 (beyond the inventory): ordered group list aggregation —
+    // string_agg with ORDER BY and a sorted distinct list. Spark's
+    // collect_list is order-nondeterministic by contract, so the
+    // deterministic spelling is collect → sort_array(struct) →
+    // transform, which both engines then agree on exactly.
+    QueryDef(
+      "a45_group_lists",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 200)
+          .groupBy(col("l_orderkey"))
+          .agg(
+            concat_ws(",",
+              transform(
+                sort_array(collect_list(struct(
+                  col("l_linenumber").as("o"), col("l_returnflag").as("v")))),
+                x => x("v"))).as("flags_csv"),
+            sort_array(collect_set(col("l_returnflag"))).as("flag_set")),
+      Some("""SELECT l_orderkey,
+             |       string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag) AS flags_csv,
+             |       list_sort(list_distinct(list(l_returnflag))) AS flag_set
+             |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY 1""".stripMargin)),
+
+    // A46 (beyond the inventory): CUBE — all grouping-set combinations
+    // (a37 covers ROLLUP's prefix sets). Exact-cents sums as always.
+    QueryDef(
+      "a46_cube",
+      (s, d) =>
+        Tables.orders(s, d)
+          .cube(col("o_orderpriority"), col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"),
+            (sum(cents("o_totalprice")).cast("double") / 100.0).as("total")),
+      Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+             |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
+             |  FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin))
   )
 }
