@@ -43,6 +43,19 @@ object Amplify {
       col("lang"), col("source"), col("n_chars"))
   }
 
+  /** n user-disjoint replicas of the events relation: each replica is
+    * a fresh user universe (user_id/event_id shifted), timestamps kept
+    * — so key-partitioned time-series operators (asof, range join,
+    * sessions) see n× the users with the same per-user time density,
+    * which is how real event volume grows.
+    */
+  def events(df: DataFrame, n: Int): DataFrame =
+    df.crossJoin(reps(df, n)).select(
+      (col("event_id") + col("rep") * KeyOffset).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("rep") * KeyOffset).as("user_id"),
+      col("event_type"), col("value"), col("props"))
+
   /** n rotation-disjoint replicas of the embeddings relation. */
   def embeddings(df: DataFrame, n: Int): DataFrame = {
     val dim = size(col("embedding"))
