@@ -515,6 +515,41 @@ object LayerA2 {
             (sum(cents("o_totalprice")).cast("double") / 100.0).as("total")),
       Some("""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
              |       CAST(SUM(CAST(ROUND(o_totalprice*100,0) AS BIGINT)) AS DOUBLE) / 100.0 AS total
-             |  FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin))
+             |  FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)""".stripMargin)),
+
+    // A47 (beyond the inventory): UNPIVOT/melt — wide per-part numeric
+    // columns to (part, metric, value) long form. Spark's native
+    // unpivot operator vs DuckDB's UNPIVOT.
+    QueryDef(
+      "a47_unpivot",
+      (s, d) =>
+        Tables.part(s, d)
+          .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+            col("p_retailprice").as("retailprice"))
+          .unpivot(Array(col("p_partkey")),
+            Array(col("size"), col("retailprice")), "metric", "val"),
+      Some("""SELECT p_partkey, metric, val FROM (
+             |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+             |         p_retailprice AS retailprice FROM part)
+             |UNPIVOT (val FOR metric IN (size, retailprice))""".stripMargin)),
+
+    // A48 (beyond the inventory): correlated scalar subquery —
+    // Catalyst decorrelates it into an aggregate + left join (the same
+    // rewrite the reference's flattening optimizer applies), so the
+    // declarative form stays scale-safe.
+    QueryDef(
+      "a48_correlated_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("a48_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("a48_lineitem")
+        s.sql("""SELECT o_orderkey,
+                |       (SELECT COUNT(*) FROM a48_lineitem l
+                |         WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+                |  FROM a48_orders o WHERE o_orderkey <= 1000""".stripMargin)
+      },
+      Some("""SELECT o_orderkey,
+             |       (SELECT COUNT(*) FROM lineitem l
+             |         WHERE l.l_orderkey = o.o_orderkey) AS n_lines
+             |  FROM orders o WHERE o_orderkey <= 1000""".stripMargin))
   )
 }
