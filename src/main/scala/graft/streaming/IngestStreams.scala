@@ -71,4 +71,62 @@ object IngestStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("new_id", "matched_id")
   }
+
+  /** Streaming as-of enrichment against a VERSIONED static dimension —
+    * the streaming twin of `ScalableOps.asofJoinBackward`: each
+    * arriving row picks up the dimension version in effect at its
+    * event time (greatest `dimTimeCol` ≤ its `timeCol` per key);
+    * rows before any version keep null dimension columns.
+    *
+    * Fully STATELESS: a broadcast (key → sorted version-times) lookup
+    * resolves the effective version map-side, then a stream-static
+    * broadcast left join on (key, version-time) attaches the dimension
+    * payload generically — no streaming aggregation, no state store,
+    * so it composes with any downstream watermark/window. The
+    * dimension must be driver-collectable (it is a dimension — the
+    * SCD2 contract; ~millions of versions fit comfortably). Time
+    * columns must be integral (epoch micros, versions...) — cast
+    * timestamps with `unix_micros` first; dimension payload names
+    * must not collide with stream columns (keys excepted).
+    */
+  def asofEnrichStatic(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      dimTimeCol: String): DataFrame = {
+    val spark = dim.sparkSession
+    val collide = dim.columns.filterNot(c => c == keyCol || c == dimTimeCol)
+      .filter(stream.columns.contains)
+    require(collide.isEmpty, s"dim columns collide with stream: ${collide.toSeq}")
+    val versionTimes: Map[Long, Array[Long]] = dim
+      .select(col(keyCol).cast("long"), col(dimTimeCol).cast("long"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rows) => k -> rows.map(_.getLong(1)).sorted }
+    val bc = spark.sparkContext.broadcast(versionTimes)
+    val pick = udf((k: Long, t: Long) => {
+      val arr = bc.value.getOrElse(k, Array.emptyLongArray)
+      // greatest version time <= t (binary search over the sorted arr)
+      var lo = 0
+      var hi = arr.length - 1
+      var res = Long.MinValue
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) <= t) { res = arr(mid); lo = mid + 1 } else hi = mid - 1
+      }
+      if (res == Long.MinValue) None else Some(res)
+    })
+    stream
+      .withColumn("__dim_t",
+        pick(col(keyCol).cast("long"), col(timeCol).cast("long")))
+      .join(
+        broadcast(dim
+          .withColumnRenamed(keyCol, "__dk")
+          .withColumnRenamed(dimTimeCol, "__dt")),
+        col(keyCol).cast("long") === col("__dk").cast("long")
+          && col("__dim_t") === col("__dt").cast("long"),
+        "left")
+      .drop("__dim_t", "__dk", "__dt")
+  }
 }

@@ -99,4 +99,32 @@ class IngestStreamsSpec extends AnyFunSuite {
     assert(rows.count(_ == ((4L, 10L))) == 1)
     assert(rows.length == 2)
   }
+
+  test("streaming asof enrichment: each event gets the dimension version in effect") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // versioned dimension: key 1 has versions at t=10 and t=20; key 2 at t=50
+    val dim = Seq((1L, 10L, "v1a"), (1L, 20L, "v1b"), (2L, 50L, "v2a"))
+      .toDF("key", "vt", "cfg")
+    val input = MemoryStream[(Long, Long, Double)]
+    val stream = input.toDF().toDF("key", "t", "x")
+    val query = IngestStreams.asofEnrichStatic(stream, dim, "key", "t", "vt")
+      .writeStream.format("memory").queryName("graft_asof_enrich")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, 5L, 0.1),  // before any version -> null cfg
+        (1L, 10L, 0.2), // exactly at v1a (>= semantics)
+        (1L, 15L, 0.3), // between versions -> v1a
+        (1L, 99L, 0.4), // after both -> v1b
+        (2L, 49L, 0.5), // before key 2's only version -> null
+        (3L, 99L, 0.6)) // key with no dimension at all -> null
+      query.processAllAvailable()
+      val got = spark.sql("SELECT t, key, cfg FROM graft_asof_enrich")
+        .collect().map(r => (r.getLong(1), r.getLong(0)) -> Option(r.getString(2))).toMap
+      assert(got == Map(
+        (1L, 5L) -> None, (1L, 10L) -> Some("v1a"), (1L, 15L) -> Some("v1a"),
+        (1L, 99L) -> Some("v1b"), (2L, 49L) -> None, (3L, 99L) -> None))
+    } finally query.stop()
+  }
 }
