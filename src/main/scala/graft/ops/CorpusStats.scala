@@ -238,4 +238,31 @@ object CorpusStats {
         col("n_total").cast("double") / col("corpus_tokens"))
       .drop("corpus_tokens")
   }
+
+  /** Generation-over-generation corpus diff: per-doc status between a
+    * previous and a current corpus snapshot — `added` (new id),
+    * `removed` (id gone), `changed` (same id, different content
+    * hash), `unchanged`. The audit a pipeline runs before swapping a
+    * training corpus generation live.
+    *
+    * Scale shape: content is reduced to an md5 map-side, so the full
+    * outer join shuffles (id, 32-byte hash) per side — never text —
+    * and partitions by id like any equi-join; AQE handles skew.
+    */
+  def corpusDiff(
+      prev: DataFrame,
+      cur: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val p = prev.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol).cast("binary")).as("h_prev"))
+    val c = cur.select(col(idCol).cast("long").as("doc_id"),
+      md5(col(textCol).cast("binary")).as("h_cur"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prev").isNull, lit("added"))
+          .when(col("h_cur").isNull, lit("removed"))
+          .when(col("h_prev") === col("h_cur"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -2053,6 +2053,38 @@ object LlmPipeline {
              |SELECT CAST(query_id AS BIGINT) AS query_id,
              |       CAST(doc_id AS BIGINT) AS doc_id, score,
              |       CAST(rank AS BIGINT) AS rank
-             |  FROM rr WHERE rank <= 8""".stripMargin))
+             |  FROM rr WHERE rank <= 8""".stripMargin)),
+
+    // Generation-over-generation corpus diff: the previous generation
+    // is derived deterministically from documents (every 10th doc
+    // absent -> 'added' now; every 7th doc's text suffixed ->
+    // 'changed'; 100 extra ids -> 'removed'), so both engines build
+    // identical snapshots and the md5-based status must hash-match.
+    QueryDef(
+      "l59_corpus_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val prev = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        CorpusStats.corpusDiff(prev, docs, "doc_id", "text")
+      },
+      Some("""WITH prev AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+             |    FROM documents WHERE doc_id % 10 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+             |p AS (SELECT doc_id, md5(text) AS h FROM prev),
+             |c AS (SELECT doc_id, md5(text) AS h FROM documents)
+             |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+             |       CASE WHEN p.doc_id IS NULL THEN 'added'
+             |            WHEN c.doc_id IS NULL THEN 'removed'
+             |            WHEN p.h = c.h THEN 'unchanged'
+             |            ELSE 'changed' END AS status
+             |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id""".stripMargin))
   )
 }
