@@ -550,6 +550,48 @@ object LayerA2 {
       Some("""SELECT o_orderkey,
              |       (SELECT COUNT(*) FROM lineitem l
              |         WHERE l.l_orderkey = o.o_orderkey) AS n_lines
-             |  FROM orders o WHERE o_orderkey <= 1000""".stripMargin))
+             |  FROM orders o WHERE o_orderkey <= 1000""".stripMargin)),
+
+    // A49 (beyond the inventory): the TPC-H Q5 shape — a 5-table join
+    // (two fact-sized, three dims) with discounted-revenue rollup.
+    // The two dims broadcast (nation/region are tiny by schema), the
+    // fact-fact join shuffles on orderkey, and revenue is summed in
+    // exact 1e-4 units (cents × discount-hundredths) so the double
+    // division at the end is the ONLY float op — hash-stable vs the
+    // oracle regardless of either engine's join/agg order.
+    QueryDef(
+      "a49_q5_shape",
+      (s, d) => {
+        val rev = (cents("l_extendedprice") *
+          (lit(100L) - cents("l_discount"))).as("rev4")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), rev)
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .select(col("r_regionkey"), col("r_name"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg((sum(col("rev4")).cast("double") / 10000.0).as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name, n_name,
+             |       CAST(SUM(CAST(ROUND(l_extendedprice*100,0) AS BIGINT)
+             |                * (100 - CAST(ROUND(l_discount*100,0) AS BIGINT))) AS DOUBLE)
+             |         / 10000.0 AS revenue,
+             |       COUNT(*) AS n_items
+             |  FROM lineitem
+             |  JOIN orders   ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation   ON c_nationkey = n_nationkey
+             |  JOIN region   ON n_regionkey = r_regionkey
+             | GROUP BY 1, 2""".stripMargin))
   )
 }
