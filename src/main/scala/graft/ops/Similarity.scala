@@ -170,18 +170,47 @@ object Similarity {
         val n = cents.length
         if (n == 0 || emb.length != cents(0).length) null
         else {
-          val negdot = new Array[Double](n)
+          // Bounded O(n·p) selection under (negdot asc, list_id asc) —
+          // NOT a full sort: assignment (p=1) is a pure argmax and the
+          // probe path keeps a p-element insertion buffer. The old
+          // `Array.range(0,n).sortBy(tuple)` allocated and sorted n
+          // boxed tuples PER VECTOR, which at production nLists turned
+          // assignment from dot-bound into alloc/sort-bound — 2.1 ms
+          // per vector at nLists=1408 vs ~0.1 ms for the dots
+          // (tools/IvfScaleProbe, 2M×1408: 13 min → see SCALE.md).
+          // Strict `<` on insertion keeps equal-negdot order by the
+          // ascending scan index, so ties resolve exactly as the old
+          // (negdot, i) sort did — output-identical.
+          val e = emb.toArray
+          val p = math.min(nProbe, n)
+          val bestIdx = new Array[Int](p)
+          val bestNeg = new Array[Double](p)
+          var filled = 0
           var l = 0
           while (l < n) {
             val c = cents(l)
             var s = 0.0
             var i = 0
-            while (i < c.length) { s += emb(i).toDouble * c(i); i += 1 }
-            negdot(l) = -s
+            while (i < c.length) { s += e(i) * c(i); i += 1 }
+            val neg = -s
+            if (filled < p) {
+              var pos = filled
+              while (pos > 0 && neg < bestNeg(pos - 1)) {
+                bestNeg(pos) = bestNeg(pos - 1); bestIdx(pos) = bestIdx(pos - 1)
+                pos -= 1
+              }
+              bestNeg(pos) = neg; bestIdx(pos) = l; filled += 1
+            } else if (neg < bestNeg(p - 1)) {
+              var pos = p - 1
+              while (pos > 0 && neg < bestNeg(pos - 1)) {
+                bestNeg(pos) = bestNeg(pos - 1); bestIdx(pos) = bestIdx(pos - 1)
+                pos -= 1
+              }
+              bestNeg(pos) = neg; bestIdx(pos) = l
+            }
             l += 1
           }
-          val idx = Array.range(0, n).sortBy(i => (negdot(i), i))
-          idx.take(math.min(nProbe, n))
+          if (filled == p) bestIdx else java.util.Arrays.copyOf(bestIdx, filled)
         }
       })
 
