@@ -281,13 +281,48 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4,
       iters: Int = 3): DataFrame = {
+    val (indexed, cents) = ivfAssign(corpus, dim, nLists, iters)
+    ivfTopKFromAssigned(indexed, cents, queries, k, nProbe)
+  }
+
+  /** One-time IVF index build: train the coarse quantizer and assign
+    * every corpus vector to its nearest list. The returned DataFrame
+    * (vec_id, embedding, nrm, list_id) is the artifact a standing
+    * deployment PERSISTS — bucketed/partitioned by `list_id` at rest —
+    * together with the (tiny) centroid model; serving then never pays
+    * the corpus-wide assignment pass again, and a probe touching
+    * nProbe/nLists of the lists reads only those buckets' files. Same
+    * persist-once contract as `Dedup.minhashIndex` / `Retrieval
+    * .bm25Index`.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      dim: Int,
+      nLists: Int = 16,
+      iters: Int = 3): (DataFrame, Array[Array[Double]]) = {
     val cents = ivfCentroids(corpus, dim, nLists, iters)
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
     val assign = nearestListsUdf(bc, 1)
-    val probe = nearestListsUdf(bc, nProbe)
     val indexed = corpus.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       element_at(assign(col("embedding")), 1).as("list_id"))
+    (indexed, cents)
+  }
+
+  /** Serve IVF top-k from a prebuilt assignment (schema of
+    * [[ivfAssign]]): queries probe their nProbe nearest lists, exact
+    * cosine within them, O(k)-state per-query top-k. The corpus side
+    * is never shuffled — the probe set is broadcast and the only
+    * exchange is the k-rows-per-partition top-k aggregate.
+    */
+  def ivfTopKFromAssigned(
+      indexed: DataFrame,
+      cents: Array[Array[Double]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val bc = indexed.sparkSession.sparkContext.broadcast(cents)
+    val probe = nearestListsUdf(bc, nProbe)
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),
         norm(col("embedding")).as("qnrm"))

@@ -178,6 +178,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ivfFull == exact)
   }
 
+  test("ivf index split: serving from a persisted assignment agrees with one-shot; corpus never shuffles") {
+    val emb = plantedVectors
+    val qs = emb.filter(col("vec_id") < 8)
+    val (indexed, cents) = Similarity.ivfAssign(emb, dim = 16, nLists = 6, iters = 2)
+    // round-trip through parquet: what a deployment actually serves from
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    indexed.write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    val served = Similarity.ivfTopKFromAssigned(persisted, cents, qs, k = 5, nProbe = 6)
+    val oneShot = Similarity.ivfTopK(emb, qs, dim = 16, k = 5, nLists = 6,
+      nProbe = 6, iters = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(canon(served) == canon(oneShot) && canon(served).nonEmpty)
+    // serving plan: the probe set broadcasts; the only exchange is the
+    // k-rows-per-partition top-k aggregate — the corpus side is map-only
+    // (with AQE the post-execution plan wraps the one top-k exchange
+    // in a query stage, so the raw collect can see 0 — either way the
+    // corpus-side join must contribute none)
+    val shuffles = served.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.length <= 1,
+      s"expected at most the top-k exchange:\n${served.queryExecution.executedPlan}")
+    assert(served.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "probe set must broadcast-join the corpus")
+  }
+
   test("ivfTopK partial probing: planted dup found at rank 1, recall@5 is high") {
     val emb = plantedVectors
     val qs = emb.filter(col("vec_id") >= 100)
