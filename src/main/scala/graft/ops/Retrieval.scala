@@ -72,16 +72,27 @@ object Retrieval {
       .select(col("query_id").cast("long").as("query_id"),
         explode(toks(col("query_text"))).as("term"))
       .distinct()
+    // Size-gate the query-side broadcasts (the IvfScaleProbe lesson:
+    // scale every dimension the deployment scales). A serving batch is
+    // tiny and broadcasts; but when the "query set" is itself a corpus
+    // — contamination hunting an entire eval suite — forcing a multi-GB
+    // broadcast would OOM the driver, so large query sets fall through
+    // to plain term-keyed shuffle joins (the postings are already
+    // flowing through a term shuffle; AQE still broadcasts if runtime
+    // stats allow).
+    val qSmall = queries.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
+    def qSide(df: DataFrame): DataFrame = if (qSmall) broadcast(df) else df
     val vocab = qterms.select("term").distinct()
     // map-side posting filter: only query-vocabulary postings survive
     // into any shuffle below
-    val tf = postings.join(broadcast(vocab), "term")
+    val tf = postings.join(qSide(vocab), "term")
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = postings.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val scored = tf
-      .join(broadcast(qterms), "term")
-      .join(broadcast(docFreq), "term")
+      .join(qSide(qterms), "term")
+      // docFreq has query-vocab cardinality — rides the same gate
+      .join(qSide(docFreq), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
