@@ -177,8 +177,12 @@ object Retrieval {
     val mined = bm25TopK(docs, idCol, textCol, queries, k + overfetch, k1, b)
     val pos = positives.select(col("query_id").cast("long").as("query_id"),
       col("doc_id").cast("long").as("doc_id"))
+    // labels scale with the query set — same gate as the bm25 query side
+    val posSmall =
+      positives.queryExecution.optimizedPlan.stats.sizeInBytes < (64L << 20)
     mined
-      .join(broadcast(pos), Seq("query_id", "doc_id"), "left_anti")
+      .join(if (posSmall) broadcast(pos) else pos,
+        Seq("query_id", "doc_id"), "left_anti")
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topKBy(col("score"), col("doc_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
