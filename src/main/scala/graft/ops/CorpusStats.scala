@@ -24,7 +24,9 @@ object CorpusStats {
 
   private val ngramsUdf = udf((text: String, n: Int) =>
     TextKernel.wordNgrams(text, n))
-  private val tokensUdf = udf((text: String) => TextKernel.tokens(text))
+  // codegen'd tokenizer (same TextKernel contract, null text → null
+  // array instead of an NPE); the explode below drops null-text rows
+  private def tokensCol(text: org.apache.spark.sql.Column) = TextCols.toks(text)
 
   /** (doc_id, ngram): per-document DISTINCT word n-grams. */
   private def docGrams(docs: DataFrame, idCol: String, textCol: String,
@@ -228,7 +230,7 @@ object CorpusStats {
     */
   def vocabStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(tokensUdf(col(textCol))).as("word"))
+      explode(tokensCol(col(textCol))).as("word"))
     val counts = toks.groupBy(col("word"))
       .agg(count(lit(1)).as("n_total"),
         count_distinct(col("doc_id")).as("n_docs"))
@@ -254,15 +256,19 @@ object CorpusStats {
       cur: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
+    // presence is tracked by explicit markers, NOT hash nullity — a
+    // doc with NULL text hashes to NULL and would otherwise
+    // misclassify as added/removed; the null-safe <=> keeps two NULL
+    // texts 'unchanged'
     val p = prev.select(col(idCol).cast("long").as("doc_id"),
-      md5(col(textCol).cast("binary")).as("h_prev"))
+      md5(col(textCol).cast("binary")).as("h_prev"), lit(1).as("in_prev"))
     val c = cur.select(col(idCol).cast("long").as("doc_id"),
-      md5(col(textCol).cast("binary")).as("h_cur"))
+      md5(col(textCol).cast("binary")).as("h_cur"), lit(1).as("in_cur"))
     p.join(c, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h_prev").isNull, lit("added"))
-          .when(col("h_cur").isNull, lit("removed"))
-          .when(col("h_prev") === col("h_cur"), lit("unchanged"))
+        when(col("in_prev").isNull, lit("added"))
+          .when(col("in_cur").isNull, lit("removed"))
+          .when(col("h_prev") <=> col("h_cur"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

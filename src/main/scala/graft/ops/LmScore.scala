@@ -47,8 +47,7 @@ object LmScore {
   /** [[TextKernel.tokens]] as a native column expression (same
     * whitespace class, same lowercasing) — codegen'd, no UDF.
     */
-  private def toksCol(text: Column): Column =
-    filter(split(lower(text), TextKernel.WsPlus), t => t =!= "")
+  private def toksCol(text: Column): Column = TextCols.toks(text)
 
   /** (prev, w) transition structs of a document, native form. */
   private def transCol(text: Column): Column = {

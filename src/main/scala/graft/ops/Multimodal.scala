@@ -247,6 +247,11 @@ object Multimodal {
     * is the map-side cost and this join is O(bucket collisions).
     */
   def dhashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    // 4 bands guarantee recall only through Hamming 3 (pigeonhole); a
+    // larger threshold would silently drop pairs whose differing bits
+    // span all four bands
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band LSH guarantees recall only for maxHamming in [0, 3], got $maxHamming")
     val sigs = imageDHash(media).select(col("media_id").as("id"), col("dhash"))
     val keys = sigs.select(col("id"), col("dhash"),
       posexplode(array((0 until 4).map(b =>

@@ -35,7 +35,9 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  private def toks = udf((t: String) => graft.kernel.TextKernel.tokens(t))
+  // codegen'd tokenizer (no UDF barrier on the corpus hot path); null
+  // text → null array → explode drops the row instead of an NPE
+  private def toks(text: org.apache.spark.sql.Column) = TextCols.toks(text)
 
   /** Postings in relational form: one row per (doc, term) with the
     * term frequency and the document's token length. `docs` needs
@@ -99,8 +101,16 @@ object Retrieval {
       .withColumn("contrib",
         col("idf") * (col("tf") * (k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      // per-doc score = exact LONG sum of 1e-12-quantized per-term
+      // contributions (the repo's exact-cents discipline): a raw
+      // double SUM's value depends on aggregation arrival order, so
+      // two engines can disagree in the last ulp even when every
+      // per-term op is pinned. Contributions are non-negative and
+      // bounded (~15), so 4-term sums stay far from Long range.
+      .withColumn("contrib_fp",
+        floor(col("contrib") * 1e12 + 0.5).cast("long"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("contrib")).as("score"))
+      .agg((sum(col("contrib_fp")).cast("double") / 1e12).as("score"))
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topKBy(col("score"), col("doc_id"), k).as("top"))

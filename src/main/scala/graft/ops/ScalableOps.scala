@@ -53,10 +53,13 @@ object ScalableOps {
     * the a41 registration shows the pattern). Right rows whose
     * payload struct is entirely null still count as matches (the
     * struct itself is non-null); equal timestamps on the two sides
-    * match (>= semantics), and equal timestamps WITHIN the right side
-    * are resolved by the later row in (time, side, payload-struct)
-    * sort order — callers needing a total order there should include
-    * a tiebreaker column in the payload.
+    * match (>= semantics). Equal timestamps WITHIN the right side are
+    * made deterministic by including the payload struct as the final
+    * sort key (struct ordering is field-lexicographic), so the
+    * greatest payload wins reproducibly across partitionings and
+    * runs; this requires the payload fields to be orderable types
+    * (no maps) — include an id-like column to get a meaningful total
+    * order.
     */
   def asofJoinBackward(
       lhs: DataFrame,
@@ -82,7 +85,7 @@ object ScalableOps {
         lit(null).cast(rTagged.schema("__p").dataType).as("__p"))
         ++ leftCols.filterNot(keys.contains).map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc, col("__side").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rTagged.unionByName(lTagged)
       .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))

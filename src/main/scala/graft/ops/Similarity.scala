@@ -281,8 +281,12 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 4,
       iters: Int = 3): DataFrame = {
-    val (indexed, cents) = ivfAssign(corpus, dim, nLists, iters)
-    ivfTopKFromAssigned(indexed, cents, queries, k, nProbe)
+    // one-shot path shares ONE centroid broadcast between assignment
+    // and probing (at production nLists×dim the model is MBs — no
+    // reason to ship it to every executor twice)
+    val cents = ivfCentroids(corpus, dim, nLists, iters)
+    val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    serveAssigned(assignWithBc(corpus, bc), bc, queries, k, nProbe)
   }
 
   /** One-time IVF index build: train the coarse quantizer and assign
@@ -302,11 +306,16 @@ object Similarity {
       iters: Int = 3): (DataFrame, Array[Array[Double]]) = {
     val cents = ivfCentroids(corpus, dim, nLists, iters)
     val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+    (assignWithBc(corpus, bc), cents)
+  }
+
+  private def assignWithBc(
+      corpus: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
     val assign = nearestListsUdf(bc, 1)
-    val indexed = corpus.select(
+    corpus.select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
       element_at(assign(col("embedding")), 1).as("list_id"))
-    (indexed, cents)
   }
 
   /** Serve IVF top-k from a prebuilt assignment (schema of
@@ -320,8 +329,16 @@ object Similarity {
       cents: Array[Array[Double]],
       queries: DataFrame,
       k: Int,
+      nProbe: Int): DataFrame =
+    serveAssigned(indexed,
+      indexed.sparkSession.sparkContext.broadcast(cents), queries, k, nProbe)
+
+  private def serveAssigned(
+      indexed: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      queries: DataFrame,
+      k: Int,
       nProbe: Int): DataFrame = {
-    val bc = indexed.sparkSession.sparkContext.broadcast(cents)
     val probe = nearestListsUdf(bc, nProbe)
     val probed = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_emb"),

@@ -1825,9 +1825,11 @@ object LlmPipeline {
              |            FROM dt WHERE len(toks) > 0),
              |scored AS (
              |  SELECT qt.query_id, tf.doc_id,
-             |         SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |         CAST(SUM(CAST(floor(
+             |           (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
              |             * (tf.tf * (1.2 + 1.0))
-             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS score
+             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+             |           * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS score
              |    FROM tf JOIN qt USING (term) JOIN df USING (term), stats
              |   GROUP BY 1, 2),
              |r AS (SELECT query_id, doc_id, score,
@@ -1951,9 +1953,11 @@ object LlmPipeline {
              |            FROM dt WHERE len(toks) > 0),
              |bm_scored AS (
              |  SELECT qt.query_id, tf.doc_id,
-             |         SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |         CAST(SUM(CAST(floor(
+             |           (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
              |             * (tf.tf * (1.2 + 1.0))
-             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS score
+             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+             |           * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS score
              |    FROM tf JOIN qt USING (term) JOIN df USING (term), stats
              |   GROUP BY 1, 2),
              |bm_r AS (SELECT query_id, doc_id,
@@ -2030,9 +2034,11 @@ object LlmPipeline {
              |            FROM dt WHERE len(toks) > 0),
              |scored AS (
              |  SELECT qt.query_id, tf.doc_id,
-             |         SUM(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             |         CAST(SUM(CAST(floor(
+             |           (ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
              |             * (tf.tf * (1.2 + 1.0))
-             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS score
+             |             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl)))
+             |           * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS score
              |    FROM tf JOIN qt USING (term) JOIN df USING (term), stats
              |   GROUP BY 1, 2),
              |mined AS (
@@ -2083,7 +2089,7 @@ object LlmPipeline {
              |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
              |       CASE WHEN p.doc_id IS NULL THEN 'added'
              |            WHEN c.doc_id IS NULL THEN 'removed'
-             |            WHEN p.h = c.h THEN 'unchanged'
+             |            WHEN p.h IS NOT DISTINCT FROM c.h THEN 'unchanged'
              |            ELSE 'changed' END AS status
              |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id""".stripMargin))
   )

@@ -106,4 +106,21 @@ class CorpusStatsSpec extends AnyFunSuite {
     // fp occurs twice but in ONE distinct doc → df=1 < 2, not flagged
     assert(rows(1L) == ((2L, 0L)))
   }
+
+  test("corpusDiff: null text classifies by presence, not by hash nullity") {
+    val spark2 = graft.SparkFixture.spark
+    import spark2.implicits._
+    val prev = Seq((1L, "same"), (2L, null.asInstanceOf[String]),
+      (3L, "old"), (4L, "gone")).toDF("doc_id", "text")
+    val cur = Seq((1L, "same"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (5L, "fresh")).toDF("doc_id", "text")
+    val st = CorpusStats.corpusDiff(prev, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(
+      1L -> "unchanged",
+      2L -> "unchanged", // null -> null: present both sides, same (absent) content
+      3L -> "changed", // text -> null is a content change, not an add
+      4L -> "removed",
+      5L -> "added"))
+  }
 }

@@ -86,6 +86,18 @@ class RetrievalSpec extends AnyFunSuite {
       && r.getString(4) == "a b c")
   }
 
+  test("null text: bm25 and chunking skip the row instead of failing the job") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, null.asInstanceOf[String]), (3L, "alpha"))
+      .toDF("doc_id", "text")
+    val bm = Retrieval.bm25TopK(d, "doc_id", "text", q("alpha"), k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(bm == Set(1L, 3L))
+    val chunks = Retrieval.chunkTokens(d, "doc_id", "text", 8, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(chunks == Set(1L, 3L))
+  }
+
   test("hard negatives: labeled positives never surface; ranks renumber densely") {
     import spark.implicits._
     val qdf = q("alpha")
