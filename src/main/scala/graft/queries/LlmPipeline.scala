@@ -932,7 +932,13 @@ object LlmPipeline {
       "l30_kll_quantiles",
       (s, d) => {
         val sk = Sketches.kllSketch(col("n_chars"), 1024)
+        // doc_id < 2000 bounds every lang group well under k=1024, so
+        // the exact-regime contract the oracle pins holds at ANY sf
+        // dir this registration is run at (the sf0.1 sweep caught the
+        // unbounded form leaving the exact regime); the approximate
+        // regime's error bounds are SketchesSpec's job
         Tables.documents(s, d)
+          .filter(col("doc_id") < 2000)
           .groupBy(col("lang"))
           .agg(sk.as("sk"))
           .select(col("lang"),
@@ -947,7 +953,7 @@ object LlmPipeline {
              |       CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50,
              |       CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75,
              |       CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90
-             |  FROM documents GROUP BY lang""".stripMargin)),
+             |  FROM documents WHERE doc_id < 2000 GROUP BY lang""".stripMargin)),
 
     // The save-state-and-re-merge half: per-source KLL sketches (what
     // each ingest shard would persist) merged into the global length
