@@ -3,8 +3,8 @@ package graft.kernel
 import java.io.InputStream
 import scala.collection.mutable
 
-/** Pure-JVM CRAM 3.0 decoder — the common codec subset: raw, gzip and
-  * rANS4x8 block compression; EXTERNAL / HUFFMAN / BETA / GAMMA /
+/** Pure-JVM CRAM 3.0 decoder — block compression: raw, gzip, bzip2,
+  * lzma, rANS4x8 and rANSNx16; EXTERNAL / HUFFMAN / BETA / GAMMA /
   * BYTE_ARRAY_LEN / BYTE_ARRAY_STOP encodings; reference-based and
   * embedded-reference sequence reconstruction; in-slice mate
   * resolution. Decodes to [[SamCodec.SamRecord]] via SAM text so every
@@ -17,8 +17,8 @@ import scala.collection.mutable
   * semantics cross-checked against the reference's vendored htslib
   * (reference: ext/htslib-1.22.1/cram/cram_decode.c:2077-2232,
   * cram/cram_codecs.c:2604-2925, htscodecs/htscodecs/rANS_static.c).
-  * bzip2/lzma/rANSNx16/tok3 blocks and CRAM 2.x/4.x are rejected with
-  * a typed error naming the gap.
+  * tok3 name-codec blocks and CRAM 2.x/4.x containers are rejected
+  * with a typed error naming the gap.
   *
   * Scale note: decoding is stream-per-file with bounded memory (one
   * container at a time); the reference FASTA is loaded once per reader

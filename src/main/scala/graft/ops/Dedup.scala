@@ -528,7 +528,7 @@ object Dedup {
   /** Compact index rows → the exploded (band, band_hash, id, shs)
     * stream the bucket verify consumes.
     */
-  private def explodeBanded(compact: DataFrame): DataFrame =
+  private[graft] def explodeBanded(compact: DataFrame): DataFrame =
     compact
       .select(col("id"), col("shs"), posexplode(col("band_hashes")))
       .select(col("pos").as("band"), col("col").as("band_hash"),
@@ -573,26 +573,73 @@ object Dedup {
         col("shs"))
       .unionByName(newBanded.withColumn("side", lit(1)))
       .select(col("band"), col("band_hash"), col("id"), col("side"), col("shs"))
+    // Degenerate-bucket split, cross-side form — same triangle-join
+    // parallelization as [[minhashPairs]]: a pathological bucket
+    // (X08Diag found a 3,622-member one in synthetic data) otherwise
+    // verifies all new×index pairs inside ONE task. Members split
+    // into g = ceil(m/cap) sub-groups by id hash, replicated to the
+    // g task-pairs containing their sub-group; task (i, j) takes
+    // within-group pairs when i == j and cross-group pairs when
+    // i < j, so every cross-SIDE pair is still verified exactly once
+    // and per-task work is bounded by ~cap². The bucket counts come
+    // from a keys-only pass (column pruning reads band_hashes alone
+    // from a parquet-backed index — no shingle arrays move); below
+    // the same size gate the batch path uses, small inputs skip the
+    // extra aggregate and keep today's single-task-per-bucket shape
+    // (identical output either way).
+    val pruneMin = BigInt(spark.conf.getOption("spark.graft.lsh.prune.minBytes")
+      .map(_.toLong).getOrElse(256L << 20))
+    val cap = spark.conf.getOption("spark.graft.lsh.bucket.cap")
+      .map(_.toInt).getOrElse(2048)
+    val tasks =
+      if (index.queryExecution.optimizedPlan.stats.sizeInBytes < pruneMin)
+        banded.select(col("band"), col("band_hash"),
+          lit(0).as("ti"), lit(0).as("tj"),
+          col("id"), col("side"), lit(0).as("sub"), col("shs"))
+      else {
+        val keyStream = explodeBanded(index)
+          .select(col("band"), col("band_hash"))
+          .join(touched, Seq("band", "band_hash"), "left_semi")
+          .unionByName(newBanded.select(col("band"), col("band_hash")))
+        val bigBuckets = keyStream.groupBy(col("band"), col("band_hash"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > cap)
+          .select(col("band"), col("band_hash"),
+            ceil(col("n").cast("double") / cap).cast("int").as("g"))
+        banded.join(broadcast(bigBuckets), Seq("band", "band_hash"), "left")
+          .withColumn("g", coalesce(col("g"), lit(1)))
+          .withColumn("sub", pmod(hash(col("id"), col("side")), col("g")))
+          .select(col("band"), col("band_hash"), col("id"), col("side"),
+            col("shs"), col("sub"),
+            explode(sequence(lit(0), col("g") - 1)).as("t"))
+          .select(col("band"), col("band_hash"),
+            least(col("sub"), col("t")).as("ti"),
+            greatest(col("sub"), col("t")).as("tj"),
+            col("id"), col("side"), col("sub"), col("shs"))
+      }
     val thr = threshold
-    val pairs = banded.as[(Int, Int, Long, Int, Array[Int])]
-      .repartition(col("band"), col("band_hash"))
-      .sortWithinPartitions(col("band"), col("band_hash"))
+    val pairs = tasks.as[(Int, Int, Int, Int, Long, Int, Int, Array[Int])]
+      .repartition(col("band"), col("band_hash"), col("ti"), col("tj"))
+      .sortWithinPartitions(col("band"), col("band_hash"), col("ti"), col("tj"))
       .mapPartitions { iter =>
-        // stream sorted groups; per bucket, verify cross-side pairs
-        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Array[Int])]
+        // stream sorted task groups; per task, verify its cross-side share
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, Array[Int])]
         var curBand = Int.MinValue
         var curHash = Int.MinValue
+        var curTi = Int.MinValue
+        var curTj = Int.MinValue
         def flush(): Iterator[(Long, Long, Double)] = {
           if (members.length < 2) { members.clear(); Iterator.empty }
           else {
+            val cross = curTi != curTj // split task: cross-group pairs only
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             var i = 0
             while (i < members.length) {
               var j = i + 1
               while (j < members.length) {
-                val (ia, sideA, sa) = members(i)
-                val (ib, sideB, sb) = members(j)
-                if (sideA != sideB) {
+                val (ia, sideA, subA, sa) = members(i)
+                val (ib, sideB, subB, sb) = members(j)
+                if (sideA != sideB && (!cross || subA != subB)) {
                   val jac = TextKernel.jaccardSortedInt(sa, sb)
                   if (jac >= thr) {
                     // orient as (new_id, matched_id)
@@ -609,14 +656,14 @@ object Dedup {
           }
         }
         (iter.map(Some(_)) ++ Iterator(None)).flatMap {
-          case Some((band, bandHash, id, side, shs)) =>
-            if (band != curBand || bandHash != curHash) {
+          case Some((band, bandHash, ti, tj, id, side, sub, shs)) =>
+            if (band != curBand || bandHash != curHash || ti != curTi || tj != curTj) {
               val emitted = flush()
-              curBand = band; curHash = bandHash
-              members += ((id, side, shs))
+              curBand = band; curHash = bandHash; curTi = ti; curTj = tj
+              members += ((id, side, sub, shs))
               emitted
             } else {
-              members += ((id, side, shs))
+              members += ((id, side, sub, shs))
               Iterator.empty
             }
           case None => flush()

@@ -53,23 +53,35 @@ object Retrieval {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
+  /** The 1-row (n_docs, avgdl) corpus-stats table a standing BM25
+    * deployment persists ALONGSIDE the postings: deriving it inline
+    * is a postings-wide `distinct(doc_id, dl)` pass — O(index) per
+    * serving batch, which at corpus scale dwarfs the actual query
+    * work. Compute once at index-build time, write next to the index,
+    * and hand it to [[bm25TopKFromIndex]].
+    */
+  def bm25IndexStats(postings: DataFrame): DataFrame =
+    postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
   /** BM25 top-k per query against a prebuilt postings index
     * (schema of [[bm25Index]]). `queries` needs (query_id,
     * query_text) and is assumed small (broadcast).
     *
-    * Corpus stats (N, avgdl) are re-derived from the index via a
-    * `distinct(doc_id, dl)` — a map-side-combinable two-long-column
-    * pass over the persisted postings, no text re-tokenization. A
-    * deployment serving many query batches would persist that 1-row
-    * stats table alongside the index; it is kept inline here so the
-    * operator stays a pure function of its inputs.
+    * `precomputedStats`: the persisted [[bm25IndexStats]] 1-row table.
+    * When absent, corpus stats (N, avgdl) are re-derived from the
+    * index via a `distinct(doc_id, dl)` — a map-side-combinable
+    * two-long-column pass over the persisted postings, no text
+    * re-tokenization; fine for one-shot use, an O(index) tax per
+    * batch for serve-many deployments.
     */
   def bm25TopKFromIndex(
       postings: DataFrame,
       queries: DataFrame,
       k: Int,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      precomputedStats: Option[DataFrame] = None): DataFrame = {
     val qterms = queries
       .select(col("query_id").cast("long").as("query_id"),
         explode(toks(col("query_text"))).as("term"))
@@ -89,8 +101,10 @@ object Retrieval {
     // into any shuffle below
     val tf = postings.join(qSide(vocab), "term")
     val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = postings.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val stats = precomputedStats
+      .map(_.select(col("n_docs").cast("long").as("n_docs"),
+        col("avgdl").cast("double").as("avgdl")))
+      .getOrElse(bm25IndexStats(postings))
     val scored = tf
       .join(qSide(qterms), "term")
       // docFreq has query-vocab cardinality — rides the same gate

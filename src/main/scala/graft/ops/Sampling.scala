@@ -86,8 +86,13 @@ object Sampling {
       defaultShare: Double = 0.0): DataFrame = {
     require((shares.values ++ Seq(defaultShare)).forall(s => s >= 0 && s <= 1),
       "all shares must be in [0,1]")
-    val nTok = size(filter(split(lower(col(textCol)),
-      graft.kernel.TextKernel.WsPlus), t => t =!= "")).cast("long")
+    // NULL text would otherwise count as size(NULL) = -1 tokens,
+    // silently deflating per-source totals (and emitting -1 rows);
+    // clamp to 0 — NULL-keyed rows keep hashBucket's bucket-0
+    // convention (kept at any positive rate) but contribute nothing
+    // to the budget.
+    val nTok = greatest(coalesce(size(filter(split(lower(col(textCol)),
+      graft.kernel.TextKernel.WsPlus), t => t =!= "")).cast("long"), lit(0L)), lit(0L))
     val base = docs.select(col(idCol).as("doc_id"),
       col(sourceCol).as("source"), nTok.as("n_tokens"),
       hashBucket(col(textCol)).as("bkt"))

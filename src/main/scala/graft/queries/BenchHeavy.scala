@@ -284,11 +284,16 @@ object BenchHeavy {
             graft.tools.Amplify.documents(_, f)))
         val postings = s.read.parquet(cachedDir(d, s"bm25idx_x$f")(
           graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")))
+        // the 1-row stats table is part of the persisted artifact —
+        // serving a batch must not pay a postings-wide distinct
+        val stats = s.read.parquet(cachedDir(d, s"bm25stats_x$f")(
+          graft.ops.Retrieval.bm25IndexStats(postings)))
         val queries = s.range(16).select(col("id").as("query_id"),
           concat(lit("spark window agg stream "),
             (col("id") % 4).cast("string"),
             lit(" customer vector filter table join")).as("query_text"))
-        graft.ops.Retrieval.bm25TopKFromIndex(postings, queries, k = 20)
+        graft.ops.Retrieval.bm25TopKFromIndex(postings, queries, k = 20,
+          precomputedStats = Some(stats))
       }),
 
     // Multimodal decode throughput: dHash every image payload of a

@@ -498,10 +498,13 @@ object LayerA2 {
                 sort_array(collect_list(struct(
                   col("l_linenumber").as("o"), col("l_returnflag").as("v")))),
                 x => x("v"))).as("flags_csv"),
-            sort_array(collect_set(col("l_returnflag"))).as("flag_set")),
+            // Stringified (not a bare array column): the harness's
+            // canonicalizer sorts/hashes scalar columns only, so both
+            // engines emit the ordered set as one CSV scalar.
+            array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flag_set")),
       Some("""SELECT l_orderkey,
              |       string_agg(l_returnflag, ',' ORDER BY l_linenumber, l_returnflag) AS flags_csv,
-             |       list_sort(list_distinct(list(l_returnflag))) AS flag_set
+             |       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flag_set
              |  FROM lineitem WHERE l_orderkey <= 200 GROUP BY 1""".stripMargin)),
 
     // A46 (beyond the inventory): CUBE — all grouping-set combinations

@@ -1382,8 +1382,8 @@ object LlmPipeline {
         shares = Map("src0" -> 0.2, "src1" -> 0.2), defaultShare = 0.03),
       Some(s"""WITH base AS (
              |  SELECT doc_id, source,
-             |         CAST(len(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
-             |                              x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+             |         GREATEST(COALESCE(CAST(len(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                              x -> len(x) > 0)) AS BIGINT), 0), 0) AS n_tokens,
              |         COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) AS bkt
              |    FROM documents),
              |totals AS (

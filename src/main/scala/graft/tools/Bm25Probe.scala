@@ -44,12 +44,26 @@ object Bm25Probe {
         else time(graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")
           .write.mode("overwrite").parquet(idxDir.getAbsolutePath))
       val postings = spark.read.parquet(idxDir.getAbsolutePath)
+      val statsDir = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_bm25probe_stats_x$f.parquet")
+      if (!statsDir.exists())
+        graft.ops.Retrieval.bm25IndexStats(postings)
+          .write.mode("overwrite").parquet(statsDir.getAbsolutePath)
+      val stats = spark.read.parquet(statsDir.getAbsolutePath)
       // warm-up then best-of-3 (the bench convention)
       def serve(): Unit = graft.ops.Retrieval
-        .bm25TopKFromIndex(postings, queries, k = 20)
+        .bm25TopKFromIndex(postings, queries, k = 20,
+          precomputedStats = Some(stats))
         .write.format("noop").mode("overwrite").save()
       serve()
       val tServe = (1 to 3).map(_ => time(serve())).min
+      // the old serve shape for comparison: stats re-derived per batch
+      def serveInline(): Unit = graft.ops.Retrieval
+        .bm25TopKFromIndex(postings, queries, k = 20)
+        .write.format("noop").mode("overwrite").save()
+      serveInline()
+      val tServeInline = (1 to 3).map(_ => time(serveInline())).min
+      println(f"PROBE bm25 x$f%d serve_inline_stats=$tServeInline%.2f s")
       val tOneShot = time(graft.ops.Retrieval
         .bm25TopK(docs, "doc_id", "text", queries, k = 20)
         .write.format("noop").mode("overwrite").save())

@@ -20,11 +20,13 @@ object X08Diag {
       new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_curateprobe_x$f.parquet").getAbsolutePath)
     val bkt = graft.ops.Sampling.hashBucket(col("text"))
-    val index = spark.read.parquet(new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_curate2_mhindex_x$f.parquet")
-      .getAbsolutePath)
-    val shard = graft.ops.Dedup.minhashIndex(docs.filter(bkt >= 9000),
-      "doc_id", "text")
+    // compact one-row-per-doc index form (id, shs, band_hashes) —
+    // exploded to band keys the same way the serve path does
+    val index = graft.ops.Dedup.explodeBanded(spark.read.parquet(new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_curate2_mhindexc_x$f.parquet")
+      .getAbsolutePath))
+    val shard = graft.ops.Dedup.explodeBanded(
+      graft.ops.Dedup.minhashIndex(docs.filter(bkt >= 9000), "doc_id", "text"))
     val both = index.select(col("band"), col("band_hash"), lit(0).as("side"))
       .unionByName(shard.select(col("band"), col("band_hash"), lit(1).as("side")))
     val stats = both.groupBy("band", "band_hash")

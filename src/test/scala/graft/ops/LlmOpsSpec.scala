@@ -323,6 +323,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(loose.isEmpty) // one-word mutations are below 0.999
   }
 
+  test("incremental-path triangle split: cross-side pairs exactly once on a forced hot bucket") {
+    import spark.implicits._
+    // one degenerate bucket: 30 identical index docs + 10 identical new
+    // docs of the SAME content -> every band bucket holds all 40; with
+    // cap=8 the bucket splits into g=5 sub-groups across 15 task-pairs
+    // and all 10x30 cross-side matches must still surface (any skipped
+    // cross-group or within-group task drops matches; n_matches < 30
+    // would betray it)
+    val content = "identical duplicated content shared across both sides here"
+    val index = (0 until 30).map(i => (i.toLong, content)).toDF("doc_id", "text")
+    val fresh = (1000 until 1010).map(i => (i.toLong, content)).toDF("doc_id", "text")
+    def run() = Dedup.minhashNewVsIndex(fresh, index, "doc_id", "text",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val baseline = run() // below the gate: single task per bucket
+    assert(baseline.size == 10 &&
+      baseline.values.forall(_ == ((30L, 1.0, 0L))), s"baseline $baseline")
+    spark.conf.set("spark.graft.lsh.prune.minBytes", "0")
+    spark.conf.set("spark.graft.lsh.bucket.cap", "8")
+    try {
+      assert(run() == baseline)
+    } finally {
+      spark.conf.unset("spark.graft.lsh.prune.minBytes")
+      spark.conf.unset("spark.graft.lsh.bucket.cap")
+    }
+  }
+
   test("minhashNewVsIndexExact matches a new shard only against the index") {
     import spark.implicits._
     val all = plantedDocs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq

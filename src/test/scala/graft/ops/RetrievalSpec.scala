@@ -57,6 +57,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("bm25: persisted corpus stats give identical output and skip the postings-wide distinct") {
+    import spark.implicits._
+    val idx = Retrieval.bm25Index(docs, "doc_id", "text")
+    val statsRow = Retrieval.bm25IndexStats(idx).collect().map(r =>
+      (r.getLong(0), r.getDouble(1)))
+    assert(statsRow.sameElements(Array((5L, (5 + 2 + 6 + 60 + 3) / 5.0))))
+    // materialized stats, as a deployment would read them back from disk
+    val stats = statsRow.toSeq.toDF("n_docs", "avgdl")
+    val withStats = Retrieval.bm25TopKFromIndex(idx, q("alpha beta"), k = 5,
+        precomputedStats = Some(stats))
+    val inline = Retrieval.bm25TopKFromIndex(idx, q("alpha beta"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(withStats.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet == inline)
+    // the serving plan must not re-derive stats: no avg(dl) aggregate
+    // anywhere once the 1-row table is supplied
+    val plan = withStats.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("avg("), s"stats re-derivation survived:\n$plan")
+  }
+
   test("bm25: query-side joins are broadcast and postings filter precedes the score shuffle") {
     val plan = Retrieval.bm25TopK(docs, "doc_id", "text", q("alpha beta"), k = 5)
       .queryExecution.executedPlan.toString

@@ -37,6 +37,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("NULL text counts as 0 tokens, never -1, and never deflates totals") {
+    import spark.implicits._
+    // 3 NULL-text docs alongside one real doc; without the guard
+    // size(NULL)=-1 would subtract 3 from src_tokens and emit -1 rows.
+    val withNulls = Seq(
+      (1L, "a b c d e", "s"),
+      (2L, null: String, "s"),
+      (3L, null: String, "s"),
+      (4L, null: String, "s")).toDF("doc_id", "text", "source")
+    val out = Sampling.tokenBudgetSample(withNulls, "doc_id", "text", "source",
+        budgetTokens = 100, shares = Map("s" -> 1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.values.forall(_ >= 0L), s"negative n_tokens in $out")
+    // budget 100 >> 5 available tokens -> rate 1.0, every doc kept
+    // (NULL text lands in bucket 0 by the documented convention)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == 5L && out(2L) == 0L)
+  }
+
   test("zero default share drops unlisted sources entirely") {
     val out = Sampling.tokenBudgetSample(docs, "doc_id", "text", "source",
       8000, Map("tiny" -> 1.0)).collect()
