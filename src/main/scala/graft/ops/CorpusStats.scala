@@ -78,12 +78,20 @@ object CorpusStats {
     * the paragraph structure). A document whose every line is removed
     * still appears, with empty clean_text.
     *
-    * Scale shape: one explode with positional index (map-only), one
-    * wordcount-shaped df aggregate over per-doc-distinct trimmed
-    * lines, and the common-line set — tiny by construction (lines in
-    * ≥ minDocs docs) — broadcasts into a left-anti join under AQE.
-    * Reassembly is one per-doc hash aggregation over the kept lines
-    * (array_sort by index, no window, no per-doc sort exchange).
+    * Scale shape: the document TEXT never rides an exchange. Per-doc
+    * distinct trimmed lines come from `array_distinct` over the split
+    * array (map-side — the r7 form shuffled every exploded line twice,
+    * once for the distinct and once for reassembly, and the heavy
+    * bench had x05 at 5× DuckDB on exactly that traffic). The df
+    * aggregate then moves KEYS only (wordcount shape, map-combined);
+    * only the REMOVED keys ride a shuffle back to their documents
+    * (inner join vs the small common set, collect_set per doc); and
+    * removal + reassembly is a map-side `filter` of the original
+    * split array against the per-doc removal set — order and
+    * duplicate instances preserved by construction, no re-sort. The
+    * one surviving text-sized operation is the final doc_id join,
+    * which AQE broadcasts whenever the removal map is small and
+    * degrades to a single linear hash join when it isn't.
     * Output: (doc_id, n_lines, n_removed, clean_text).
     */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
@@ -106,28 +114,34 @@ object CorpusStats {
   private def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
       minDocs: Int, sep: String): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val lines = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), sepRe, -1)).as(Seq("line_idx", "line")))
-      .withColumn("key", trim(col("line")))
-    val common = lines.filter(col("key") =!= "")
-      .select(col("doc_id"), col("key")).distinct()
-      .groupBy(col("key"))
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), sepRe, -1).as("segs"))
+    // per-doc DISTINCT non-blank trimmed keys, derived map-side
+    val docKeys = base.select(col("doc_id"),
+      explode(array_distinct(filter(
+        transform(col("segs"), x => trim(x)), x => x =!= ""))).as("key"))
+    val common = docKeys.groupBy(col("key"))
+      // keys are per-doc distinct, so a plain count IS the doc freq
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
       .select(col("key"))
-    val kept = lines.join(common, Seq("key"), "left_anti")
-    val reassembled = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("line_idx"), col("line")))),
-            x => x("line")),
-          sep).as("clean_text"))
-    docs.select(col(idCol).as("doc_id"),
-        size(split(col(textCol), sepRe, -1)).cast("long").as("n_lines"))
-      .join(reassembled, Seq("doc_id"), "left")
+    // only the removed keys travel back to their documents
+    val rmPerDoc = docKeys.join(common, Seq("key"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("key")).as("rm"))
+    base.join(rmPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_lines"),
+        when(col("rm").isNull, col("segs"))
+          .otherwise(filter(col("segs"),
+            x => !array_contains(col("rm"), trim(x)))).as("kept"))
       .select(col("doc_id"), col("n_lines"),
-        (col("n_lines") - coalesce(col("n_kept"), lit(0))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        // NULL text: segs is null, size() = -1 on both terms → keep the
+        // r7 convention n_removed = n_lines (= -1), clean_text = ""
+        (col("n_lines") -
+          when(col("kept").isNull, lit(0L))
+            .otherwise(size(col("kept")).cast("long"))).as("n_removed"),
+        coalesce(array_join(col("kept"), sep), lit("")).as("clean_text"))
   }
 
   /** 60-bit md5-prefix fingerprint, identical to [[Dedup.md5Hash60]]'s
