@@ -844,6 +844,28 @@ object LlmPipeline {
              |         AS session_value
              |  FROM isl GROUP BY user_id, sid""".stripMargin)),
 
+    // 2H: stream-stream event-time interval join run in BATCH mode —
+    // the SAME EventStreams.intervalJoinPairs function the streaming
+    // spec drives with watermarked MemoryStreams (withWatermark is a
+    // no-op on a static frame). Epoch-micros integer comparisons on
+    // both engines, so the pair set and lags match exactly.
+    QueryDef(
+      "h03_interval_join",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def side(t: String) = ev.filter(col("event_type") === t)
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.streaming.EventStreams.intervalJoinPairs(
+          side("click"), side("error"), gapSeconds = 300L)
+      },
+      Some("""SELECT c.event_id AS click_id, e.event_id AS err_id,
+             |       epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+             |  FROM events c JOIN events e
+             |    ON c.user_id = e.user_id
+             |   AND epoch_us(e.ts) >= epoch_us(c.ts)
+             |   AND epoch_us(e.ts) < epoch_us(c.ts) + 300000000
+             | WHERE c.event_type = 'click' AND e.event_type = 'error'""".stripMargin)),
+
     // Mergeable theta (KMV) distinct sketches — kernel/Sketches.scala.
     // All four sketch queries run in the UNSATURATED regime (distinct
     // values < k), where the sketch algebra is EXACT by construction,

@@ -165,6 +165,42 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream event-time interval join: for every click, the
+    * errors by the same user inside [click_ts, click_ts + gapSeconds)
+    * — the "which errors followed this interaction" shape. Both sides
+    * carry watermarks, so Spark's stream-stream join keeps state only
+    * for the range-condition horizon plus the watermark delay and
+    * evicts it as event time advances (bounded state forever). The
+    * range comparison and the emitted lag are epoch-micros integer
+    * arithmetic, so batch results compare exactly across engines.
+    *
+    * The same function runs unchanged in BATCH mode (`withWatermark`
+    * is a no-op there): h03_interval_join registers it over the
+    * static events table as the value-compared twin, and the
+    * streaming spec drives it with MemoryStreams. At scale the join
+    * is a user_id-keyed streaming shuffle on both sides — the same
+    * partitioning a42's batch range join uses, with AQE handling
+    * skewed users in batch and state-store partitioning in streams.
+    */
+  def intervalJoinPairs(clicks: DataFrame, errors: DataFrame,
+      gapSeconds: Long = 300L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive: $gapSeconds")
+    val c = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    val e = errors.select(col("event_id").as("err_id"),
+        col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermarkDelay)
+    c.join(e,
+        col("c_user") === col("e_user")
+          && col("e_ts") >= col("c_ts")
+          && col("e_ts") < col("c_ts") + expr(s"INTERVAL '$gapSeconds' SECOND"))
+      .select(col("click_id"), col("err_id"),
+        (unix_micros(col("e_ts").cast("timestamp"))
+          - unix_micros(col("c_ts").cast("timestamp"))).as("lag_us"))
+  }
+
   /** Streaming exact dedup with BOUNDED state:
     * dropDuplicatesWithinWatermark holds a key only until the watermark
     * passes its event time + delay, so state is O(keys per watermark

@@ -168,4 +168,49 @@ class EventStreamsSpec extends AnyFunSuite {
         out2.head == ((3L, "2026-01-01 11:01:00.0", 1L)))
     } finally query.stop()
   }
+
+  test("interval join pairs clicks with in-window errors across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    def df(m: MemoryStream[(Long, Long, Timestamp)]) =
+      m.toDF().toDF("event_id", "user_id", "ts")
+    val query = EventStreams.intervalJoinPairs(df(clicks), df(errors),
+        gapSeconds = 300L, watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("graft_ij_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      clicks.addData((1L, 10L, t("2026-01-01 10:00:00")))
+      query.processAllAvailable()
+      // errors arrive in a LATER micro-batch — the click is held in
+      // join state and still pairs (the stateful point of the op)
+      errors.addData(
+        (100L, 10L, t("2026-01-01 10:03:00")), // in window
+        (101L, 10L, t("2026-01-01 10:05:00")), // boundary: half-open, out
+        (102L, 99L, t("2026-01-01 10:03:00"))) // other user
+      query.processAllAvailable()
+      val out = spark.sql("SELECT click_id, err_id, lag_us FROM graft_ij_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(out == Seq((1L, 100L, 180000000L)))
+    } finally query.stop()
+  }
+
+  test("interval join batch twin matches a hand-derived pair set") {
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val clicks = Seq((1L, 10L, t("2026-01-01 10:00:00")),
+      (2L, 10L, t("2026-01-01 10:10:00")),
+      (3L, 20L, t("2026-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val errors = Seq((100L, 10L, t("2026-01-01 10:02:00")),
+      (101L, 10L, t("2026-01-01 10:12:00")),
+      (102L, 20L, t("2026-01-01 09:59:59")), // before the click
+      (103L, 30L, t("2026-01-01 10:01:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = EventStreams.intervalJoinPairs(clicks, errors, gapSeconds = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(out == Seq((1L, 100L, 120000000L), (2L, 101L, 120000000L)))
+  }
 }
