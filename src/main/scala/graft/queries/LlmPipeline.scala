@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -2119,6 +2119,36 @@ object LlmPipeline {
              |            WHEN c.doc_id IS NULL THEN 'removed'
              |            WHEN p.h IS NOT DISTINCT FROM c.h THEN 'unchanged'
              |            ELSE 'changed' END AS status
-             |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id""".stripMargin))
+             |  FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id""".stripMargin)),
+
+    // fastText/CCNet-style linear quality-classifier inference over
+    // hashed bag-of-words features. Scoring is integer-exact (milli-
+    // unit weights from the formula family, md5-derived feature ids),
+    // so the oracle re-derives z_milli with NO float-summation-order
+    // caveat; the sigmoid score is derived from the exact integer and
+    // excluded from the compared columns (libm vs JVM exp may differ
+    // in the last ulp). Weights broadcast; one doc-keyed reduce.
+    QueryDef(
+      "l60_quality_classifier",
+      (s, d) =>
+        QualityClassifier.scoreLinear(
+            Tables.documents(s, d), "doc_id", "text",
+            QualityClassifier.formulaWeights(s, 4096), dim = 4096,
+            biasMilli = 0L, thresholdMilli = 0L)
+          .drop("score"),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS tok
+             |    FROM documents),
+             |feats AS (
+             |  SELECT doc_id,
+             |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS f
+             |    FROM toks),
+             |scored AS (
+             |  SELECT doc_id, COUNT(*) AS n_toks,
+             |         CAST(SUM(((f % 100003) * 2654435761) % 2001 - 1000) AS BIGINT) AS z_milli
+             |    FROM feats GROUP BY doc_id)
+             |SELECT doc_id, n_toks, z_milli, z_milli >= 0 AS kept FROM scored""".stripMargin))
   )
 }
