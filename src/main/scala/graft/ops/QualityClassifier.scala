@@ -77,6 +77,65 @@ object QualityClassifier {
     spark.range(dim).select(col("id").as("feature_id"),
       (((col("id") % 100003L) * 2654435761L) % 2001L - 1000L).as("w_milli"))
 
+  /** Train the classifier with full-batch logistic-regression gradient
+    * descent — the distributed-training loop a curation team runs over
+    * a labeled quality sample (labels from human raters or a teacher
+    * model). Each iteration is ONE aggregate pass over the corpus:
+    * per-doc margin via the broadcast weight vector, then a
+    * feature-keyed gradient reduce; the k×dim weight state lives on
+    * the driver (dim-bounded — the same bounded-collect contract as
+    * the IVF centroid table). Deterministic given (data, dim, iters,
+    * lr): full-batch gradients are order-insensitive up to float
+    * summation, which only perturbs the last ulps of a converged
+    * separator — the spec pins planted-vocabulary separation, not
+    * bit-exact weights.
+    *
+    * `labeled` must carry (idCol, textCol, labelCol) with label in
+    * {0.0, 1.0}. Returns (feature_id, w) float weights; use
+    * [[toMilliWeights]] to freeze them for exact serving.
+    */
+  def trainLogReg(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int, iters: Int = 20,
+      lr: Double = 0.5): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    val feats = labeled
+      .select(col(idCol).as("doc_id"), col(labelCol).cast("double").as("y"),
+        explode(hashedCountsUdf(col(textCol), lit(dim))).as("fc"))
+      .select(col("doc_id"), col("y"), col("fc._1").as("feature_id"),
+        col("fc._2").cast("double").as("cnt"))
+      .cache()
+    val n = math.max(feats.select(col("doc_id")).distinct().count(), 1L)
+    var w = Array.fill(dim)(0.0)
+    for (_ <- 1 to iters) {
+      val wDf = broadcast(
+        w.toIndexedSeq.zipWithIndex
+          .map { case (v, i) => (i.toLong, v) }.toDF("feature_id", "w"))
+      // σ(w·x) − y per doc, then ∂L/∂w_f = Σ_docs err · cnt_f / n
+      val grads = feats
+        .join(wDf, Seq("feature_id"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("cnt") * col("w")).as("z"))
+        .select(col("doc_id"),
+          (lit(1.0) / (lit(1.0) + exp(-col("z"))) - col("y")).as("err"))
+        .join(feats, Seq("doc_id"))
+        .groupBy(col("feature_id"))
+        .agg((sum(col("err") * col("cnt")) / n.toDouble).as("g"))
+        .as[(Long, Double)].collect()
+      for ((f, g) <- grads) w(f.toInt) -= lr * g
+    }
+    feats.unpersist()
+    w.toIndexedSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("feature_id", "w")
+  }
+
+  /** Freeze float weights into the integer milli-unit form
+    * [[scoreLinear]] serves exactly.
+    */
+  def toMilliWeights(weights: DataFrame): DataFrame =
+    weights.select(col("feature_id"),
+      round(col("w") * 1000.0, 0).cast("long").as("w_milli"))
+
   /** Score every document: z_milli = bias + Σ count(f) · w_milli(f)
     * over hashed token features, kept = z_milli ≥ threshold, score =
     * sigmoid(z_milli / 1000). `weights` must be (feature_id: long in

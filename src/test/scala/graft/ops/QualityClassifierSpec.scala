@@ -66,6 +66,28 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(ids == Seq(1L))
   }
 
+  test("batch-GD training separates planted good/bad vocabularies") {
+    import spark.implicits._
+    // two disjoint vocabularies; labels follow the vocabulary
+    val good = Seq("clear", "prose", "helpful", "informative", "cited")
+    val bad = Seq("spam", "casino", "clickbait", "viagra", "scam")
+    val docs = (0 until 200).map { i =>
+      val vocab = if (i % 2 == 0) good else bad
+      val words = (0 until 8).map(j => vocab((i + j * 3) % vocab.size))
+      (i.toLong, words.mkString(" "), if (i % 2 == 0) 1.0 else 0.0)
+    }.toDF("doc_id", "text", "label")
+    val dim = 256
+    val w = QualityClassifier.trainLogReg(docs, "doc_id", "text", "label",
+      dim, iters = 30, lr = 1.0)
+    // serve through the EXACT integer path the pipeline uses
+    val scored = QualityClassifier.scoreLinear(docs, "doc_id", "text",
+      QualityClassifier.toMilliWeights(w), dim, thresholdMilli = 0L)
+    val acc = scored.join(docs, Seq("doc_id"))
+      .select((col("kept") === (col("label") === 1.0)).cast("int").as("ok"))
+      .agg(avg(col("ok"))).as[Double].head()
+    assert(acc >= 0.99, s"train accuracy $acc")
+  }
+
   test("weights omitted from the table contribute zero") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb aa")).toDF("doc_id", "text")
