@@ -144,6 +144,50 @@ object CorpusStats {
         coalesce(array_join(col("kept"), sep), lit("")).as("clean_text"))
   }
 
+  /** Token-distribution drift between two corpus snapshots — the
+    * pre-swap monitoring twin of [[corpusDiff]]: where corpusDiff says
+    * WHICH documents changed, this says whether the TOKEN DISTRIBUTION
+    * the model trains on moved. Reports vocabulary churn and the
+    * total-variation distance 0.5·Σ|p(tok) − q(tok)|.
+    *
+    * Determinism contract: TVD's numerator is computed as the integer
+    * Σ|cnt_p·N_c − cnt_c·N_p| (exact long arithmetic; one float
+    * division at the very end), so the oracle reproduces it with no
+    * float-summation-order caveat. Exact while max(cnt)·N < 2^63 —
+    * beyond ~10^9-token corpora with 10^9-count tokens switch the two
+    * product columns to decimal(38,0); the shape is unchanged.
+    *
+    * Scale shape: two wordcount aggregates (map-side combined, keys
+    * only), one vocabulary-keyed full-outer join, a broadcast 1-row
+    * totals frame, one global reduce. Document text never rides an
+    * exchange.
+    */
+  def tokenDrift(prev: DataFrame, curr: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def tokCounts(df: DataFrame, cntName: String) =
+      df.select(explode(tokensCol(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(cntName))
+    val joined = tokCounts(prev, "cnt_p")
+      .join(tokCounts(curr, "cnt_c"), Seq("tok"), "full_outer")
+      .select(coalesce(col("cnt_p"), lit(0L)).as("cnt_p"),
+        coalesce(col("cnt_c"), lit(0L)).as("cnt_c"))
+    val totals = joined.agg(sum(col("cnt_p")).as("n_p"), sum(col("cnt_c")).as("n_c"))
+    joined.crossJoin(broadcast(totals))
+      .agg(
+        max(col("n_p")).as("n_prev"),
+        max(col("n_c")).as("n_curr"),
+        sum(when(col("cnt_p") > 0 && col("cnt_c") > 0, 1L).otherwise(0L))
+          .as("vocab_both"),
+        sum(when(col("cnt_p") === 0, 1L).otherwise(0L)).as("vocab_added"),
+        sum(when(col("cnt_c") === 0, 1L).otherwise(0L)).as("vocab_removed"),
+        sum(abs(col("cnt_p") * col("n_c") - col("cnt_c") * col("n_p")))
+          .as("tvd_num"))
+      .select(col("n_prev"), col("n_curr"),
+        col("vocab_both"), col("vocab_added"), col("vocab_removed"),
+        (col("tvd_num").cast("double")
+          / (lit(2.0) * col("n_prev") * col("n_curr"))).as("tvd"))
+  }
+
   /** 60-bit md5-prefix fingerprint, identical to [[Dedup.md5Hash60]]'s
     * column form (15 hex chars of md5, base-16) — computed in-kernel so
     * chunking and hashing happen in ONE pass over each document.

@@ -595,6 +595,222 @@ object LayerA2 {
              |  JOIN customer ON o_custkey = c_custkey
              |  JOIN nation   ON c_nationkey = n_nationkey
              |  JOIN region   ON n_regionkey = r_regionkey
-             | GROUP BY 1, 2""".stripMargin))
+             | GROUP BY 1, 2""".stripMargin)),
+
+    // A50 (beyond the inventory): arg_max / arg_min aggregates —
+    // DuckDB-native arg_max(x, y) vs Spark's max_by/min_by. The
+    // ranking scalar folds the unique event_id into the low digits
+    // (cents·10^10 + id) so ties on value are impossible and both
+    // engines pick the SAME row deterministically — an arg_max over a
+    // tied ordering is unspecified in both engines and would flake
+    // the hash compare.
+    QueryDef(
+      "a50_arg_extremes",
+      (s, d) => {
+        val rank = LayerA1.cents("value") * lit(10000000000L) + col("event_id")
+        Tables.events(s, d)
+          .groupBy(col("event_type"))
+          .agg(max_by(col("event_id"), rank).as("top_event"),
+            min_by(col("event_id"), rank).as("bottom_event"),
+            (max(LayerA1.cents("value")).cast("double") / 100.0).as("max_value"))
+      },
+      Some("""SELECT event_type,
+             |       arg_max(event_id, CAST(floor(value*100 + 0.5) AS BIGINT)*10000000000 + event_id) AS top_event,
+             |       arg_min(event_id, CAST(floor(value*100 + 0.5) AS BIGINT)*10000000000 + event_id) AS bottom_event,
+             |       CAST(MAX(CAST(floor(value*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS max_value
+             |  FROM events GROUP BY event_type""".stripMargin)),
+
+    // A51 (beyond the inventory): exact median / continuous quantile
+    // aggregates — both engines interpolate at rank (n-1)·q, and
+    // l_quantity is integral, so the .25-step interpolated values are
+    // exact in double.
+    QueryDef(
+      "a51_median_quantile",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(median(col("l_quantity")).as("med_qty"),
+            percentile(col("l_quantity"), lit(0.25)).as("q1_qty"),
+            percentile(col("l_quantity"), lit(0.9)).as("p90_qty"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+             |       median(l_quantity) AS med_qty,
+             |       quantile_cont(l_quantity, 0.25) AS q1_qty,
+             |       quantile_cont(l_quantity, 0.90) AS p90_qty,
+             |       COUNT(*) AS n
+             |  FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // A52 (beyond the inventory): rank-family window functions —
+    // ntile / percent_rank / cume_dist. The in-partition order folds
+    // the unique o_orderkey under the price so every rank is
+    // deterministic; percent_rank/cume_dist are exact small rationals
+    // both engines compute identically in double.
+    QueryDef(
+      "a52_rank_windows",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(LayerA1.cents("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("prank"),
+            cume_dist().over(w).as("cdist"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |       percent_rank() OVER w AS prank,
+             |       cume_dist() OVER w AS cdist
+             |  FROM orders WHERE o_orderkey <= 2000
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY CAST(floor(o_totalprice*100 + 0.5) AS BIGINT), o_orderkey)""".stripMargin)),
+
+    // A53 (beyond the inventory): explicit GROUPING SETS with
+    // grouping_id — the general form a37 ROLLUP / a46 CUBE are sugar
+    // for (Spark 4's Dataset.groupingSets).
+    QueryDef(
+      "a53_grouping_sets",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            (sum(LayerA1.cents("o_totalprice")).cast("double") / 100.0).as("total"),
+            grouping_id().as("gid")),
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             |       CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total,
+             |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+             |  FROM orders
+             | GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)),
+
+    // A54 (beyond the inventory): statistical aggregates — stddev /
+    // variance / covariance / correlation / regression slope.
+    // Deliberately NOT Spark's stddev_samp/corr builtins: those use
+    // merge-order-dependent float accumulation, so the last bits vary
+    // with partitioning and can flake a hash compare. Instead both
+    // engines compute the five INTEGER moments (Σx, Σy, Σx², Σy², Σxy
+    // — map-side-combinable longs, one reduce) and derive every
+    // statistic with the same exact-numerator closed form; the only
+    // floats are final correctly-rounded divisions/sqrts of identical
+    // integers. x = l_quantity (integral), y = whole dollars of
+    // l_extendedprice; l_orderkey <= 20000 bounds every moment far
+    // under 2^53 at any SF.
+    QueryDef(
+      "a54_stats_aggs",
+      (s, d) => {
+        val x = col("l_quantity").cast("long")
+        val y = floor(cents("l_extendedprice") / 100).cast("long")
+        val m = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") <= 20000)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(x * y).as("sxy"))
+        val n = col("n")
+        val dd = (c: Column) => c.cast("double")
+        val varNumX = n * col("sxx") - col("sx") * col("sx")
+        val varNumY = n * col("syy") - col("sy") * col("sy")
+        val covNum = n * col("sxy") - col("sx") * col("sy")
+        m.select(col("l_returnflag"), n,
+          (dd(varNumX) / dd(n * (n - 1))).as("var_qty"),
+          sqrt(dd(varNumX) / dd(n * (n - 1))).as("stddev_qty"),
+          (dd(covNum) / dd(n * (n - 1))).as("covar_qty_usd"),
+          (dd(covNum) / (sqrt(dd(varNumX)) * sqrt(dd(varNumY)))).as("corr_qty_usd"),
+          (dd(covNum) / dd(varNumX)).as("slope_usd_per_qty"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |         SUM(x) AS sx, SUM(y) AS sy,
+             |         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+             |    FROM (SELECT l_returnflag,
+             |                 CAST(l_quantity AS BIGINT) AS x,
+             |                 CAST(floor(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) / 100) AS BIGINT) AS y
+             |            FROM lineitem WHERE l_orderkey <= 20000)
+             |   GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |       CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS var_qty,
+             |       sqrt(CAST(n*sxx - sx*sx AS DOUBLE) / CAST(n*(n-1) AS DOUBLE)) AS stddev_qty,
+             |       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*(n-1) AS DOUBLE) AS covar_qty_usd,
+             |       CAST(n*sxy - sx*sy AS DOUBLE)
+             |         / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_usd,
+             |       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope_usd_per_qty
+             |  FROM m""".stripMargin)),
+
+    // A55 (beyond the inventory): DISTINCT ON — DuckDB's
+    // first-row-per-key (here: each nation's richest customer).
+    // Spark has no DISTINCT ON; the canonical composition is
+    // row_number over the same ordering + rn = 1, which Catalyst
+    // executes as one shuffle on the key with per-partition sort —
+    // and at scale never materializes the full sort (WindowGroupLimit
+    // pushes the rn <= 1 limit into the shuffle). c_custkey is unique
+    // so the ordering is tie-free on both engines.
+    QueryDef(
+      "a55_distinct_on",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("c_nationkey"))
+          .orderBy(cents("c_acctbal").desc, col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_custkey"),
+            (cents("c_acctbal").cast("double") / 100.0).as("acctbal"))
+      },
+      Some("""SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey,
+             |       CAST(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS acctbal
+             |  FROM customer
+             | ORDER BY c_nationkey,
+             |          CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) DESC, c_custkey""".stripMargin)),
+
+    // A56 (beyond the inventory): boolean and bitwise aggregates —
+    // bool_and/bool_or + bit_and/bit_or/bit_xor, identical names in
+    // both engines (all map-side combinable; bit_xor is the parity
+    // fold used for cheap set-difference checks).
+    QueryDef(
+      "a56_bool_bit_aggs",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(bool_and(col("l_quantity") > 1).as("all_multi"),
+            bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+            bit_and(col("l_linenumber").cast("long")).as("ln_and"),
+            bit_or(col("l_linenumber").cast("long")).as("ln_or"),
+            bit_xor(col("l_partkey").cast("long")).as("part_parity")),
+      Some("""SELECT l_returnflag,
+             |       bool_and(l_quantity > 1) AS all_multi,
+             |       bool_or(l_tax > 0.07) AS any_high_tax,
+             |       bit_and(CAST(l_linenumber AS BIGINT)) AS ln_and,
+             |       bit_or(CAST(l_linenumber AS BIGINT)) AS ln_or,
+             |       bit_xor(CAST(l_partkey AS BIGINT)) AS part_parity
+             |  FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // A57 (beyond the inventory): window frame EXCLUDE CURRENT ROW —
+    // SQL:2016 frame exclusion the reference engine supports natively
+    // and Spark does not. Composed exactly: sum over the full ±2-rows
+    // frame minus the current row's value — one WindowExec, no second
+    // pass. Exact cents; o_orderkey folds uniqueness into the order.
+    QueryDef(
+      "a57_window_exclude",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderkey"))
+          .rowsBetween(-2, 2)
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 4000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ((sum(cents("o_totalprice")).over(w) - cents("o_totalprice"))
+              .cast("double") / 100.0).as("neighbor_total"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+             |              OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             |                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             |                    EXCLUDE CURRENT ROW) AS DOUBLE) / 100.0 AS neighbor_total
+             |  FROM orders WHERE o_orderkey <= 4000""".stripMargin))
   )
 }

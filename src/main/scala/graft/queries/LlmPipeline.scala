@@ -2149,6 +2149,49 @@ object LlmPipeline {
              |  SELECT doc_id, COUNT(*) AS n_toks,
              |         CAST(SUM(((f % 100003) * 2654435761) % 2001 - 1000) AS BIGINT) AS z_milli
              |    FROM feats GROUP BY doc_id)
-             |SELECT doc_id, n_toks, z_milli, z_milli >= 0 AS kept FROM scored""".stripMargin))
+             |SELECT doc_id, n_toks, z_milli, z_milli >= 0 AS kept FROM scored""".stripMargin)),
+
+    // Token-distribution drift between the l59 snapshots: vocabulary
+    // churn + total-variation distance with an integer-exact numerator
+    // (Σ|cnt_p·N_c − cnt_c·N_p|; one float division at the end), so
+    // the oracle has no float-summation-order caveat.
+    QueryDef(
+      "l61_token_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val prev = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") < 100)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        CorpusStats.tokenDrift(prev, docs, "doc_id", "text")
+      },
+      Some(s"""WITH prev AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+             |    FROM documents WHERE doc_id % 10 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 100),
+             |tp AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS tok FROM prev),
+             |tc AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS tok FROM documents),
+             |cp AS (SELECT tok, COUNT(*) AS cnt_p FROM tp GROUP BY tok),
+             |cc AS (SELECT tok, COUNT(*) AS cnt_c FROM tc GROUP BY tok),
+             |j AS (
+             |  SELECT COALESCE(cnt_p, 0) AS cnt_p, COALESCE(cnt_c, 0) AS cnt_c
+             |    FROM cp FULL OUTER JOIN cc ON cp.tok = cc.tok),
+             |t AS (SELECT SUM(cnt_p) AS n_p, SUM(cnt_c) AS n_c FROM j)
+             |SELECT CAST(t.n_p AS BIGINT) AS n_prev,
+             |       CAST(t.n_c AS BIGINT) AS n_curr,
+             |       CAST(SUM(CASE WHEN cnt_p > 0 AND cnt_c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_both,
+             |       CAST(SUM(CASE WHEN cnt_p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_added,
+             |       CAST(SUM(CASE WHEN cnt_c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_removed,
+             |       CAST(CAST(SUM(abs(cnt_p * t.n_c - cnt_c * t.n_p)) AS DOUBLE)
+             |            / (2.0 * t.n_p * t.n_c) AS DOUBLE) AS tvd
+             |  FROM j, t GROUP BY t.n_p, t.n_c""".stripMargin))
   )
 }

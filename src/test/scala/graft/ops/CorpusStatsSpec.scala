@@ -123,4 +123,27 @@ class CorpusStatsSpec extends AnyFunSuite {
       4L -> "removed",
       5L -> "added"))
   }
+
+  test("tokenDrift: hand-computed TVD and vocabulary churn") {
+    import spark.implicits._
+    // prev: tokens {a:2, b:1} (N=3); curr: tokens {a:1, c:2} (N=3)
+    val prev = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val curr = Seq((1L, "a c c")).toDF("doc_id", "text")
+    val r = CorpusStats.tokenDrift(prev, curr, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    // |p−q|: a |2/3−1/3|=1/3, b |1/3−0|=1/3, c |0−2/3|=2/3 → TVD=2/3
+    assert(r._1 == 3L && r._2 == 3L) // totals
+    assert(r._3 == 1L) // both: a
+    assert(r._4 == 1L) // added: c
+    assert(r._5 == 1L) // removed: b
+    assert(math.abs(r._6 - 2.0 / 3.0) < 1e-12)
+  }
+
+  test("tokenDrift: identical corpora have zero drift") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x x")).toDF("doc_id", "text")
+    val r = CorpusStats.tokenDrift(docs, docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].head()
+    assert(r == ((5L, 5L, 3L, 0L, 0L, 0.0)))
+  }
 }
