@@ -27,6 +27,34 @@ object Curation {
   private def toks(textCol: Column): Column =
     filter(split(lower(textCol), TextKernel.WsPlus), t => t =!= "")
 
+  /** The drop-reason column alone (NULL = keep) — the gate verdict as
+    * a pure column expression, reusable where the per-doc signal
+    * columns aren't needed (e.g. the streaming pass-rate monitor,
+    * which must stay a stateless projection ahead of its windowed
+    * aggregate).
+    */
+  def gopherReason(textCol: Column, langCol: Column,
+      minTokens: Int = 50, maxTokens: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8,
+      stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
+      allowedLangs: Seq[String] = Seq("en", "es", "de", "fr")): Column = {
+    val t = toks(textCol)
+    val n = size(t).cast("long")
+    val sumChars = aggregate(transform(t, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long")
+    val meanLen = when(n > 0, sumChars.cast("double") / n)
+    val alphaFrac = when(n > 0, nAlpha.cast("double") / n)
+    val hasStop = arrays_overlap(t, array(stopwords.map(lit): _*))
+    when(n < minTokens, "too_short")
+      .when(n > maxTokens, "too_long")
+      .when(meanLen < minMeanLen || meanLen > maxMeanLen, "token_len")
+      .when(alphaFrac < minAlphaFrac, "alpha")
+      .when(!hasStop, "stopwords")
+      .when(!langCol.isin(allowedLangs.map(lit(_)): _*), "lang")
+  }
+
   /** Per-document rule evaluation. Output: (doc_id, n_tokens,
     * mean_token_len, alpha_frac, keep, drop_reason) — ratio columns
     * are NULL for token-less documents (which fail too_short anyway).
@@ -50,14 +78,9 @@ object Curation {
     val nAlpha = size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long")
     val meanLen = when(n > 0, sumChars.cast("double") / n)
     val alphaFrac = when(n > 0, nAlpha.cast("double") / n)
-    val hasStop = arrays_overlap(t, array(stopwords.map(lit): _*))
-    val reason =
-      when(n < minTokens, "too_short")
-        .when(n > maxTokens, "too_long")
-        .when(meanLen < minMeanLen || meanLen > maxMeanLen, "token_len")
-        .when(alphaFrac < minAlphaFrac, "alpha")
-        .when(!hasStop, "stopwords")
-        .when(!col(langCol).isin(allowedLangs.map(lit(_)): _*), "lang")
+    val reason = gopherReason(col(textCol), col(langCol), minTokens,
+      maxTokens, minMeanLen, maxMeanLen, minAlphaFrac, stopwords,
+      allowedLangs)
     docs.select(col(idCol).as("doc_id"), n.as("n_tokens"),
       meanLen.as("mean_token_len"), alphaFrac.as("alpha_frac"),
       reason.isNull.as("keep"), reason.as("drop_reason"))

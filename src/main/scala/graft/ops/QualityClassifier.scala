@@ -47,7 +47,7 @@ object QualityClassifier {
     * per-doc-aggregated features only (vocabulary-bounded per doc,
     * never one row per token).
     */
-  private val hashedCountsUdf = udf((text: String, dim: Int) => {
+  private[ops] val hashedCountsUdf = udf((text: String, dim: Int) => {
     if (text == null) Array.empty[(Long, Int)]
     else {
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, LmScore, Multimodal, Packing, QualityClassifier, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{BpeTrainer, CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, Dsir, LmScore, Multimodal, Packing, Preference, QualityClassifier, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -2192,6 +2192,160 @@ object LlmPipeline {
              |       CAST(SUM(CASE WHEN cnt_c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vocab_removed,
              |       CAST(CAST(SUM(abs(cnt_p * t.n_c - cnt_c * t.n_p)) AS DOUBLE)
              |            / (2.0 * t.n_p * t.n_c) AS DOUBLE) AS tvd
-             |  FROM j, t GROUP BY t.n_p, t.n_c""".stripMargin))
+             |  FROM j, t GROUP BY t.n_p, t.n_c""".stripMargin)),
+
+    // Preference-pair construction for RLHF/DPO: completions = docs,
+    // prompt groups = doc_id % 40, reward = the l60 classifier's exact
+    // integer z_milli; best-vs-worst per prompt with a tie-free
+    // (score·10^7 + id) fold and a >= 1 milli margin. One
+    // map-combinable aggregate on the prompt key.
+    QueryDef(
+      "l62_preference_pairs",
+      (s, d) =>
+        Preference.preferencePairs(
+          QualityClassifier.scoreLinear(
+              Tables.documents(s, d), "doc_id", "text",
+              QualityClassifier.formulaWeights(s, 4096), dim = 4096)
+            .withColumn("prompt_id", col("doc_id") % 40),
+          "prompt_id", "doc_id", "z_milli", minMarginMilli = 1L),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS tok
+             |    FROM documents),
+             |feats AS (
+             |  SELECT doc_id,
+             |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS f
+             |    FROM toks),
+             |scored AS (
+             |  SELECT doc_id,
+             |         CAST(SUM(((f % 100003) * 2654435761) % 2001 - 1000) AS BIGINT) AS z_milli
+             |    FROM feats GROUP BY doc_id),
+             |p AS (
+             |  SELECT doc_id % 40 AS prompt_id, doc_id, z_milli,
+             |         z_milli * 10000000 + doc_id AS r
+             |    FROM scored)
+             |SELECT prompt_id, COUNT(*) AS n_candidates,
+             |       arg_max(doc_id, r) AS chosen_id,
+             |       MAX(z_milli) AS chosen_score,
+             |       arg_min(doc_id, r) AS rejected_id,
+             |       MIN(z_milli) AS rejected_score,
+             |       MAX(z_milli) - MIN(z_milli) AS margin
+             |  FROM p GROUP BY prompt_id
+             |HAVING COUNT(*) >= 2 AND MAX(z_milli) - MIN(z_milli) >= 1""".stripMargin)),
+
+    // DSIR-style importance weighting: target = every 9th doc, raw =
+    // the whole corpus; per-feature quantized likelihood ratio
+    // (integer-exact, see ops/Dsir.scala), per-doc integer importance
+    // with per-token selection by cross-multiplication.
+    QueryDef(
+      "l63_dsir_importance",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val w = Dsir.importanceWeights(
+          docs.filter(col("doc_id") % 9 === 0), docs,
+          "doc_id", "text", dim = 2048, capMilli = 8000L)
+        Dsir.importanceScore(docs, "doc_id", "text", w, dim = 2048,
+          perTokThresholdMilli = 1000L)
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS tok
+             |    FROM documents),
+             |dc AS (
+             |  SELECT doc_id,
+             |         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 2048 AS f,
+             |         COUNT(*) AS cnt
+             |    FROM toks GROUP BY doc_id, f),
+             |crt AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS cr FROM dc GROUP BY f),
+             |ctt AS (SELECT f, CAST(SUM(cnt) AS BIGINT) AS ct
+             |          FROM dc WHERE doc_id % 9 = 0 GROUP BY f),
+             |tot AS (SELECT (SELECT COALESCE(CAST(SUM(ct) AS BIGINT), 0) FROM ctt) AS nt,
+             |               (SELECT CAST(SUM(cr) AS BIGINT) FROM crt) AS nr),
+             |w AS (
+             |  SELECT crt.f,
+             |         LEAST(8000, ((COALESCE(ctt.ct, 0) + 1) * (tot.nr + 2048) * 1000)
+             |                       // ((crt.cr + 1) * (tot.nt + 2048))) AS w_milli
+             |    FROM crt LEFT JOIN ctt ON crt.f = ctt.f, tot)
+             |SELECT doc_id,
+             |       CAST(SUM(cnt) AS BIGINT) AS n_toks,
+             |       CAST(SUM(cnt * w_milli) AS BIGINT) AS imp_milli,
+             |       CAST(SUM(cnt * w_milli) AS BIGINT)
+             |         >= CAST(SUM(cnt) AS BIGINT) * 1000 AS selected
+             |  FROM dc JOIN w ON dc.f = w.f GROUP BY doc_id""".stripMargin)),
+
+    // The distributed kernel of BPE tokenizer training: adjacent
+    // code-point pair counts over the word-frequency table (corpus
+    // touched once; the aggregate is vocab-sized), top 20 under the
+    // total (cnt DESC, a, b) order the trainer's tie-break uses.
+    QueryDef(
+      "l64_bpe_pairs",
+      (s, d) =>
+        BpeTrainer.pairCounts(
+            BpeTrainer.initialVocab(Tables.documents(s, d), "text"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(20),
+      Some(s"""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS w
+             |    FROM documents),
+             |wc AS (SELECT w, COUNT(*) AS freq FROM toks GROUP BY w),
+             |pr AS (
+             |  SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, freq
+             |    FROM (SELECT w, freq, unnest(generate_series(1, len(w) - 1)) AS i
+             |            FROM wc WHERE len(w) >= 2))
+             |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+             |  FROM pr GROUP BY a, b
+             | ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin)),
+
+    // 2H: streaming corpus-quality monitor run in BATCH mode (the
+    // oracle twin): curation-rules pass rate per event-time minute.
+    // The same QualityMonitor.windowedPassRate runs unchanged as a
+    // watermarked streaming query (QualityMonitorSpec drives it with
+    // a MemoryStream).
+    QueryDef(
+      "h04_stream_pass_rate",
+      (s, d) =>
+        graft.streaming.QualityMonitor.windowedPassRate(
+          Tables.documents(s, d).select(
+            timestamp_seconds(lit(1704067200L) + col("doc_id") % 600)
+              .as("ts"),
+            col("text"), col("lang")),
+          "ts", "text", "lang", windowDur = "60 seconds", minTokens = 40),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |sig AS MATERIALIZED (
+             |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |         CASE WHEN len(ts) > 0
+             |              THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) END
+             |           AS mean_token_len,
+             |         CASE WHEN len(ts) > 0
+             |              THEN CAST(len(list_filter(ts, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) / len(ts) END
+             |           AS alpha_frac,
+             |         list_has_any(ts, ['the', 'a', 'and', 'of', 'to', 'in']) AS has_stop
+             |    FROM t),
+             |r AS (
+             |  SELECT doc_id,
+             |         CASE WHEN n_tokens < 40 THEN 'too_short'
+             |              WHEN n_tokens > 100000 THEN 'too_long'
+             |              WHEN mean_token_len < 3.0 OR mean_token_len > 10.0 THEN 'token_len'
+             |              WHEN alpha_frac < 0.8 THEN 'alpha'
+             |              WHEN NOT has_stop THEN 'stopwords'
+             |              WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+             |         END AS drop_reason
+             |    FROM sig),
+             |g AS (
+             |  SELECT 1704067200 + (doc_id % 600) // 60 * 60 AS es,
+             |         (drop_reason IS NULL) AS keep
+             |    FROM r)
+             |SELECT strftime(make_timestamp(es * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |       COUNT(*) AS n_docs,
+             |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS pass_rate_milli
+             |  FROM g GROUP BY es""".stripMargin))
   )
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.ops.Curation
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming corpus-quality monitoring: the curation-rules gate
+  * evaluated per document as it arrives, aggregated into event-time
+  * windows — the pipeline-health dashboard a continuously-ingesting
+  * training-data system watches to catch a crawler regression (pass
+  * rate cliff) within minutes instead of at the next corpus audit.
+  *
+  * The SAME function runs in batch (the h04 oracle row value-compares
+  * it against DuckDB) and in streaming (pass a readStream DataFrame
+  * and a watermark): the rules gate is a stateless projection
+  * ([[Curation.gopherReason]] is a pure column expression), so the
+  * only stateful operator is the windowed count — bounded state,
+  * evicted as the watermark advances.
+  *
+  * Scale shape: map-only gate evaluation, then one aggregate keyed by
+  * (window) — O(windows) state total, independent of document volume;
+  * partial counts combine map-side. Document text never rides the
+  * shuffle (only the boolean verdict does).
+  */
+object QualityMonitor {
+
+  /** Per-window gate statistics: (window_start, n_docs, n_kept,
+    * pass_rate_milli). `watermark` must be set for streaming use
+    * (append mode needs closed windows); leave None in batch.
+    */
+  def windowedPassRate(docs: DataFrame, tsCol: String, textCol: String,
+      langCol: String, windowDur: String = "60 seconds",
+      minTokens: Int = 40,
+      watermark: Option[String] = None): DataFrame = {
+    val gated0 = docs.select(col(tsCol).as("ts"),
+      Curation.gopherReason(col(textCol), col(langCol),
+        minTokens = minTokens).isNull.as("keep"))
+    val gated = watermark.fold(gated0)(w => gated0.withWatermark("ts", w))
+    gated
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      // integer milli-rate: exact cross-engine, no float division drift
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_docs"), col("n_kept"),
+        expr("(n_kept * 1000) div n_docs").as("pass_rate_milli"))
+  }
+}

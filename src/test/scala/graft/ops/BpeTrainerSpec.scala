@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeTrainerSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  test("classic corpus learns the textbook merges with deterministic tie-breaks") {
+    import spark.implicits._
+    // freqs: low 5, lower 2, newest 6, widest 3 — pair counts put
+    // (e,s) and (s,t) tied at 9, then (l,o)/(o,w) tied at 7: each tie
+    // resolves by byte order of the pair
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val merges = BpeTrainer.trainMerges(docs, "text", numMerges = 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+
+    val enc = BpeTrainer.encode(
+        Seq((9L, "newest newest low")).toDF("doc_id", "text"),
+        "doc_id", "text", merges)
+      .as[(Long, Seq[String], Long)].head()
+    assert(enc._2 == Seq("n", "e", "w", "est", "n", "e", "w", "est", "low"))
+    assert(enc._3 == 9L)
+  }
+
+  test("applyMerge is left-to-right and non-overlapping") {
+    assert(BpeTrainer.applyMerge(Seq("a", "a", "a"), "a", "a") ==
+      Seq("aa", "a"))
+    assert(BpeTrainer.applyMerge(Seq("a", "a", "a", "a"), "a", "a") ==
+      Seq("aa", "aa"))
+    assert(BpeTrainer.applyMerge(Seq("x", "a", "b", "y", "a", "b"), "a", "b") ==
+      Seq("x", "ab", "y", "ab"))
+  }
+
+  test("pairCounts weighs by word frequency and in-word multiplicity") {
+    import spark.implicits._
+    val vocab = Seq((Seq("a", "b", "a", "b"), 3L)).toDF("syms", "freq")
+    val got = BpeTrainer.pairCounts(vocab)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 6L), ("b", "a", 3L)))
+  }
+
+  test("symbols split on Unicode code points, not UTF-16 units") {
+    assert(BpeTrainer.symbols("a😀b").toSeq ==
+      Seq("a", "😀", "b"))
+  }
+
+  test("training stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    assert(BpeTrainer.trainMerges(docs, "text", numMerges = 3).isEmpty)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkFixture
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualityMonitorSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  // minTokens = 3: "the cat sat" passes every rule (stopword present,
+  // all-alpha, mean len 3.0 on the >= boundary); "zz yy" is too_short
+  private val passText = "the cat sat"
+  private val failText = "zz yy"
+
+  private val rows = Seq(
+    (t("2026-01-01 10:00:05"), passText, "en"),
+    (t("2026-01-01 10:00:40"), failText, "en"),
+    (t("2026-01-01 10:00:59"), passText, "en"),
+    (t("2026-01-01 10:01:10"), passText, "zz"), // lang-dropped
+    (t("2026-01-01 10:01:30"), passText, "en"))
+
+  private val expected = Set(
+    ("2026-01-01 10:00:00", 3L, 2L, 666L),
+    ("2026-01-01 10:01:00", 2L, 1L, 500L))
+
+  test("batch windows: hand-computed pass rates") {
+    import spark.implicits._
+    val got = QualityMonitor.windowedPassRate(
+        rows.toDF("ts", "text", "lang"), "ts", "text", "lang",
+        windowDur = "60 seconds", minTokens = 3)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("the same function runs as a streaming query with identical output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val query = QualityMonitor.windowedPassRate(
+        input.toDF().toDF("ts", "text", "lang"), "ts", "text", "lang",
+        windowDur = "60 seconds", minTokens = 3)
+      .writeStream.format("memory").queryName("graft_quality_monitor")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(rows.take(2))
+      query.processAllAvailable()
+      input.addData(rows.drop(2)) // second micro-batch updates windows
+      query.processAllAvailable()
+      val got = spark.sql(
+          "SELECT * FROM graft_quality_monitor")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == expected)
+    } finally query.stop()
+  }
+
+  test("watermarked append mode emits closed windows only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, String)]
+    val query = QualityMonitor.windowedPassRate(
+        input.toDF().toDF("ts", "text", "lang"), "ts", "text", "lang",
+        windowDur = "60 seconds", minTokens = 3,
+        watermark = Some("30 seconds"))
+      .writeStream.format("memory").queryName("graft_quality_monitor_wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows)
+      query.processAllAvailable()
+      // advance event time far enough to close both windows
+      input.addData(Seq((t("2026-01-01 10:10:00"), passText, "en")))
+      query.processAllAvailable()
+      val got = spark.sql(
+          "SELECT * FROM graft_quality_monitor_wm")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == expected) // the 10:10 window is still open: absent
+    } finally query.stop()
+  }
+}
