@@ -66,7 +66,31 @@ object ScalableOps {
       rhs: DataFrame,
       keys: Seq[String],
       leftTime: String,
-      rightTime: String): DataFrame = {
+      rightTime: String): DataFrame =
+    asofJoinImpl(lhs, rhs, keys, leftTime, rightTime, forward = false)
+
+  /** Forward ASOF LEFT JOIN: each left row picks the EARLIEST right
+    * row at-or-after its time (`l.ts <= r.ts`) within the key group —
+    * the "next scheduled maintenance / next price revision" direction.
+    * Same union/one-shuffle/one-sort shape as [[asofJoinBackward]],
+    * scanning time DESCENDING so the running carry holds the smallest
+    * at-or-after right timestamp; identical tie and payload contracts.
+    */
+  def asofJoinForward(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame =
+    asofJoinImpl(lhs, rhs, keys, leftTime, rightTime, forward = true)
+
+  private def asofJoinImpl(
+      lhs: DataFrame,
+      rhs: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      forward: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val payloadCols = rhs.columns.filterNot(c =>
@@ -84,8 +108,9 @@ object ScalableOps {
       keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__side"),
         lit(null).cast(rTagged.schema("__p").dataType).as("__p"))
         ++ leftCols.filterNot(keys.contains).map(col): _*)
+    val tOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc, col("__p").asc_nulls_first)
+      .orderBy(tOrd, col("__side").asc, col("__p").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rTagged.unionByName(lTagged)
       .withColumn("__carried", last(col("__p"), ignoreNulls = true).over(w))

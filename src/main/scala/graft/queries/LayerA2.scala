@@ -811,6 +811,62 @@ object LayerA2 {
              |              OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey
              |                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
              |                    EXCLUDE CURRENT ROW) AS DOUBLE) / 100.0 AS neighbor_total
-             |  FROM orders WHERE o_orderkey <= 4000""".stripMargin))
+             |  FROM orders WHERE o_orderkey <= 4000""".stripMargin)),
+
+    // A58 (beyond the inventory): correlated LATERAL subquery with
+    // ORDER BY + LIMIT (top-2 customers per nation) — both engines run
+    // the same SQL shape; Spark decorrelates the lateral into a
+    // rank-window under the hood (no per-row re-execution), which is
+    // exactly the plan a hand-written composition would build. Exact
+    // cents + unique-key tie-break keep the LIMIT cut deterministic.
+    QueryDef(
+      "a58_lateral",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation_a58")
+        Tables.customer(s, d).createOrReplaceTempView("customer_a58")
+        s.sql("""SELECT n.n_name, c.c_custkey, c.acct
+                |  FROM nation_a58 n,
+                |  LATERAL (SELECT c_custkey,
+                |                  CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acct
+                |             FROM customer_a58
+                |            WHERE c_nationkey = n.n_nationkey
+                |            ORDER BY acct DESC, c_custkey LIMIT 2) c""".stripMargin)
+      },
+      Some("""SELECT n.n_name, c.c_custkey, c.acct
+             |  FROM nation n,
+             |  LATERAL (SELECT c_custkey,
+             |                  CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) AS acct
+             |             FROM customer
+             |            WHERE c_nationkey = n.n_nationkey
+             |            ORDER BY acct DESC, c_custkey LIMIT 2) c""".stripMargin)),
+
+    // A59 (beyond the inventory): forward ASOF LEFT JOIN — each click
+    // picks up the EARLIEST at-or-after error for its user (the
+    // "next event" direction; a41 is the backward twin). Oracle is
+    // DuckDB's native ASOF with l.ts <= r.ts.
+    QueryDef(
+      "a59_asof_forward",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val errors = e.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts").as("__rt"),
+            col("ts").as("err_ts"), col("event_id").as("err_id"),
+            col("value").as("err_value"))
+        graft.ops.ScalableOps.asofJoinForward(
+          clicks, errors, Seq("user_id"), "ts", "__rt")
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |   WHERE event_type = 'click'),
+             |errors AS (
+             |  SELECT user_id, ts AS err_ts, event_id AS err_id,
+             |         value AS err_value
+             |    FROM events WHERE event_type = 'error')
+             |SELECT c.event_id, c.user_id, c.ts, c.value,
+             |       e.err_ts, e.err_id, e.err_value
+             |  FROM clicks c ASOF LEFT JOIN errors e
+             |    ON c.user_id = e.user_id AND c.ts <= e.err_ts""".stripMargin))
   )
 }

@@ -51,6 +51,26 @@ class ScalableOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"no join operator expected:\n$plan")
   }
 
+  test("asof forward: earliest at-or-after right row per key; unmatched stay null") {
+    val (lhs, rhs) = sides
+    val out = ScalableOps.asofJoinForward(lhs, rhs, Seq("key"), "t", "rt")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(4))).toMap
+    assert(out == Map(
+      1L -> Some("r20"), // before both right rows -> nearest after is 20
+      2L -> Some("r20"), // exactly at rt=20 -> matches (<= semantics)
+      3L -> None,        // after every right row
+      4L -> None,        // key with no right rows
+      5L -> Some("r99"))) // later right row now matches forward
+  }
+
+  test("asof forward: same single-exchange plan as backward") {
+    val (lhs, rhs) = sides
+    val plan = ScalableOps.asofJoinForward(lhs, rhs, Seq("key"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1)
+    assert(!plan.contains("Join"))
+  }
+
   test("range join binned: inclusive bounds, multi-bin intervals, no duplicate pairs") {
     import spark.implicits._
     val pts = Seq(("a", 10L, 1L), ("a", 25L, 2L), ("a", 30L, 3L),
