@@ -92,13 +92,24 @@ object BpeTrainer {
 
   /** Train `numMerges` merges over the corpus. Returns the ordered
     * merge list. Stops early if no adjacent pair remains.
+    *
+    * Each iteration TRUNCATES lineage with an eager `localCheckpoint`
+    * rather than `cache()`: a cached plan still nests the previous
+    * iteration's full plan inside its `InMemoryRelation` argString, so
+    * plan *text* (built by Spark for the SQL tab / error rendering)
+    * grows geometrically with iterations — measured as a driver OOM in
+    * `QueryExecution.explainString` at merge ~18 on a 500k-doc corpus.
+    * `localCheckpoint` replaces the logical plan with a constant-size
+    * `LogicalRDD`, making per-iteration plan cost flat. The vocab table
+    * is |distinct words| rows (≪ corpus), so executor-local checkpoint
+    * storage is cheap; on a real cluster executor loss just re-fails
+    * the training job, which is acceptable for an offline trainer.
     */
   def trainMerges(docs: DataFrame, textCol: String,
       numMerges: Int): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = initialVocab(docs, textCol).cache()
-    vocab.count() // materialize before the source is re-read per round
+    var vocab = initialVocab(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -111,8 +122,7 @@ object BpeTrainer {
           merges += ((a, b))
           val mergeUdf = udf((syms: Seq[String]) => applyMerge(syms, a, b))
           val next = vocab.select(mergeUdf(col("syms")).as("syms"),
-            col("freq")).cache()
-          next.count()
+            col("freq")).localCheckpoint(true)
           vocab.unpersist()
           vocab = next
       }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph ranking for crawl curation — PageRank over an edge
+  * list, the standard signal for prioritizing/weighting web documents
+  * before they enter a pretraining corpus (the reference engine ships
+  * no graph operators; this is part of the LLM-pipeline extension
+  * surface, alongside dedup/decontamination/mixing).
+  *
+  * Scale shape (the Pregel iteration expressed relationally): one
+  * pass pre-joins out-degrees onto the edge list; each iteration is
+  * then exactly one shuffle — contributions `rank/odeg` flow along
+  * edges and hash-aggregate on `dst` — plus a 1-row dangling-mass
+  * aggregate. Nothing corpus-sized ever reaches the driver. Lineage
+  * is truncated per iteration with an eager `localCheckpoint` (NOT
+  * `cache`): a cached iteration nests the previous plan's text inside
+  * its InMemoryRelation argString and the plan string grows
+  * geometrically with iterations — the same driver-OOM failure mode
+  * measured and fixed in [[BpeTrainer.trainMerges]].
+  */
+object GraphRank {
+
+  /** Fixed-iteration PageRank. `edges` must have `src` and `dst`
+    * columns (any integral/string type; duplicate edges count once —
+    * the relation is de-duplicated up front so out-degree is
+    * well-defined). The node set is every id appearing as src or dst.
+    * Dangling nodes (no out-edges) redistribute their mass uniformly,
+    * the standard correction. Returns (id, rank) with Σ rank = 1.
+    */
+  def pageRank(edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // Pre-join the degree once: every iteration reuses this relation.
+    val edgesW = e.join(outdeg, Seq("src")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0.0d))
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+      .localCheckpoint(true)
+    val hasDangling = !nodes
+      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .isEmpty
+    for (_ <- 0 until iters) {
+      // Mass parked on dangling nodes, redistributed uniformly. The
+      // aggregate is 1 row; skipped entirely when the graph has none.
+      val dm: Double =
+        if (!hasDangling) 0.0
+        else ranks
+          .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0d))).head().getDouble(0)
+      val inflow = edgesW
+        .join(ranks, edgesW("src") === ranks("id"))
+        .select(col("dst").as("id"),
+          (col("rank") / col("odeg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      val next = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base + damping * dm / n) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Per-domain authority over a (doc domain → outlink domain) edge
+    * list, then joined back as a document weight — the composed form a
+    * crawl-curation pipeline uses (rank domains, weight docs).
+    */
+  def domainAuthority(docs: DataFrame, domainCol: String,
+      outDomainCol: String, iters: Int,
+      damping: Double = 0.85): DataFrame =
+    pageRank(
+      docs.select(col(domainCol).as("src"), col(outDomainCol).as("dst")),
+      iters, damping)
+      .withColumnRenamed("id", "domain")
+      .withColumnRenamed("rank", "authority")
+}

@@ -319,6 +319,24 @@ object BenchHeavy {
             contentMod = 20000)))
         graft.ops.Multimodal.imageDHash(media)
           .groupBy(col("dhash")).agg(count(lit(1)).as("n"))
+      }),
+
+    // Link-graph PageRank at 500k nodes / 1.5M edges, 5 iterations —
+    // tracks the one-shuffle-per-iteration claim (GraphRank scaladoc)
+    // as a wall-time number. The hub edge (src % 1024) skews in-degree
+    // like a real web graph. No DuckDB denominator by construction
+    // (the recursive-CTE twin is quadratic-in-iterations there).
+    QueryDef(
+      "x11_pagerank",
+      (s, _) => {
+        val n = 500000L
+        val ids = s.range(0, n).select(col("id").as("src"))
+        val edges = ids.select(col("src"),
+            ((col("src") * 37 + 11) % n).as("dst"))
+          .union(ids.select(col("src"), ((col("src") * 53 + 7) % n).as("dst")))
+          .union(ids.select(col("src"), (col("src") % 1024).as("dst")))
+        graft.ops.GraphRank.pageRank(edges, iters = 5)
+          .orderBy(col("rank").desc).limit(20)
       })
   )
 }

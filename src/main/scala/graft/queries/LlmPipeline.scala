@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{BpeTrainer, CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, Dsir, LmScore, Multimodal, Packing, Preference, QualityClassifier, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{BpeTrainer, CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, Dsir, GraphRank, LmScore, Multimodal, Packing, Preference, QualityClassifier, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -2298,6 +2298,64 @@ object LlmPipeline {
              |SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
              |  FROM pr GROUP BY a, b
              | ORDER BY cnt DESC, a, b LIMIT 20""".stripMargin)),
+
+    // PageRank over a deterministically derived link graph (three
+    // modular out-edges per document — both engines construct the
+    // identical relation), 3 power iterations at d=0.85. The Spark
+    // side is the production iterative operator (GraphRank.pageRank,
+    // one shuffle per iteration, localCheckpoint-truncated lineage);
+    // the oracle unrolls the same recurrence as chained CTEs. The
+    // graph has no dangling nodes by construction, so the two
+    // formulations share the plain inflow recurrence; the dangling
+    // path is pinned by GraphRankSpec against an independent
+    // driver-side reference implementation.
+    QueryDef(
+      "l65_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 37 + 11) % n).as("dst"))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * 53 + 7) % n))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * 97 + 3) % n))
+        GraphRank.pageRank(edges, iters = 3)
+          .select(col("id").as("doc_id"), col("rank"))
+      },
+      Some("""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT doc_id AS src, (doc_id*37 + 11) % nn.n AS dst FROM documents, nn
+             |    UNION ALL SELECT doc_id, (doc_id*53 + 7) % nn.n FROM documents, nn
+             |    UNION ALL SELECT doc_id, (doc_id*97 + 3) % nn.n FROM documents, nn)),
+             |od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+             |r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE)/nn.n AS rank FROM documents, nn),
+             |r1 AS (SELECT d.doc_id AS id,
+             |              CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+             |                + 0.85*COALESCE(SUM(r0.rank/od.odeg), 0) AS rank
+             |         FROM documents d
+             |         LEFT JOIN e ON e.dst = d.doc_id
+             |         LEFT JOIN od ON od.src = e.src
+             |         LEFT JOIN r0 ON r0.id = e.src
+             |        GROUP BY d.doc_id),
+             |r2 AS (SELECT d.doc_id AS id,
+             |              CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+             |                + 0.85*COALESCE(SUM(r1.rank/od.odeg), 0) AS rank
+             |         FROM documents d
+             |         LEFT JOIN e ON e.dst = d.doc_id
+             |         LEFT JOIN od ON od.src = e.src
+             |         LEFT JOIN r1 ON r1.id = e.src
+             |        GROUP BY d.doc_id),
+             |r3 AS (SELECT d.doc_id AS id,
+             |              CAST(0.15 AS DOUBLE)/(SELECT n FROM nn)
+             |                + 0.85*COALESCE(SUM(r2.rank/od.odeg), 0) AS rank
+             |         FROM documents d
+             |         LEFT JOIN e ON e.dst = d.doc_id
+             |         LEFT JOIN od ON od.src = e.src
+             |         LEFT JOIN r2 ON r2.id = e.src
+             |        GROUP BY d.doc_id)
+             |SELECT id AS doc_id, CAST(rank AS DOUBLE) AS rank FROM r3""".stripMargin)),
 
     // 2H: streaming corpus-quality monitor run in BATCH mode (the
     // oracle twin): curation-rules pass rate per event-time minute.

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphRankSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  /** Independent driver-side reference: textbook PageRank over maps. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val n = nodes.length
+    val out = e.groupBy(_._1).map { case (s, es) => s -> es.length }
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 0 until iters) {
+      val dangling = nodes.filter(!out.contains(_)).map(r).sum
+      val inflow = e.groupBy(_._2).map { case (t, es) =>
+        t -> es.map(p => r(p._1) / out(p._1)).sum
+      }
+      r = nodes.map(id => id ->
+        ((1.0 - d) / n + d * dangling / n +
+          d * inflow.getOrElse(id, 0.0))).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+    import spark.implicits._
+    GraphRank.pageRank(edges.toDF("src", "dst"), iters)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+  }
+
+  private def assertClose(a: Map[Long, Double], b: Map[Long, Double]): Unit = {
+    assert(a.keySet == b.keySet)
+    for ((k, v) <- a) assert(math.abs(v - b(k)) < 1e-12,
+      s"node $k: $v vs ${b(k)}")
+  }
+
+  test("two-node cycle stays uniform") {
+    val edges = Seq(1L -> 2L, 2L -> 1L)
+    val got = run(edges, 5)
+    assertClose(got, Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("chain with dangling sink matches the reference recurrence") {
+    // 1 -> 2 -> 3, 3 dangling: exercises the dangling-mass path.
+    val edges = Seq(1L -> 2L, 2L -> 3L)
+    assertClose(run(edges, 4), refPageRank(edges, 4))
+  }
+
+  test("duplicate edges count once and rank sums to 1") {
+    val edges = Seq(1L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
+    val got = run(edges, 6)
+    assertClose(got, refPageRank(edges, 6))
+    assert(math.abs(got.values.sum - 1.0) < 1e-12)
+  }
+
+  test("hub-and-spoke concentrates rank on the hub") {
+    val edges = (2L to 9L).flatMap(i => Seq(i -> 1L, 1L -> i))
+    val got = run(edges, 8)
+    assertClose(got, refPageRank(edges, 8))
+    assert(got(1L) > got(2L) * 3)
+  }
+
+  test("zero iterations returns the uniform prior") {
+    val got = run(Seq(1L -> 2L, 2L -> 1L, 3L -> 1L), 0)
+    assertClose(got, Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3))
+  }
+}
