@@ -131,6 +131,41 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Per-document BPE token counts via the vocabulary, not the corpus:
+    * the merge loop runs ONCE per distinct word (|vocab| rows, ≪
+    * corpus), and documents get their counts back through a broadcast
+    * join on the word — the only corpus-sized passes are the tokenize
+    * explode and the final doc-keyed sum. This is the shape a 100 TB
+    * tokenize-and-pack job must use: re-encoding every occurrence
+    * (as [[encode]] does per row) multiplies the merge-loop cost by
+    * corpus/vocab, which is ~10^4 on real text. Output: (doc_id,
+    * n_bpe) with n_bpe = 0 for empty/NULL docs.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val nSymsUdf = udf((w: String) => {
+      var syms: Seq[String] = symbols(w).toSeq
+      for ((a, b) <- merges) syms = applyMerge(syms, a, b)
+      syms.length.toLong
+    })
+    val docWords = docs.select(col(idCol).as("doc_id"),
+        explode(udf((t: String) =>
+          if (t == null) Array.empty[String] else TextKernel.tokens(t))
+          .apply(col(textCol))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val encodedVocab = docWords.select(col("word")).distinct()
+      .select(col("word"), nSymsUdf(col("word")).as("n_syms"))
+    val counted = docWords.join(broadcast(encodedVocab), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("n_syms")).as("n_bpe"))
+    // Re-attach zero-token documents (no words ⇒ absent from the
+    // explode) so the output covers every input id.
+    docs.select(col(idCol).as("doc_id"))
+      .join(counted, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
   /** Tokenize documents with a trained merge list (applied in training
     * order, the standard BPE encode): (doc_id, bpe_tokens, n_bpe).
     * The merge table is driver-bounded by construction (M entries) and

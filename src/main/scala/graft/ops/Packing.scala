@@ -41,10 +41,20 @@ object Packing {
     * bucket's concatenated stream.
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int, buckets: Int): DataFrame =
+    packCounted(docs.select(col(idCol).as("doc_id"),
+        nTokensUdf(col(textCol)).as("n_tokens")),
+      "doc_id", "n_tokens", budget, buckets)
+
+  /** [[packSequences]] over a precomputed token-count column — the
+    * entry point when counts come from a real tokenizer (e.g.
+    * [[BpeTrainer.bpeTokenCounts]]) instead of the whitespace kernel.
+    */
+  def packCounted(counted: DataFrame, idCol: String, nTokensCol: String,
       budget: Int, buckets: Int): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
-    val keyed = docs.select(col(idCol).as("doc_id"),
-        nTokensUdf(col(textCol)).as("n_tokens"),
+    val keyed = counted.select(col(idCol).as("doc_id"),
+        col(nTokensCol).cast("long").as("n_tokens"),
         md5(col(idCol).cast("string")).as("rk"))
       .withColumn("bucket",
         Sampling.hashBucket(col("doc_id").cast("string")) % buckets)

@@ -337,6 +337,31 @@ object BenchHeavy {
           .union(ids.select(col("src"), (col("src") % 1024).as("dst")))
         graft.ops.GraphRank.pageRank(edges, iters = 5)
           .orderBy(col("rank").desc).limit(20)
+      }),
+
+    // End-to-end tokenize-and-pack: train 30 BPE merges on the
+    // amplified corpus, count per-doc BPE tokens via the vocab-join
+    // path (the merge loop runs once per DISTINCT word, never per
+    // occurrence — bpeTokenCounts scaladoc), then compute the pack
+    // layout at budget 2048 over 64 bucket streams. The dominant real
+    // cost of a production ingest, exercised as one workload.
+    QueryDef(
+      "x12_tokenize_pack",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        val merges = graft.ops.BpeTrainer.trainMerges(docs, "text", 30)
+        val counted = graft.ops.BpeTrainer.bpeTokenCounts(
+          docs, "doc_id", "text", merges)
+        graft.ops.Packing.packCounted(counted, "doc_id", "n_bpe",
+            budget = 2048, buckets = 64)
+          .groupBy(col("bucket"))
+          .agg(max(col("pack_id")).as("packs"),
+            sum(col("n_tokens")).as("bpe_tokens"))
       })
   )
 }

@@ -52,4 +52,20 @@ class BpeTrainerSpec extends AnyFunSuite {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     assert(BpeTrainer.trainMerges(docs, "text", numMerges = 3).isEmpty)
   }
+
+  test("bpeTokenCounts equals the direct per-row encode, incl. empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "newest newest low"),
+      (2L, "lower widest low low"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val direct = BpeTrainer.encode(docs, "doc_id", "text", merges)
+      .select("doc_id", "n_bpe").as[(Long, Long)].collect().toMap
+    val viaVocab = BpeTrainer.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaVocab == direct)
+    assert(viaVocab(3L) == 0L && viaVocab(4L) == 0L)
+  }
 }
