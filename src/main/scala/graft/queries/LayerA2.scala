@@ -867,6 +867,58 @@ object LayerA2 {
              |SELECT c.event_id, c.user_id, c.ts, c.value,
              |       e.err_ts, e.err_id, e.err_value
              |  FROM clicks c ASOF LEFT JOIN errors e
-             |    ON c.user_id = e.user_id AND c.ts <= e.err_ts""".stripMargin))
+             |    ON c.user_id = e.user_id AND c.ts <= e.err_ts""".stripMargin)),
+
+    // A60 (beyond the inventory): LEAD/LAG with IGNORE NULLS — gap
+    // bridging over sparse columns (both engines support the SQL:2011
+    // null treatment natively). The nullable column is derived
+    // identically on both sides (value only on 'click' rows).
+    QueryDef(
+      "a60_ignore_nulls",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("click_value",
+            when(col("event_type") === "click", col("value")))
+          .select(col("event_id"), col("user_id"),
+            lag(col("click_value"), 1, null, ignoreNulls = true).over(w)
+              .as("prev_click"),
+            lead(col("click_value"), 1, null, ignoreNulls = true).over(w)
+              .as("next_click"))
+      },
+      Some("""SELECT event_id, user_id,
+             |       lag(click_value, 1 IGNORE NULLS) OVER w AS prev_click,
+             |       lead(click_value, 1 IGNORE NULLS) OVER w AS next_click
+             |  FROM (SELECT event_id, user_id, ts,
+             |               CASE WHEN event_type = 'click' THEN value END AS click_value
+             |          FROM events)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin)),
+
+    // A61 (beyond the inventory): QUALIFY — filter on a window result
+    // without a derived table (DuckDB/modern-SQL syntax). Spark
+    // expresses it as window + filter; the plan is identical (one
+    // WindowGroupLimit-able exchange), the oracle uses QUALIFY proper.
+    QueryDef(
+      "a61_qualify",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(LayerA1.cents("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            (LayerA1.cents("o_totalprice").cast("double") / 100.0)
+              .as("total"), col("rn").cast("long").as("rn"))
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |       CAST(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS DOUBLE) / 100.0 AS total,
+             |       CAST(row_number() OVER w AS BIGINT) AS rn
+             |  FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) DESC, o_orderkey)
+             |QUALIFY rn <= 3""".stripMargin))
   )
 }
