@@ -106,10 +106,14 @@ object BpeTrainer {
     * the training job, which is acceptable for an offline trainer.
     */
   def trainMerges(docs: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String)] =
+    trainMergesFromVocab(initialVocab(docs, textCol), numMerges)
+
+  private[ops] def trainMergesFromVocab(initial: DataFrame,
       numMerges: Int): Seq[(String, String)] = {
-    val spark = docs.sparkSession
+    val spark = initial.sparkSession
     import spark.implicits._
-    var vocab = initialVocab(docs, textCol).localCheckpoint(true)
+    var vocab = initial.localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -129,6 +133,124 @@ object BpeTrainer {
     }
     vocab.unpersist()
     merges.toSeq
+  }
+
+  /** In-memory merge loop over a collected (symbols, freq) vocabulary —
+    * the kernel behind [[trainMergesAuto]]'s local path. Identical
+    * output contract to [[trainMerges]] (same top-pair choice, same
+    * (cnt desc, a, b) total-order tie-break, same L2R non-overlapping
+    * apply), pinned by BpeTrainerSpec's local-vs-distributed test.
+    *
+    * Algorithm: the standard incremental trainer — adjacency pair
+    * counts with a (cnt, a, b)-ordered selection structure and a
+    * pair→word-ids index; each merge touches only the words containing
+    * the merged pair (subtract their old pair counts, rewrite, add the
+    * new ones). Cost ≈ O(total symbols + merges × affected words),
+    * independent of corpus size.
+    */
+  private[ops] def trainMergesLocal(
+      wordFreqs: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val words = wordFreqs.map(_._1.clone())
+    val freqs = wordFreqs.map(_._2)
+    val cnt = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // (−cnt, a, b) total order — head() is exactly the distributed
+    // orderBy(cnt.desc, a, b).limit(1) choice. Strings must compare in
+    // UTF-8 BYTE order (Spark's UTF8String binary comparison), not
+    // Java's UTF-16 order — the two diverge for supplementary
+    // characters (a surrogate pair sorts below U+E000..U+FFFF in
+    // UTF-16 but above them in code-point order).
+    val utf8Ord: Ordering[String] = (x: String, y: String) => {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(a.length, b.length)
+      var r = 0
+      while (r == 0 && i < n) {
+        r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1
+      }
+      if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+    }
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, utf8Ord, utf8Ord)
+    val queue = mutable.TreeSet.empty[(Long, String, String)]
+    def addWordPairs(wi: Int, sign: Long): Unit = {
+      val s = words(wi); val f = freqs(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val old = cnt.getOrElse(p, 0L)
+        if (old != 0L) queue.remove((old, p._1, p._2))
+        val nw = old + sign * f
+        if (nw != 0L) { cnt(p) = nw; queue.add((nw, p._1, p._2)) }
+        else cnt.remove(p)
+        if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addWordPairs(_, 1L))
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < numMerges && queue.nonEmpty) {
+      val (c, a, b) = queue.head
+      // where-sets are not pruned on subtraction; skip stale entries.
+      if (c <= 0L) { queue.remove(queue.head) }
+      else {
+        merges += ((a, b))
+        val affected = where.getOrElse((a, b), mutable.Set.empty).toArray.sorted
+        for (wi <- affected) {
+          val s = words(wi)
+          var has = false; var i = 0
+          while (!has && i + 1 < s.length) {
+            if (s(i) == a && s(i + 1) == b) has = true; i += 1
+          }
+          if (has) {
+            addWordPairs(wi, -1L)
+            words(wi) = applyMerge(s.toSeq, a, b).toArray
+            addWordPairs(wi, 1L)
+          }
+        }
+        where.remove((a, b))
+        val left = cnt.getOrElse((a, b), 0L)
+        if (left != 0L) { queue.remove((left, a, b)); cnt.remove((a, b)) }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Size-gated training (the scoreAuto/local-CC precedent): the
+    * corpus-sized work — word counting, optionally pruned by
+    * `minFreq` — is always distributed; the merge loop then runs
+    * in-memory when the pruned vocabulary fits under `localVocabGate`
+    * rows (one merge ≈ microseconds instead of two Spark jobs — a
+    * realistic 32k-merge vocabulary is seconds instead of hours), and
+    * falls back to the fully distributed [[trainMerges]] loop above
+    * the gate. `minFreq` is the standard trainer knob that keeps a
+    * web-scale vocabulary (typos, URLs) bounded: hapax tokens can
+    * never win a merge against real text anyway.
+    */
+  def trainMergesAuto(docs: DataFrame, textCol: String, numMerges: Int,
+      minFreq: Long = 1L, localVocabGate: Long = 4000000L)
+      : Seq[(String, String)] = {
+    val pruned0 = wordCounts(docs, textCol)
+    val pruned = if (minFreq > 1L) pruned0.filter(col("freq") >= minFreq)
+      else pruned0
+    val vocab = pruned.localCheckpoint(true)
+    val n = vocab.count()
+    val out =
+      if (n <= localVocabGate) {
+        val rows = vocab.collect().map(r =>
+          (symbols(r.getString(0)), r.getLong(1)))
+        trainMergesLocal(rows, numMerges)
+      } else {
+        val symsUdf = udf((w: String) => symbols(w))
+        trainMergesFromVocab(
+          vocab.select(symsUdf(col("word")).as("syms"), col("freq")),
+          numMerges)
+      }
+    vocab.unpersist()
+    out
   }
 
   /** Per-document BPE token counts via the vocabulary, not the corpus:

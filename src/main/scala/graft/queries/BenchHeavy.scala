@@ -354,7 +354,7 @@ object BenchHeavy {
             .repartition(s.sparkContext.defaultParallelism)
           else s.read.parquet(amplifiedDir(s, d, "documents", f)(
             graft.tools.Amplify.documents(_, f)))
-        val merges = graft.ops.BpeTrainer.trainMerges(docs, "text", 30)
+        val merges = graft.ops.BpeTrainer.trainMergesAuto(docs, "text", 30)
         val counted = graft.ops.BpeTrainer.bpeTokenCounts(
           docs, "doc_id", "text", merges)
         graft.ops.Packing.packCounted(counted, "doc_id", "n_bpe",

@@ -53,6 +53,50 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(BpeTrainer.trainMerges(docs, "text", numMerges = 3).isEmpty)
   }
 
+  test("local merge loop matches the distributed loop exactly") {
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++
+      Seq.fill(4)("wide") ++ Seq.fill(7)("the") ++ Seq.fill(7)("then") ++
+      Seq.fill(2)("\uD83D\uDE00ab \uD83D\uDE00ac") ++ Seq.fill(3)("banana bandana"))
+      .mkString(" ")
+    val docs = Seq((1L, text), (2L, text.toUpperCase),
+      (3L, "singleton words here once")).toDF("doc_id", "text")
+    val distributed = BpeTrainer.trainMerges(docs, "text", 25)
+    val auto = BpeTrainer.trainMergesAuto(docs, "text", 25)
+    assert(auto == distributed)
+  }
+
+  test("utf8 tie-break: supplementary char orders by code point, not UTF-16") {
+    import spark.implicits._
+    val bmp = "\uFFFD"          // U+FFFD — UTF-16 max-ish BMP char
+    val supp = "\uD800\uDC00"  // U+10000 — sorts BELOW U+FFFD in
+                                  // UTF-16 but ABOVE it in UTF-8 bytes
+    val docs = Seq((1L, s"$bmp$bmp $supp$supp")).toDF("doc_id", "text")
+    val distributed = BpeTrainer.trainMerges(docs, "text", 1)
+    val auto = BpeTrainer.trainMergesAuto(docs, "text", 1)
+    assert(auto == distributed)
+    assert(auto == Seq((bmp, bmp)))
+  }
+
+  test("trainMergesAuto minFreq prunes hapax words before training") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa aa aa zq")).toDF("doc_id", "text")
+    // without pruning, (z,q) exists; with minFreq=2 only "aa" remains
+    assert(BpeTrainer.trainMergesAuto(docs, "text", 5)
+      .contains(("z", "q")))
+    assert(BpeTrainer.trainMergesAuto(docs, "text", 5, minFreq = 2L) ==
+      Seq(("a", "a")))
+  }
+
+  test("trainMergesAuto above the gate falls back to the distributed loop") {
+    import spark.implicits._
+    val docs = Seq((1L, "low low lower newest")).toDF("doc_id", "text")
+    val viaDistributed = BpeTrainer.trainMergesAuto(docs, "text", 4,
+      localVocabGate = 0L)
+    assert(viaDistributed == BpeTrainer.trainMerges(docs, "text", 4))
+  }
+
   test("bpeTokenCounts equals the direct per-row encode, incl. empty docs") {
     import spark.implicits._
     val docs = Seq(
