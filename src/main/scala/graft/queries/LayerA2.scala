@@ -919,6 +919,43 @@ object LayerA2 {
              |  FROM orders
              |WINDOW w AS (PARTITION BY o_orderpriority
              |             ORDER BY CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) DESC, o_orderkey)
-             |QUALIFY rn <= 3""".stripMargin))
+             |QUALIFY rn <= 3""".stripMargin)),
+
+    // A62 (beyond the inventory): GROUPS window frame (SQL:2011 frame
+    // mode Spark lacks). Composed: dense_rank numbers the peer groups,
+    // then a RANGE frame over that rank IS the GROUPS frame — exact
+    // semantics, one extra window column, both windows share the same
+    // partitioning/ordering so Spark plans a single exchange+sort.
+    QueryDef(
+      "a62_groups_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val byDate = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderdate"))
+        val byGroup = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("grp")).rangeBetween(-1, Window.currentRow)
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 4000)
+          .withColumn("grp", dense_rank().over(byDate))
+          .withColumn("grp_sum",
+            (sum(LayerA1.cents("o_totalprice")).over(byGroup)
+              .cast("double") / 100.0))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("grp").cast("long").as("grp"), col("grp_sum"))
+      },
+      // DuckDB's parser rejects GROUPS mode too ("not implemented
+      // yet", verified 2026-08) — the oracle re-derives the SQL:2011
+      // semantics with the same dense_rank→RANGE peer-group identity.
+      Some("""WITH g AS (
+             |  SELECT o_orderkey, o_orderpriority,
+             |         CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents,
+             |         CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+             |                                 ORDER BY o_orderdate) AS BIGINT) AS grp
+             |    FROM orders WHERE o_orderkey <= 4000)
+             |SELECT o_orderkey, o_orderpriority, grp,
+             |       CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY grp
+             |                             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |         / 100.0 AS grp_sum
+             |  FROM g""".stripMargin))
   )
 }
