@@ -27,7 +27,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.startsWith) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): coalesce collapses every
+      // narrow-dependency ancestor into the single output task, so a
+      // map-only query (e.g. per-doc shingling) runs its WHOLE corpus
+      // computation single-threaded — a sf0.1 sweep straggler burned
+      // 15 min of one core exactly this way. repartition keeps the
+      // upstream plan at its natural parallelism (identical to how
+      // Bench/production run it) and only shuffles the compare-sized
+      // result into one file.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
