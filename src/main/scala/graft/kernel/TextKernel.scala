@@ -222,6 +222,43 @@ object TextKernel {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split(WsPlus).filter(_.nonEmpty)
 
+  /** 60-bit md5-family SimHash as one Long — the kernel twin of the
+    * interpreted column formulation in Dedup.simhashPairsExact's
+    * original shape (and bit-for-bit equal to it, so the DuckDB
+    * re-derivation oracle is unchanged): bit j is the majority vote
+    * over all tokens (with multiplicity) of bit (j%4) of hex digit
+    * (15 − j/4) (1-based) of md5(token); ties (sum ≤ 0) vote 0. The
+    * interpreted HOF form evaluated 60 `conv` extractions per token at
+    * ~7 µs each — ≥16 minutes single-threaded over a 5k-doc sweep
+    * slice; this loop reads the digest bytes directly. NULL/empty
+    * text → signature 0 (both formulations agree).
+    */
+  def md5Simhash60(text: String): Long = {
+    val votes = new Array[Int](60)
+    if (text != null) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for (t <- tokens(text)) {
+        val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.reset()
+        var j = 0
+        while (j < 60) {
+          // 0-based hex char c = 14 − j/4; char 2i is the high nibble
+          // of digest byte i, char 2i+1 the low nibble
+          val c = 14 - j / 4
+          val nib =
+            if (c % 2 == 0) (digest(c / 2) >> 4) & 0xf
+            else digest(c / 2) & 0xf
+          votes(j) += (((nib >> (j % 4)) & 1) << 1) - 1
+          j += 1
+        }
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
   private val stopwordProfiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "a", "with"),
     "es" -> Set("el", "la", "de", "que", "y", "en", "un", "los", "se", "del", "las", "por"),

@@ -847,32 +847,26 @@ object Dedup {
     val nBits = 60
     val bandBits = 12
     val nBands = nBits / bandBits
-    val toks = filter(split(lower(col(textCol)), graft.kernel.TextKernel.WsPlus), t => length(t) > 0)
-    // per-token md5 hex; bit j of the 60-bit token hash lives in hex
-    // char (15 - j/4) (1-based, char 15 least significant), bit (j%4)
-    // of that digit
-    def bitOf(m: Column, j: Column): Column =
-      floor(conv(m.substr((lit(15) - floor(j.cast("double") / 4.0)).cast("int"),
-        lit(1)), 16, 10).cast("double") /
-        pow(lit(2.0), (j % 4).cast("double"))).cast("long") % 2
-    val sigs = docs.select(col(idCol).as("id"),
-      transform(toks, t => md5(t)).as("ths"))
-      .select(col("id"),
-        transform(sequence(lit(0), lit(nBits - 1)), j =>
-          when(aggregate(col("ths"), lit(0L),
-            (acc, m) => acc + (bitOf(m, j) * 2 - 1)) > 0, lit(1L))
-            .otherwise(lit(0L))).as("bits"))
-    val banded = sigs.select(col("id"), col("bits"),
-      posexplode(transform(sequence(lit(0), lit(nBands - 1)), b =>
-        aggregate(sequence(lit(0), lit(bandBits - 1)), lit(0L), (acc, jj) =>
-          acc + get(col("bits"), (b * bandBits + jj).cast("int")) *
-            pow(lit(2.0), jj.cast("double")).cast("long")))))
+    // Kernel signature, not the interpreted HOF formulation (which
+    // evaluated 60 conv-extractions per token at ~7 µs each and ran
+    // ≥16 min single-threaded on a one-row-group sf0.1 scan): same
+    // md5-hex bit math byte-for-byte — TextKernel.md5Simhash60 — so
+    // every candidate and every hamming value is unchanged and the
+    // DuckDB oracle still re-derives them exactly. The signature is
+    // one LONG instead of a 60-element array, so banding is codegen'd
+    // shift/mask and the verify payload is 8 bytes/doc.
+    val sigUdf = udf((t: String) => graft.kernel.TextKernel.md5Simhash60(t))
+    val sigs = docs.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+      posexplode(array((0 until nBands).map(b =>
+        shiftright(col("sim"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_bits")
-    bandedCandidatePairs(banded, "band_bits", sigs.select("id", "bits"), "bits")
+    bandedCandidatePairs(banded, "band_bits", sigs.select("id", "sim"), "sim")
       .select(col("id_a"), col("id_b"),
-        aggregate(zip_with(col("bits_a"), col("bits_b"),
-          (x, y) => abs(x - y)), lit(0L), (acc, v) => acc + v).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("hamming")).as("hamming"))

@@ -35,6 +35,35 @@ class TextKernelSpec extends AnyFunSuite {
     assert(est(sa, sa) == 1.0)
   }
 
+  test("md5Simhash60 matches an independent hex-string re-derivation") {
+    // the original column formulation's math, re-implemented through
+    // the hex STRING (the kernel reads digest bytes directly)
+    def ref(text: String): Long = {
+      if (text == null) return 0L
+      val toks = text.toLowerCase
+        .split("[ \t\n\f\r]+").filter(_.nonEmpty)
+      val votes = new Array[Int](60)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      for (t <- toks) {
+        val hex = f"${new java.math.BigInteger(1,
+          md.digest(t.getBytes("UTF-8")))}%032x"
+        md.reset()
+        for (j <- 0 until 60) {
+          val d = Integer.parseInt(hex.charAt(15 - j / 4 - 1).toString, 16)
+          votes(j) += ((d >> (j % 4)) & 1) * 2 - 1
+        }
+      }
+      (0 until 60).foldLeft(0L)((s, j) =>
+        if (votes(j) > 0) s | (1L << j) else s)
+    }
+    val samples = Seq(null, "", "   ", "one", "one two three One TWO",
+      "the quick brown fox", "😀 unicode tökens mixed 123",
+      "a a a b", "tab\tsep\nlines")
+    for (s <- samples)
+      assert(graft.kernel.TextKernel.md5Simhash60(s) == ref(s),
+        s"mismatch for ${Option(s).map(_.take(20))}")
+  }
+
   test("simhash: similar token multisets land within small Hamming distance") {
     val a = simhash64("the quick brown fox jumps over the lazy dog tonight".split(" "))
     val b = simhash64("the quick brown fox jumps over the lazy cat tonight".split(" "))
