@@ -222,6 +222,23 @@ object TextKernel {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split(WsPlus).filter(_.nonEmpty)
 
+  /** Kernel twin of the `conv(substring(md5(s), 1, 15), 16, 10)`
+    * column idiom (graft.ops.Dedup.md5Hash60): the first 15 hex chars
+    * of md5 as a 60-bit long — i.e. the first 8 digest bytes read
+    * big-endian, shifted right 4 (dropping the 16th hex char).
+    * Bit-for-bit equal (spec-pinned), so operators can move hot
+    * signature loops out of interpreted HOF evaluation without
+    * touching their DuckDB oracles.
+    */
+  def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
   /** 60-bit md5-family SimHash as one Long — the kernel twin of the
     * interpreted column formulation in Dedup.simhashPairsExact's
     * original shape (and bit-for-bit equal to it, so the DuckDB

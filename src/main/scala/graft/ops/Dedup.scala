@@ -686,9 +686,11 @@ object Dedup {
   /** (base, banded) md5-family minhash band keys — the shared front of
     * the all-pairs ([[minhashPairsExact]]) and against-index
     * ([[minhashNewVsIndexExact]]) variants: per doc, 5-gram shingles →
-    * `numHashes` md5 minhashes → `bands` band-key hashes. Pure column
-    * arithmetic (codegen'd, no UDF) so an external engine re-derives
-    * every key bit-for-bit.
+    * `numHashes` md5 minhashes → `bands` band-key hashes. The hash
+    * family is pure md5 arithmetic, so an external engine re-derives
+    * every key bit-for-bit; the loops run in a kernel UDF
+    * (TextKernel.md5Hash60, spec-pinned to the column idiom) because
+    * the equivalent HOF expressions are interpreted by Catalyst.
     */
   private[graft] def exactBandKeys(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int,
@@ -700,22 +702,36 @@ object Dedup {
       .select((col(idCol).as("id") +: col(textCol).as("text") +:
         shingles(col(textCol), shingleN).as("shs") +:
         carryCols.map(col)): _*)
-    // minhash_j = min over shingles of md5-hash("j:" + shingle)
-    val sigs = base.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        j => array_min(transform(col("shs"),
-          s => md5Hash60(concat(j.cast("string"), lit(":"), s))))))
+    // minhash_j = min over shingles of md5-hash("j:" + shingle) —
+    // kernel loops, not the transform/array_min HOF formulation: the
+    // interpreted form evaluated numHashes × |shingles| conv
+    // extractions per document (~20 single-core minutes over a
+    // one-row-group sf0.1 scan); TextKernel.md5Hash60 is spec-pinned
+    // bit-for-bit equal to the column idiom, so every signature, band
+    // key and downstream oracle value is unchanged.
+    val sigUdf = udf((shs: Seq[String]) =>
+      Array.tabulate(numHashes) { j =>
+        val prefix = j.toString + ":"
+        var m = Long.MaxValue
+        for (s <- shs) {
+          val h = graft.kernel.TextKernel.md5Hash60(prefix + s)
+          if (h < m) m = h
+        }
+        m
+      })
+    val sigs = base.withColumn("sig", sigUdf(col("shs")))
     // band key = md5-hash("b|" + comma-joined slice of the signature).
     // `carryCols` ride along for callers that cannot join the payload
     // back by id (a streaming side would need a stream-stream join);
     // batch callers leave it empty and stay payload-free.
+    val bandUdf = udf((sig: Seq[Long]) =>
+      Array.tabulate(bands) { b =>
+        graft.kernel.TextKernel.md5Hash60(b.toString + "|" +
+          sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
+      })
     val banded = sigs.select(
       (col("id") +: carryCols.map(col)) :+
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => md5Hash60(concat(b.cast("string"), lit("|"),
-          concat_ws(",", transform(
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            h => h.cast("string"))))))): _*)
+      posexplode(bandUdf(col("sig"))): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
     (base, banded)

@@ -35,6 +35,18 @@ class TextKernelSpec extends AnyFunSuite {
     assert(est(sa, sa) == 1.0)
   }
 
+  test("md5Hash60 equals the first-15-hex-chars-of-md5 column idiom") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (s <- Seq("", "a", "0:abcde", "7|123,456", "unicode ☃ snow",
+        "😀", "longer string with several words and 1234 digits")) {
+      val hex = f"${new java.math.BigInteger(1,
+        md.digest(s.getBytes("UTF-8")))}%032x"
+      md.reset()
+      val expect = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      assert(graft.kernel.TextKernel.md5Hash60(s) == expect, s"for '$s'")
+    }
+  }
+
   test("md5Simhash60 matches an independent hex-string re-derivation") {
     // the original column formulation's math, re-implemented through
     // the hex STRING (the kernel reads digest bytes directly)
