@@ -35,8 +35,15 @@ object Verify {
       // upstream plan at its natural parallelism (identical to how
       // Bench/production run it) and only shuffles the compare-sized
       // result into one file.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        val secs = (System.nanoTime() - t0) / 1e9
+        // per-query timing on stderr: makes sweep stragglers
+        // attributable without jstack archaeology
+        if (secs >= 10) System.err.println(f"[verify] $name slow: $secs%.1f s")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -222,6 +222,21 @@ object TextKernel {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split(WsPlus).filter(_.nonEmpty)
 
+  /** Distinct code-point n-gram substrings — kernel twin of the
+    * `array_distinct(transform(sequence(...), i → substr(text, i, n)))`
+    * column idiom (graft.ops.Dedup.shingles): Spark's substr indexes
+    * CODE POINTS, so windows step one code point at a time.
+    */
+  def charShingles(text: String, n: Int): Array[String] = {
+    if (text == null) return Array.empty
+    val cps = text.codePoints().toArray
+    if (cps.length < n) return Array.empty
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= cps.length) { out.add(new String(cps, i, n)); i += 1 }
+    out.toArray(new Array[String](out.size))
+  }
+
   /** Kernel twin of the `conv(substring(md5(s), 1, 15), 16, 10)`
     * column idiom (graft.ops.Dedup.md5Hash60): the first 15 hex chars
     * of md5 as a 60-bit long — i.e. the first 8 digest bytes read

@@ -700,16 +700,17 @@ object Dedup {
     val base = docs
       .filter(length(col(textCol)) >= shingleN)
       .select((col(idCol).as("id") +: col(textCol).as("text") +:
-        shingles(col(textCol), shingleN).as("shs") +:
         carryCols.map(col)): _*)
-    // minhash_j = min over shingles of md5-hash("j:" + shingle) —
-    // kernel loops, not the transform/array_min HOF formulation: the
-    // interpreted form evaluated numHashes × |shingles| conv
-    // extractions per document (~20 single-core minutes over a
-    // one-row-group sf0.1 scan); TextKernel.md5Hash60 is spec-pinned
-    // bit-for-bit equal to the column idiom, so every signature, band
-    // key and downstream oracle value is unchanged.
-    val sigUdf = udf((shs: Seq[String]) =>
+    // minhash_j = min over distinct shingles of md5-hash("j:" +
+    // shingle) — ONE kernel pass from text (TextKernel.charShingles +
+    // md5Hash60, both spec-pinned bit-for-bit to their column idioms),
+    // not the shingles/transform/array_min HOF formulation: Catalyst
+    // interprets lambda bodies, and numHashes × |shingles| conv
+    // extractions per document serialized to ~20 single-core minutes
+    // on a one-row-group sf0.1 scan. Every signature, band key and
+    // downstream oracle value is unchanged.
+    val sigUdf = udf((text: String) => {
+      val shs = graft.kernel.TextKernel.charShingles(text, shingleN)
       Array.tabulate(numHashes) { j =>
         val prefix = j.toString + ":"
         var m = Long.MaxValue
@@ -718,8 +719,9 @@ object Dedup {
           if (h < m) m = h
         }
         m
-      })
-    val sigs = base.withColumn("sig", sigUdf(col("shs")))
+      }
+    })
+    val sigs = base.withColumn("sig", sigUdf(col("text")))
     // band key = md5-hash("b|" + comma-joined slice of the signature).
     // `carryCols` ride along for callers that cannot join the payload
     // back by id (a streaming side would need a stream-stream join);

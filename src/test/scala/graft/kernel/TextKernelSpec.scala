@@ -35,6 +35,23 @@ class TextKernelSpec extends AnyFunSuite {
     assert(est(sa, sa) == 1.0)
   }
 
+  test("charShingles matches an offsetByCodePoints re-derivation") {
+    def ref(text: String, n: Int): Seq[String] = {
+      val total = text.codePointCount(0, text.length)
+      (0 to total - n).map { i =>
+        val st = text.offsetByCodePoints(0, i)
+        text.substring(st, text.offsetByCodePoints(st, n))
+      }.distinct
+    }
+    for (s <- Seq("abcdef", "aaaaa", "ab", "", "😀x😀x😀y",
+        "mixed ☃ unicode text here");
+        n <- Seq(2, 5)) {
+      assert(graft.kernel.TextKernel.charShingles(s, n).toSeq == ref(s, n),
+        s"for '$s' n=$n")
+    }
+    assert(graft.kernel.TextKernel.charShingles(null, 3).isEmpty)
+  }
+
   test("md5Hash60 equals the first-15-hex-chars-of-md5 column idiom") {
     val md = java.security.MessageDigest.getInstance("MD5")
     for (s <- Seq("", "a", "0:abcde", "7|123,456", "unicode ☃ snow",
