@@ -254,6 +254,40 @@ object TextKernel {
     v >>> 4
   }
 
+  /** Winnowing fingerprint COUNT on the md5 hash family — kernel twin
+    * of the column formulation in Dedup.winnowFingerprintCountExact
+    * (spec-pinned bit-for-bit against it): k-gram md5Hash60 values
+    * over code-point windows, per-window-of-w minima, distinct count.
+    * n ≤ 0 grams → 0; n ≤ w → distinct gram count; NULL text → null
+    * (the column CASE's fall-through). Returns a boxed Long for the
+    * null case.
+    */
+  def winnowMd5FingerprintCount(text: String, k: Int,
+      w: Int): java.lang.Long = {
+    if (text == null) return null
+    val cps = text.codePoints().toArray
+    val n = cps.length - (k - 1)
+    if (n <= 0) return java.lang.Long.valueOf(0L)
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) { grams(i) = md5Hash60(new String(cps, i, k)); i += 1 }
+    val set = new java.util.HashSet[java.lang.Long]()
+    if (n <= w) {
+      var g = 0
+      while (g < n) { set.add(grams(g)); g += 1 }
+    } else {
+      var s = 0
+      while (s + w <= n) {
+        var m = Long.MaxValue
+        var j = s
+        while (j < s + w) { if (grams(j) < m) m = grams(j); j += 1 }
+        set.add(m)
+        s += 1
+      }
+    }
+    java.lang.Long.valueOf(set.size.toLong)
+  }
+
   /** 60-bit md5-family SimHash as one Long — the kernel twin of the
     * interpreted column formulation in Dedup.simhashPairsExact's
     * original shape (and bit-for-bit equal to it, so the DuckDB

@@ -901,20 +901,22 @@ object Dedup {
 
   /** Winnowing fingerprint COUNT on the md5 hash family — oracle-exact
     * twin of [[fingerprints]]: k-gram md5-60 hashes, per-window-of-w
-    * minima, distinct count. The kernel's rightmost-on-ties position
-    * rule doesn't affect the distinct VALUE set, so the count is
-    * tie-rule independent. Matches the kernel's short-text cases:
-    * < k chars → 0; ≤ w grams → one window over all grams.
+    * minima, distinct count. The winnowing kernel's rightmost-on-ties
+    * position rule doesn't affect the distinct VALUE set, so the count
+    * is tie-rule independent. Short-text cases: < k chars → 0; ≤ w
+    * grams → one window over all grams.
+    *
+    * Runs as TextKernel.winnowMd5FingerprintCount, spec-pinned
+    * bit-for-bit against the original column formulation (nested
+    * transform/array_min/slice over md5Hash60 of substr windows) —
+    * which Catalyst INTERPRETS, and whose inlined `grams` subtree was
+    * re-evaluated per window: O(len × w) interpreted substr+md5 evals
+    * per document, the last ~17-minute single-core straggler in the
+    * sf0.1 sweep.
     */
   def winnowFingerprintCountExact(text: Column, k: Int, w: Int): Column = {
-    val n = length(text) - (k - 1)
-    val grams = transform(sequence(lit(1), greatest(n, lit(0))),
-      i => md5Hash60(text.substr(i, lit(k))))
-    val mins = transform(sequence(lit(1), n - (w - 1)),
-      s => array_min(slice(grams, s, lit(w))))
-    when(n <= lit(0), lit(0))
-      .when(n <= lit(w), size(array_distinct(grams)))
-      .otherwise(size(array_distinct(mins)))
-      .cast("long")
+    val u = udf((t: String) =>
+      graft.kernel.TextKernel.winnowMd5FingerprintCount(t, k, w))
+    u(text)
   }
 }

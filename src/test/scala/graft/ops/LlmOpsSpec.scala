@@ -396,4 +396,36 @@ class LlmOpsSpec extends AnyFunSuite {
     // distinct contents must not collide at Hamming 0 on an 8x6 ramp family
     assert(!pairs.exists(p => Set(3L).contains(p._1) || Set(3L).contains(p._2)))
   }
+
+  test("winnowFingerprintCountExact kernel matches the original column formulation") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the pre-kernel formulation, verbatim — the bit-for-bit reference
+    def columnForm(text: Column, k: Int, w: Int): Column = {
+      val n = length(text) - (k - 1)
+      val grams = transform(sequence(lit(1), greatest(n, lit(0))),
+        i => Dedup.md5Hash60(text.substr(i, lit(k))))
+      val mins = transform(sequence(lit(1), n - (w - 1)),
+        s => array_min(slice(grams, s, lit(w))))
+      when(n <= lit(0), lit(0))
+        .when(n <= lit(w), size(array_distinct(grams)))
+        .otherwise(size(array_distinct(mins)))
+        .cast("long")
+    }
+    val texts = Seq("", "abc", "abcdefgh", "abcdefghij",
+      "aaaaaaaaaaaaaaaa", "the quick brown fox jumps over the lazy dog",
+      "😀😀😀😀😀😀😀😀😀x", "padded    whitespace   text here",
+      ("abc " * 40).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    for ((k, w) <- Seq((8, 4), (5, 3), (3, 6))) {
+      val got = df.select(col("id"),
+        Dedup.winnowFingerprintCountExact(col("text"), k, w).as("c"))
+        .as[(Long, Long)].collect().toMap
+      val ref = df.select(col("id"), columnForm(col("text"), k, w).as("c"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == ref, s"k=$k w=$w")
+    }
+  }
 }
