@@ -33,12 +33,14 @@ object GraphRank {
       damping: Double = 0.85): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     // Pre-join the degree once: every iteration reuses this relation.
+    // Only edgesW is materialized — `e` exists solely to feed it (one
+    // pass), and the node set derives from edgesW, so the edge list
+    // hits executor storage exactly once.
     val edgesW = e.join(outdeg, Seq("src")).localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
+    val nodes = edgesW.select(col("src").as("id"))
+      .union(edgesW.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
     if (n == 0) return nodes.withColumn("rank", lit(0.0d))
@@ -46,7 +48,7 @@ object GraphRank {
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
     val hasDangling = !nodes
-      .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+      .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
       .isEmpty
     for (_ <- 0 until iters) {
       // Mass parked on dangling nodes, redistributed uniformly. The
@@ -54,7 +56,7 @@ object GraphRank {
       val dm: Double =
         if (!hasDangling) 0.0
         else ranks
-          .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0.0d))).head().getDouble(0)
       val inflow = edgesW
         .join(ranks, edgesW("src") === ranks("id"))
