@@ -2404,6 +2404,46 @@ object LlmPipeline {
              |       COUNT(*) AS n_docs,
              |       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
              |       (CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS pass_rate_milli
-             |  FROM g GROUP BY es""".stripMargin))
+             |  FROM g GROUP BY es""".stripMargin)),
+
+    // Streaming OOV-rate drift monitor run in BATCH mode (the oracle
+    // twin): per event-time minute, the fraction of arriving tokens
+    // absent from a static reference vocabulary (here: the even-doc
+    // half of the corpus). The streaming-feasible slice of l61's
+    // drift — scalar state per window, stream-static broadcast join
+    // for membership; QualityMonitorSpec drives the same function
+    // through MemoryStream.
+    QueryDef(
+      "h05_stream_oov_rate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ref = docs.filter(col("doc_id") % 2 === 0)
+          .select(explode(graft.ops.TextCols.toks(col("text"))).as("word"))
+          .distinct()
+        graft.streaming.QualityMonitor.windowedOovRate(
+          docs.select(
+            timestamp_seconds(lit(1704067200L) + col("doc_id") % 600)
+              .as("ts"),
+            col("text")),
+          "ts", "text", ref, windowDur = "60 seconds")
+      },
+      Some(s"""WITH ref AS (
+             |  SELECT DISTINCT unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS tok
+             |    FROM documents WHERE doc_id % 2 = 0),
+             |toks AS (
+             |  SELECT doc_id, 1704067200 + (doc_id % 600) // 60 * 60 AS es,
+             |         unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                x -> len(x) > 0)) AS tok
+             |    FROM documents),
+             |j AS (
+             |  SELECT t.es, t.doc_id, (r.tok IS NULL) AS oov
+             |    FROM toks t LEFT JOIN ref r ON t.tok = r.tok)
+             |SELECT strftime(make_timestamp(es * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+             |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       COUNT(*) AS n_tokens,
+             |       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
+             |  FROM j GROUP BY es""".stripMargin))
   )
 }

@@ -47,4 +47,43 @@ object QualityMonitor {
         col("n_docs"), col("n_kept"),
         expr("(n_kept * 1000) div n_docs").as("pass_rate_milli"))
   }
+
+  /** Windowed out-of-vocabulary rate against a static reference
+    * vocabulary — the STREAMING-FEASIBLE slice of token-distribution
+    * drift (l61's full TVD needs per-token counts, i.e. vocab-sized
+    * state per window; OOV rate needs only scalar counters). A rising
+    * OOV rate against the accepted corpus's vocabulary is the online
+    * tripwire for a crawler/source regression.
+    *
+    * The same function runs batch (the h05 oracle row) and streaming:
+    * tokens explode statelessly, membership is a stream-static LEFT
+    * join against the broadcast `refVocab` (one `word` column), and
+    * the only stateful operator is the windowed scalar aggregate —
+    * O(windows) state, evicted by the watermark. Output per window:
+    * (window_start, n_docs, n_tokens, n_oov, oov_rate_milli), where
+    * n_docs counts documents with ≥ 1 token.
+    */
+  def windowedOovRate(docs: DataFrame, tsCol: String, textCol: String,
+      refVocab: DataFrame, windowDur: String = "60 seconds",
+      watermark: Option[String] = None): DataFrame = {
+    val toks0 = docs
+      .select(col(tsCol).as("ts"),
+        posexplode(graft.ops.TextCols.toks(col(textCol))))
+      .select(col("ts"), (col("pos") === 0).as("first_tok"),
+        col("col").as("tok"))
+    val toks = watermark.fold(toks0)(w => toks0.withWatermark("ts", w))
+    toks
+      .join(broadcast(refVocab.select(col("word").as("tok"),
+        lit(true).as("in_ref")).distinct()), Seq("tok"), "left")
+      .groupBy(window(col("ts"), windowDur))
+      .agg(
+        sum(when(col("first_tok"), 1L).otherwise(0L)).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_ref").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_docs"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000) div n_tokens").as("oov_rate_milli"))
+  }
 }

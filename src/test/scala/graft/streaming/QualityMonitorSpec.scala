@@ -80,4 +80,51 @@ class QualityMonitorSpec extends AnyFunSuite {
       assert(got == expected) // the 10:10 window is still open: absent
     } finally query.stop()
   }
+
+  // OOV monitor fixtures: ref vocab = {the, cat, sat}; "zz yy" is 100%
+  // OOV, "the cat zz" is 1/3 OOV; the empty doc contributes no tokens
+  // and no doc count.
+  private val oovRows = Seq(
+    (t("2026-01-01 10:00:05"), "the cat sat"),
+    (t("2026-01-01 10:00:40"), "zz yy"),
+    (t("2026-01-01 10:01:10"), "the cat zz"),
+    (t("2026-01-01 10:01:20"), ""))
+
+  private val oovExpected = Set(
+    ("2026-01-01 10:00:00", 2L, 5L, 2L, 400L),
+    ("2026-01-01 10:01:00", 1L, 3L, 1L, 333L))
+
+  private def refVocab = {
+    import spark.implicits._
+    Seq("the", "cat", "sat").toDF("word")
+  }
+
+  test("batch OOV windows: hand-computed rates, empty docs excluded") {
+    import spark.implicits._
+    val got = QualityMonitor.windowedOovRate(
+        oovRows.toDF("ts", "text"), "ts", "text", refVocab,
+        windowDur = "60 seconds")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == oovExpected)
+  }
+
+  test("OOV monitor runs as a streaming query with identical output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val query = QualityMonitor.windowedOovRate(
+        input.toDF().toDF("ts", "text"), "ts", "text", refVocab,
+        windowDur = "60 seconds")
+      .writeStream.format("memory").queryName("graft_oov_monitor")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(oovRows.take(2))
+      query.processAllAvailable()
+      input.addData(oovRows.drop(2))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_oov_monitor")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got == oovExpected)
+    } finally query.stop()
+  }
 }
