@@ -64,6 +64,20 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got(1L) > got(2L) * 3)
   }
 
+  test("random graphs match the reference (seeded, with dangling and dups)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(30)
+      // ~2.5 edges per node; some nodes get none (dangling), some
+      // edges duplicate
+      val edges = Seq.fill(n * 5 / 2)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) ++
+        Seq.fill(n / 4)((rnd.nextInt(n / 2).toLong, 0L))
+      val iters = 1 + rnd.nextInt(6)
+      assertClose(run(edges, iters), refPageRank(edges, iters))
+    }
+  }
+
   test("zero iterations returns the uniform prior") {
     val got = run(Seq(1L -> 2L, 2L -> 1L, 3L -> 1L), 0)
     assertClose(got, Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3))
