@@ -270,17 +270,25 @@ object BpeTrainer {
       for ((a, b) <- merges) syms = applyMerge(syms, a, b)
       syms.length.toLong
     })
-    val docWords = docs.select(col(idCol).as("doc_id"),
-        explode(udf((t: String) =>
-          if (t == null) Array.empty[String] else TextKernel.tokens(t))
-          .apply(col(textCol))).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("cnt"))
-    val encodedVocab = docWords.select(col("word")).distinct()
+    // Vocab from a second map pass over the corpus rather than a
+    // (doc_id, word) pre-grouping: the pre-grouping shuffled one row
+    // per DISTINCT (doc, word) pair — O(corpus tokens) through the
+    // exchange — purely to feed a broadcast join that is map-side
+    // anyway. Two cheap tokenize passes + a map-side-combined
+    // per-doc sum (one row per (partition, doc) through the shuffle)
+    // beat one pass + a corpus-sized exchange at any scale. The
+    // encoded vocab is broadcast; a vocabulary too large for the
+    // driver needs the plain join form instead (and a corpus like
+    // that should be training with minFreq pruning anyway).
+    val encodedVocab = wordCounts(docs, textCol)
       .select(col("word"), nSymsUdf(col("word")).as("n_syms"))
-    val counted = docWords.join(broadcast(encodedVocab), Seq("word"))
+    val tokensDf = docs.select(col(idCol).as("doc_id"),
+      explode(udf((t: String) =>
+        if (t == null) Array.empty[String] else TextKernel.tokens(t))
+        .apply(col(textCol))).as("word"))
+    val counted = tokensDf.join(broadcast(encodedVocab), Seq("word"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("cnt") * col("n_syms")).as("n_bpe"))
+      .agg(sum(col("n_syms")).as("n_bpe"))
     // Re-attach zero-token documents (no words ⇒ absent from the
     // explode) so the output covers every input id.
     docs.select(col(idCol).as("doc_id"))
