@@ -74,6 +74,61 @@ object GraphRank {
     ranks
   }
 
+  /** Personalized PageRank: teleport mass concentrates on `seeds`
+    * (one `id` column) instead of the uniform prior — the standard
+    * graph-proximity signal for seed-based corpus selection ("rank
+    * documents by link proximity to a trusted seed set"). Same
+    * iteration shape and cost as [[pageRank]]; the teleport vector is
+    * 1/|S| on seeds and 0 elsewhere, the initial ranks equal it, and
+    * dangling mass redistributes over the seed distribution (the
+    * standard PPR correction). Seeds outside the graph's node set are
+    * ignored; an empty effective seed set is an error.
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val edgesW = e.join(outdeg, Seq("src")).localCheckpoint(true)
+    val nodes0 = edgesW.select(col("src").as("id"))
+      .union(edgesW.select(col("dst").as("id")))
+      .distinct()
+    val seedSet = seeds.select(col("id")).distinct()
+    val nodes = nodes0
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds > 0, "no seed ids present in the graph")
+    def tele: Column = when(col("is_seed"), lit(1.0 / nSeeds))
+      .otherwise(lit(0.0d))
+    var ranks = nodes.select(col("id"), col("is_seed"), tele.as("rank"))
+      .localCheckpoint(true)
+    val hasDangling = !nodes
+      .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
+      .isEmpty
+    for (_ <- 0 until iters) {
+      val dm: Double =
+        if (!hasDangling) 0.0
+        else ranks
+          .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0d))).head().getDouble(0)
+      val inflow = edgesW
+        .join(ranks.select(col("id"), col("rank")),
+          edgesW("src") === col("id"))
+        .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      val next = nodes.join(inflow, Seq("id"), "left")
+        .select(col("id"), col("is_seed"),
+          ((lit(1.0 - damping) + lit(damping * dm)) * tele +
+            lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+
   /** Per-domain authority over a (doc domain → outlink domain) edge
     * list, then joined back as a document weight — the composed form a
     * crawl-curation pipeline uses (rank domains, weight docs).

@@ -2357,6 +2357,71 @@ object LlmPipeline {
              |        GROUP BY d.doc_id)
              |SELECT id AS doc_id, CAST(rank AS DOUBLE) AS rank FROM r3""".stripMargin)),
 
+    // Personalized PageRank over the l65 graph with a derived seed
+    // set (every 100th document) — the seed-proximity selection
+    // signal. The graph has no dangling nodes by construction, so
+    // both engines share the plain recurrence r = 0.15·tele +
+    // 0.85·inflow with tele = 1/|S| on seeds, 0 elsewhere; the
+    // dangling/off-graph-seed paths are pinned in GraphRankSpec.
+    QueryDef(
+      "l66_personalized_pagerank",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 37 + 11) % n).as("dst"))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * 53 + 7) % n))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * 97 + 3) % n))
+        GraphRank.personalizedPageRank(edges,
+            docs.filter(col("doc_id") % 100 === 0)
+              .select(col("doc_id").as("id")),
+            iters = 3)
+          .select(col("id").as("doc_id"), col("rank"))
+      },
+      Some("""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |sn AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM documents WHERE doc_id % 100 = 0),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT doc_id AS src, (doc_id*37 + 11) % nn.n AS dst FROM documents, nn
+             |    UNION ALL SELECT doc_id, (doc_id*53 + 7) % nn.n FROM documents, nn
+             |    UNION ALL SELECT doc_id, (doc_id*97 + 3) % nn.n FROM documents, nn)),
+             |od AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM e GROUP BY src),
+             |r0 AS (SELECT doc_id AS id,
+             |              CASE WHEN doc_id % 100 = 0
+             |                   THEN CAST(1.0 AS DOUBLE)/(SELECT s FROM sn)
+             |                   ELSE CAST(0 AS DOUBLE) END AS rank
+             |         FROM documents),
+             |r1 AS (SELECT d.doc_id AS id,
+             |              CAST(0.15 AS DOUBLE) * CASE WHEN d.doc_id % 100 = 0
+             |                   THEN CAST(1.0 AS DOUBLE)/(SELECT s FROM sn) ELSE 0 END
+             |                + 0.85*COALESCE(SUM(r0.rank/od.odeg), 0) AS rank
+             |         FROM documents d
+             |         LEFT JOIN e ON e.dst = d.doc_id
+             |         LEFT JOIN od ON od.src = e.src
+             |         LEFT JOIN r0 ON r0.id = e.src
+             |        GROUP BY d.doc_id),
+             |r2 AS (SELECT d.doc_id AS id,
+             |              CAST(0.15 AS DOUBLE) * CASE WHEN d.doc_id % 100 = 0
+             |                   THEN CAST(1.0 AS DOUBLE)/(SELECT s FROM sn) ELSE 0 END
+             |                + 0.85*COALESCE(SUM(r1.rank/od.odeg), 0) AS rank
+             |         FROM documents d
+             |         LEFT JOIN e ON e.dst = d.doc_id
+             |         LEFT JOIN od ON od.src = e.src
+             |         LEFT JOIN r1 ON r1.id = e.src
+             |        GROUP BY d.doc_id),
+             |r3 AS (SELECT d.doc_id AS id,
+             |              CAST(0.15 AS DOUBLE) * CASE WHEN d.doc_id % 100 = 0
+             |                   THEN CAST(1.0 AS DOUBLE)/(SELECT s FROM sn) ELSE 0 END
+             |                + 0.85*COALESCE(SUM(r2.rank/od.odeg), 0) AS rank
+             |         FROM documents d
+             |         LEFT JOIN e ON e.dst = d.doc_id
+             |         LEFT JOIN od ON od.src = e.src
+             |         LEFT JOIN r2 ON r2.id = e.src
+             |        GROUP BY d.doc_id)
+             |SELECT id AS doc_id, CAST(rank AS DOUBLE) AS rank FROM r3""".stripMargin)),
+
     // 2H: streaming corpus-quality monitor run in BATCH mode (the
     // oracle twin): curation-rules pass rate per event-time minute.
     // The same QualityMonitor.windowedPassRate runs unchanged as a

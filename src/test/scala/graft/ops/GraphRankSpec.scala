@@ -82,4 +82,53 @@ class GraphRankSpec extends AnyFunSuite {
     val got = run(Seq(1L -> 2L, 2L -> 1L, 3L -> 1L), 0)
     assertClose(got, Map(1L -> 1.0 / 3, 2L -> 1.0 / 3, 3L -> 1.0 / 3))
   }
+
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val s = seeds.intersect(nodes.toSet)
+    val tele = nodes.map(v =>
+      v -> (if (s(v)) 1.0 / s.size else 0.0)).toMap
+    val out = e.groupBy(_._1).map { case (src, es) => src -> es.length }
+    var r = tele
+    for (_ <- 0 until iters) {
+      val dangling = nodes.filter(!out.contains(_)).map(r).sum
+      val inflow = e.groupBy(_._2).map { case (t, es) =>
+        t -> es.map(p => r(p._1) / out(p._1)).sum
+      }
+      r = nodes.map(v => v ->
+        (((1.0 - d) + d * dangling) * tele(v) +
+          d * inflow.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  private def runPpr(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Double] = {
+    import spark.implicits._
+    GraphRank.personalizedPageRank(edges.toDF("src", "dst"),
+        seeds.toDF("id"), iters)
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+  }
+
+  test("PPR with all nodes as seeds equals uniform PageRank") {
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 4L -> 1L)
+    assertClose(runPpr(edges, Seq(1L, 2L, 3L, 4L), 5), run(edges, 5))
+  }
+
+  test("PPR matches the reference and concentrates mass near seeds") {
+    // two loosely connected triangles; seed in the first one
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L,
+      4L -> 5L, 5L -> 6L, 6L -> 4L, 3L -> 4L)
+    val got = runPpr(edges, Seq(1L), 6)
+    assertClose(got, refPpr(edges, Set(1L), 6))
+    assert(got(2L) > got(5L), "mass should concentrate near the seed")
+  }
+
+  test("PPR handles dangling nodes and off-graph seeds") {
+    val edges = Seq(1L -> 2L, 2L -> 3L) // 3 dangling
+    val got = runPpr(edges, Seq(1L, 99L), 4) // 99 not in graph
+    assertClose(got, refPpr(edges, Set(1L), 4))
+  }
 }
