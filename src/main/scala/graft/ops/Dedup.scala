@@ -742,10 +742,14 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs on the md5 hash family — the
     * oracle-exact twin of [[minhashPairs]]: identical pipeline shape
     * (shingle → signature → band buckets → bucket-join → exact-Jaccard
-    * verify), but every hash is pure column arithmetic over md5, so an
-    * external engine can re-derive the full candidate set bit-for-bit.
-    * Entirely codegen'd (no UDF). Docs shorter than shingleN have no
-    * signature and are excluded (both engines agree).
+    * verify), but every hash derives from md5 of the shingle text, so
+    * an external engine can re-derive the full candidate set
+    * bit-for-bit. Signatures and band keys are computed in spec-pinned
+    * kernel UDFs (TextKernel.md5Hash60 via exactBandKeys) — the r8
+    * interpreted-HOF rewrite; the previous all-column formulation cost
+    * ~7 µs per interpreted lambda eval on the hot path. The md5 hash
+    * family, and therefore the bit-for-bit oracle claim, is unchanged
+    * (pinned kernel-vs-column in LlmOpsSpec).
     */
   def minhashPairsExact(
       docs: DataFrame,

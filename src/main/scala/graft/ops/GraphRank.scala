@@ -11,14 +11,24 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the Pregel iteration expressed relationally): one
   * pass pre-joins out-degrees onto the edge list; each iteration is
-  * then exactly one shuffle — contributions `rank/odeg` flow along
-  * edges and hash-aggregate on `dst` — plus a 1-row dangling-mass
-  * aggregate. Nothing corpus-sized ever reaches the driver. Lineage
-  * is truncated per iteration with an eager `localCheckpoint` (NOT
-  * `cache`): a cached iteration nests the previous plan's text inside
-  * its InMemoryRelation argString and the plan string grows
-  * geometrically with iterations — the same driver-OOM failure mode
-  * measured and fixed in [[BpeTrainer.trainMerges]].
+  * then exactly ONE Spark job — contributions `rank/odeg` flow along
+  * edges and hash-aggregate on `dst`, with the dangling-node mass
+  * folded in as a 1-row broadcast frame computed inside the same job
+  * (previously a separate `.head()` job per iteration). The dangling
+  * node set is static, so it is derived ONCE up front (checkpointed)
+  * and each iteration semi-joins the n-row rank table against it —
+  * not an O(edges) anti-join per iteration (r8 verdict item). Nothing
+  * corpus-sized ever reaches the driver. Lineage is truncated per
+  * iteration with an eager `localCheckpoint` (NOT `cache`): a cached
+  * iteration nests the previous plan's text inside its
+  * InMemoryRelation argString and the plan string grows geometrically
+  * with iterations — the same driver-OOM failure mode measured and
+  * fixed in [[BpeTrainer.trainMerges]]. All intermediate checkpoints
+  * (edge list, node set, dangling set, superseded rank tables) are
+  * unpersisted before returning — only the returned ranks frame, which
+  * no longer depends on them once checkpointed, stays in executor
+  * storage, so repeated invocations in a long-lived session do not
+  * accumulate blocks.
   */
 object GraphRank {
 
@@ -28,9 +38,24 @@ object GraphRank {
     * well-defined). The node set is every id appearing as src or dst.
     * Dangling nodes (no out-edges) redistribute their mass uniformly,
     * the standard correction. Returns (id, rank) with Σ rank = 1.
+    *
+    * `tol` > 0 adds the production convergence stop: iteration ends
+    * early once the L1 delta Σ|r_t − r_{t−1}| falls below `tol`
+    * (`iters` then bounds the worst case). The delta is one extra
+    * 1-row aggregate per iteration over the two rank tables the
+    * iteration already holds; with the default `tol = 0` the check is
+    * skipped entirely and exactly `iters` iterations run — bit-for-bit
+    * the historical fixed-iteration behavior the l65 oracle unrolls.
     */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, tol: Double = 0.0): DataFrame =
+    pageRankWithStats(edges, iters, damping, tol)._1
+
+  /** [[pageRank]] plus the number of iterations actually run (==
+    * `iters` unless `tol` stopped it early) — probe/ops visibility.
+    */
+  def pageRankWithStats(edges: DataFrame, iters: Int,
+      damping: Double = 0.85, tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
@@ -43,35 +68,61 @@ object GraphRank {
       .union(edgesW.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0.0d))
+    if (n == 0) {
+      edgesW.unpersist()
+      return (nodes.withColumn("rank", lit(0.0d)), 0)
+    }
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
       .localCheckpoint(true)
-    val hasDangling = !nodes
+    // The dangling-node set never changes across iterations: derive it
+    // once (one anti-join against the edge srcs) and checkpoint the
+    // RESULT, so each iteration's mass aggregate is a semi-join of the
+    // n-row rank table against this (usually tiny) relation instead of
+    // an O(edges) probe.
+    val danglingIds = nodes
       .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
-      .isEmpty
-    for (_ <- 0 until iters) {
-      // Mass parked on dangling nodes, redistributed uniformly. The
-      // aggregate is 1 row; skipped entirely when the graph has none.
-      val dm: Double =
-        if (!hasDangling) 0.0
-        else ranks
-          .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0.0d))).head().getDouble(0)
+      .localCheckpoint(true)
+    val hasDangling = !danglingIds.isEmpty
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iters && !converged) {
+      // Mass parked on dangling nodes, redistributed uniformly — a
+      // 1-row frame crossJoin-broadcast onto the update (the repo-wide
+      // 1-row-stats-frame pattern), so the whole iteration is a single
+      // job; skipped entirely when the graph has none.
+      val withDm: DataFrame => DataFrame =
+        if (!hasDangling) _.withColumn("dm", lit(0.0d))
+        else {
+          val dmRow = ranks
+            .join(danglingIds, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0d)).as("dm"))
+          df => df.crossJoin(broadcast(dmRow))
+        }
       val inflow = edgesW
         .join(ranks, edgesW("src") === ranks("id"))
         .select(col("dst").as("id"),
           (col("rank") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
-      val next = nodes.join(inflow, Seq("id"), "left")
+      val next = withDm(nodes.join(inflow, Seq("id"), "left"))
         .select(col("id"),
-          (lit(base + damping * dm / n) +
+          (lit(base) + lit(damping) * col("dm") / n +
             lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
         .localCheckpoint(true)
+      itersRun += 1
+      if (tol > 0.0 && itersRun < iters) {
+        val delta = next.as("n").join(ranks.as("p"), "id")
+          .agg(sum(abs(col("n.rank") - col("p.rank"))))
+          .head().getDouble(0)
+        converged = delta < tol
+      }
       ranks.unpersist()
       ranks = next
     }
-    ranks
+    danglingIds.unpersist()
+    nodes.unpersist()
+    edgesW.unpersist()
+    (ranks, itersRun)
   }
 
   /** Personalized PageRank: teleport mass concentrates on `seeds`
@@ -82,10 +133,17 @@ object GraphRank {
     * 1/|S| on seeds and 0 elsewhere, the initial ranks equal it, and
     * dangling mass redistributes over the seed distribution (the
     * standard PPR correction). Seeds outside the graph's node set are
-    * ignored; an empty effective seed set is an error.
+    * ignored; an empty effective seed set is an error. `tol` adds the
+    * same optional L1 convergence stop as [[pageRank]].
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85, tol: Double = 0.0): DataFrame =
+    personalizedPageRankWithStats(edges, seeds, iters, damping, tol)._1
+
+  /** [[personalizedPageRank]] plus the iteration count actually run. */
+  def personalizedPageRankWithStats(edges: DataFrame, seeds: DataFrame,
+      iters: Int, damping: Double = 0.85, tol: Double = 0.0)
+      : (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
@@ -104,29 +162,45 @@ object GraphRank {
       .otherwise(lit(0.0d))
     var ranks = nodes.select(col("id"), col("is_seed"), tele.as("rank"))
       .localCheckpoint(true)
-    val hasDangling = !nodes
+    val danglingIds = nodes.select(col("id"))
       .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
-      .isEmpty
-    for (_ <- 0 until iters) {
-      val dm: Double =
-        if (!hasDangling) 0.0
-        else ranks
-          .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0.0d))).head().getDouble(0)
+      .localCheckpoint(true)
+    val hasDangling = !danglingIds.isEmpty
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iters && !converged) {
+      val withDm: DataFrame => DataFrame =
+        if (!hasDangling) _.withColumn("dm", lit(0.0d))
+        else {
+          val dmRow = ranks.select(col("id"), col("rank"))
+            .join(danglingIds, Seq("id"), "left_semi")
+            .agg(coalesce(sum(col("rank")), lit(0.0d)).as("dm"))
+          df => df.crossJoin(broadcast(dmRow))
+        }
       val inflow = edgesW
         .join(ranks.select(col("id"), col("rank")),
           edgesW("src") === col("id"))
         .select(col("dst").as("id"), (col("rank") / col("odeg")).as("c"))
         .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
-      val next = nodes.join(inflow, Seq("id"), "left")
+      val next = withDm(nodes.join(inflow, Seq("id"), "left"))
         .select(col("id"), col("is_seed"),
-          ((lit(1.0 - damping) + lit(damping * dm)) * tele +
+          ((lit(1.0 - damping) + lit(damping) * col("dm")) * tele +
             lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
         .localCheckpoint(true)
+      itersRun += 1
+      if (tol > 0.0 && itersRun < iters) {
+        val delta = next.as("n").join(ranks.as("p"), "id")
+          .agg(sum(abs(col("n.rank") - col("p.rank"))))
+          .head().getDouble(0)
+        converged = delta < tol
+      }
       ranks.unpersist()
       ranks = next
     }
-    ranks.select(col("id"), col("rank"))
+    danglingIds.unpersist()
+    nodes.unpersist()
+    edgesW.unpersist()
+    (ranks.select(col("id"), col("rank")), itersRun)
   }
 
   /** Per-domain authority over a (doc domain → outlink domain) edge

@@ -33,8 +33,25 @@ object Preference {
     */
   def preferencePairs(scored: DataFrame, promptCol: String, idCol: String,
       scoreCol: String, minMarginMilli: Long = 1L): DataFrame = {
+    // The determinism contract above is ENFORCED, not just documented:
+    // an id outside [0, 10^7) or a score outside ±9·10^11 would bleed
+    // into the wrong component of the rank fold and silently pick the
+    // wrong chosen/rejected row — fail loudly instead (r8 ADVICE). The
+    // guard is a map-side when/raise_error on columns the aggregate
+    // reads anyway; it costs two comparisons per row, no extra pass.
+    val idOk = col(idCol) >= 0L && col(idCol) < 10000000L
+    val scoreOk = abs(col(scoreCol)) < 900000000000L
+    val checked = scored
+      .withColumn(idCol,
+        when(idOk, col(idCol)).otherwise(raise_error(concat(
+          lit(s"preferencePairs: $idCol out of [0, 10^7): "),
+          col(idCol).cast("string")))))
+      .withColumn(scoreCol,
+        when(scoreOk, col(scoreCol)).otherwise(raise_error(concat(
+          lit(s"preferencePairs: |$scoreCol| >= 9e11 overflows the rank fold: "),
+          col(scoreCol).cast("string")))))
     val rank = col(scoreCol) * lit(10000000L) + col(idCol)
-    scored
+    checked
       .groupBy(col(promptCol).as("prompt_id"))
       .agg(count(lit(1)).as("n_candidates"),
         max_by(col(idCol), rank).as("chosen_id"),

@@ -152,10 +152,17 @@ object QualityClassifier {
         explode(hashedCountsUdf(col(textCol), lit(dim))).as("fc"))
       .select(col("doc_id"), col("fc._1").as("feature_id"),
         col("fc._2").cast("long").as("cnt"))
+    // The weight table is ≤ dim rows by contract, so the broadcast
+    // decision gates on dim, not on a size estimate: an explicit
+    // broadcast() hint is honored unconditionally by Spark (it does
+    // NOT fall back for big tables — it OOMs the driver), so only
+    // apply it while dim is comfortably driver-sized; above the gate
+    // leave the join unhinted and let AQE pick shuffle vs broadcast
+    // from the observed build-side size (r8 ADVICE).
+    val weightSide =
+      if (dim <= 4000000) broadcast(weights) else weights
     feats
-      // dim rows — broadcast; Spark falls back to a shuffled join
-      // fine-ly if a caller passes an over-threshold weight table
-      .join(broadcast(weights), Seq("feature_id"), "left")
+      .join(weightSide, Seq("feature_id"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_toks"),
         (sum(col("cnt") * coalesce(col("w_milli"), lit(0L))) + biasMilli)

@@ -800,11 +800,19 @@ object LayerA2 {
         val w = Window.partitionBy(col("o_orderpriority"))
           .orderBy(col("o_orderkey"))
           .rowsBetween(-2, 2)
+        // SQL:2016: EXCLUDE CURRENT ROW over a frame holding only the
+        // current row sums an EMPTY frame → NULL, not 0. The sum-minus-
+        // current composition alone would yield 0 for a single-row
+        // partition; the count-guard (same frame, same WindowExec — no
+        // second exchange/sort) restores the NULL. TPC-H priority
+        // partitions are never size 1, but the operator must not rely
+        // on that (r8 ADVICE).
         Tables.orders(s, d)
           .filter(col("o_orderkey") <= 4000)
           .select(col("o_orderkey"), col("o_orderpriority"),
-            ((sum(cents("o_totalprice")).over(w) - cents("o_totalprice"))
-              .cast("double") / 100.0).as("neighbor_total"))
+            when(count(lit(1)).over(w) > 1,
+              (sum(cents("o_totalprice")).over(w) - cents("o_totalprice"))
+                .cast("double") / 100.0).as("neighbor_total"))
       },
       Some("""SELECT o_orderkey, o_orderpriority,
              |       CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))

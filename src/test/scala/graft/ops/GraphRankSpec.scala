@@ -131,4 +131,46 @@ class GraphRankSpec extends AnyFunSuite {
     val got = runPpr(edges, Seq(1L, 99L), 4) // 99 not in graph
     assertClose(got, refPpr(edges, Set(1L), 4))
   }
+
+  test("tol=0 runs exactly iters; converged-early equals running to the bound") {
+    import spark.implicits._
+    // fast-mixing: complete-ish digraph on 6 nodes — L1 delta collapses
+    // in a handful of iterations, so tol stops well before the bound
+    val edges = (1L to 6L).flatMap(i => (1L to 6L).collect {
+      case j if j != i && (i + j) % 3 != 0 => i -> j
+    })
+    val df = edges.toDF("src", "dst")
+    val (fixed, nFixed) = GraphRank.pageRankWithStats(df, iters = 50)
+    assert(nFixed == 50)
+    val (conv, nConv) =
+      GraphRank.pageRankWithStats(df, iters = 50, tol = 1e-12)
+    assert(nConv < 50, s"expected early stop, ran $nConv")
+    val f = fixed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val c = conv.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f.keySet == c.keySet)
+    // converged-early result is within tol-scale of the fixed run (the
+    // definition of the stop), far tighter than any consumer cares
+    for ((k, v) <- f) assert(math.abs(v - c(k)) < 1e-10,
+      s"node $k: fixed $v vs converged ${c(k)}")
+  }
+
+  test("PPR tol convergence stops early and matches the reference at its depth") {
+    import spark.implicits._
+    val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 2L -> 1L, 3L -> 2L)
+    val (conv, nConv) = GraphRank.personalizedPageRankWithStats(
+      edges.toDF("src", "dst"), Seq(1L).toDF("id"), iters = 60, tol = 1e-13)
+    assert(nConv < 60, s"expected early stop, ran $nConv")
+    val got = conv.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // value-equal to the driver reference unrolled the SAME number of
+    // iterations — the stop changes depth, never the recurrence
+    assertClose(got, refPpr(edges, Set(1L), nConv))
+  }
+
+  test("dangling-heavy graph: fixed iters still match the reference") {
+    // 1 hub feeding 30 dangling sinks plus a 3-cycle — most of the node
+    // set is dangling, exercising the precomputed-dangling semi-join
+    val edges = (10L to 39L).map(i => 1L -> i) ++
+      Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assertClose(run(edges, 5), refPageRank(edges, 5))
+  }
 }

@@ -38,4 +38,20 @@ class PreferenceSpec extends AnyFunSuite {
       minMargin = 5L)
     assert(got == Seq((7L, 4L, 2L, 9L, 3L, 4L, 5L)))
   }
+
+  test("contract violations fail loudly instead of corrupting pairs") {
+    // id >= 10^7 would bleed into the score component of the rank fold
+    val e1 = intercept[Exception](
+      pairs(Seq((1L, 10000000L, 5L), (1L, 2L, 3L)), minMargin = 0L))
+    assert(e1.getMessage.contains("out of [0, 10^7)"),
+      s"unexpected: ${e1.getMessage}")
+    // negative ids equally break the fold
+    val e2 = intercept[Exception](
+      pairs(Seq((1L, -1L, 5L), (1L, 2L, 3L)), minMargin = 0L))
+    assert(e2.getMessage.contains("out of [0, 10^7)"))
+    // |score| >= 9e11 overflows score * 10^7 in a long
+    val e3 = intercept[Exception](
+      pairs(Seq((1L, 1L, 900000000000L), (1L, 2L, 3L)), minMargin = 0L))
+    assert(e3.getMessage.contains("overflows"))
+  }
 }
