@@ -12,7 +12,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Contention audit (r8 verdict #2: x10 swung ±80% on an overlapped
+    // probe JVM): record every OTHER live JVM at bench start, so a
+    // noisy number in the round's record is self-explaining.
+    val ambientJvms: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val self = ProcessHandle.current().pid()
+      ProcessHandle.allProcesses().iterator().asScala
+        .filter(p => p.pid() != self &&
+          p.info().command().map[Boolean](_.contains("java")).orElse(false))
+        .map(p => p.info().commandLine().orElse(p.info().command().orElse(""))
+          .take(120))
+        .toSeq
+    }
+    // The bucketed-at-rest section needs two static session settings
+    // (hive catalog + bucketed-scan ordering, see BucketedTables);
+    // env-gated OFF only as an escape hatch.
+    val bucketedOn = sys.env.getOrElse("SPARK_GRAFT_BUCKETED", "true") != "false"
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,7 +54,9 @@ object Bench {
       .config("spark.shuffle.spill.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark =
+      (if (bucketedOn) BucketedTables.configure(builder0) else builder0)
+        .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.FramelessWindowStrategy.install(spark)
 
@@ -85,8 +104,13 @@ object Bench {
         // best-of-3 doesn't reliably absorb (r7: a01 +34% on noise
         // while everything real improved). Two extra runs cost <1 s
         // and keep round-over-round deltas signal.
-        val widened =
+        var widened =
           if (runs.min < 0.3) runs ++ (1 to 2).map(_ => once()) else runs
+        // Heavy entries that disagree with themselves >25% were hit by
+        // ambient load mid-sample (r8: x10 3.8→6.9 s on an overlapped
+        // probe JVM) — one more run costs seconds and keeps the
+        // round-over-round record readable.
+        if (widened.max > widened.min * 1.25) widened :+= once()
         times :+= (q.name -> widened.min)
       } catch {
         case e: Throwable =>
@@ -95,6 +119,27 @@ object Bench {
     }
     timeSet(layerA, reps = 3)
     timeSet(heavy, reps = 2)
+    // Bucketed-at-rest quartet (standing path, r8 verdict #1): layout
+    // build is ingest-side cost reported separately; the quartet times
+    // land in `queries` (k06/k08/k16/k19) and sum to bucketed_total.
+    val bucketed = if (bucketedOn) BucketedTables.queries else Seq.empty
+    val bucketedBuild =
+      if (bucketedOn)
+        try BucketedTables.ensure(spark, sfDir)
+        catch { case e: Throwable =>
+          errors :+= ("bucketed_build" ->
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          -1.0
+        }
+      else -1.0
+    if (bucketedBuild >= 0.0) {
+      bucketed.foreach { q =>
+        try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        System.gc()
+      }
+      timeSet(bucketed, reps = 3)
+    }
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -103,10 +148,14 @@ object Bench {
     val qs = times.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val layerANames = layerA.map(_.name).toSet
+    val bucketedNames = bucketed.map(_.name).toSet
     val layerATotal = times.collect { case (k, v) if layerANames(k) => v }.sum
-    val heavyTotal = times.collect { case (k, v) if !layerANames(k) => v }.sum
+    val bucketedTotal = times.collect { case (k, v) if bucketedNames(k) => v }.sum
+    val heavyTotal = times.collect {
+      case (k, v) if !layerANames(k) && !bucketedNames(k) => v }.sum
     val total = times.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"queries":$qs,"errors":$es,"sf":${jq(sfDir)}}""")
+    val aj = ambientJvms.map(jq).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"bucketed_total":$bucketedTotal,"bucketed_build_sec":$bucketedBuild,"ambient_jvms":$aj,"queries":$qs,"errors":$es,"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }
