@@ -30,6 +30,25 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** UTF-8 BYTE order (Spark's UTF8String binary comparison, DuckDB's
+    * default VARCHAR collation) — NOT Java's UTF-16 order; the two
+    * diverge for supplementary characters (a surrogate pair sorts
+    * below U+E000..U+FFFF in UTF-16 but above them in code-point
+    * order). Every ordering decision an oracle re-derives (merge
+    * tie-breaks, symbol-id assignment) must use this.
+    */
+  private[ops] val utf8Ord: Ordering[String] = (x: String, y: String) => {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    var r = 0
+    while (r == 0 && i < n) {
+      r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1
+    }
+    if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
+  }
+
   /** Split into Unicode code points. */
   private[ops] def symbols(word: String): Array[String] = {
     val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
@@ -156,23 +175,6 @@ object BpeTrainer {
     val freqs = wordFreqs.map(_._2)
     val cnt = mutable.HashMap.empty[(String, String), Long]
     val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
-    // (−cnt, a, b) total order — head() is exactly the distributed
-    // orderBy(cnt.desc, a, b).limit(1) choice. Strings must compare in
-    // UTF-8 BYTE order (Spark's UTF8String binary comparison), not
-    // Java's UTF-16 order — the two diverge for supplementary
-    // characters (a surrogate pair sorts below U+E000..U+FFFF in
-    // UTF-16 but above them in code-point order).
-    val utf8Ord: Ordering[String] = (x: String, y: String) => {
-      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      var i = 0
-      val n = math.min(a.length, b.length)
-      var r = 0
-      while (r == 0 && i < n) {
-        r = java.lang.Integer.compare(a(i) & 0xff, b(i) & 0xff); i += 1
-      }
-      if (r != 0) r else java.lang.Integer.compare(a.length, b.length)
-    }
     implicit val ord: Ordering[(Long, String, String)] =
       Ordering.Tuple3(Ordering.Long.reverse, utf8Ord, utf8Ord)
     val queue = mutable.TreeSet.empty[(Long, String, String)]
@@ -294,6 +296,84 @@ object BpeTrainer {
     docs.select(col(idCol).as("doc_id"))
       .join(counted, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
+  /** Packed token-ID sequences — the trainer-ready artifact a 100 TB
+    * tokenize-and-pack ingest actually emits (r8 verdict #4): documents
+    * are BPE-encoded to integer ids and laid end-to-end in
+    * [[Packing]]'s deterministic sharded stream order, and each
+    * `budget`-token pack materializes its id array. Output one row per
+    * (bucket, pack_id): (bucket, pack_id, n_tokens, token_ids) with
+    * token_ids in stream order; documents split across pack boundaries
+    * exactly as a training data loader's concat-and-chunk does.
+    *
+    * Ids: the distinct final symbols of the merged vocabulary get
+    * dense ids 1..K in UTF-8 byte order. The symbol table is bounded
+    * by |distinct code points| + |merges| BY CONSTRUCTION (merges only
+    * ever add one symbol each), so collecting it to the driver is a
+    * size contract, not a scale risk — it IS the tokenizer artifact a
+    * trainer ships.
+    *
+    * Scale shape: the merge loop runs once per DISTINCT word (vocab
+    * join, the [[bpeTokenCounts]] shape); the corpus-sized passes are
+    * the tokenize explode, one per-doc window (word start offsets),
+    * the per-bucket layout window ([[Packing.packCounted]]), and ONE
+    * token-level exchange into (bucket, pack) groups — O(corpus)
+    * shuffle volume, which is irreducible for a job whose OUTPUT is
+    * the packed corpus. No HOF runs per token: in-pack ordering is a
+    * native sort_array over (pos, id) structs and the id-strip is one
+    * kernel UDF call per PACK.
+    */
+  def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], budget: Int, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mergedUdf = udf((w: String) => {
+      var s: Seq[String] = symbols(w).toSeq
+      for ((a, b) <- merges) s = applyMerge(s, a, b)
+      s.toArray
+    })
+    val vocab = wordCounts(docs, textCol)
+      .select(col("word"), mergedUdf(col("word")).as("syms"))
+      .localCheckpoint(true)
+    val symIds: Map[String, Long] = vocab
+      .select(explode(col("syms")).as("s")).distinct()
+      .collect().map(_.getString(0))
+      .sorted(utf8Ord).zipWithIndex
+      .map { case (s, i) => (s, (i + 1).toLong) }.toMap
+    val idsUdf = udf((syms: Seq[String]) => syms.map(symIds).toArray)
+    val wordIds = vocab.select(col("word"), idsUdf(col("syms")).as("ids"))
+      .localCheckpoint(true)
+    vocab.unpersist()
+    val toksUdf = udf((t: String) =>
+      if (t == null) Array.empty[String] else graft.kernel.TextKernel.tokens(t))
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), posexplode(toksUdf(col(textCol))))
+      .toDF("doc_id", "wpos", "word")
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wstarts = tokens.join(broadcast(wordIds), Seq("word"))
+      .select(col("doc_id"), col("wpos"), col("ids"),
+        size(col("ids")).cast("long").as("nw"))
+      .withColumn("wstart", sum(col("nw")).over(wdoc) - col("nw"))
+    val counted = docs.select(col(idCol).as("doc_id"))
+      .join(wstarts.groupBy(col("doc_id")).agg(sum(col("nw")).as("n_bpe")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+    val layout = Packing.packCounted(counted, "doc_id", "n_bpe",
+        budget, buckets)
+      .select(col("doc_id"), col("bucket"), col("start_offset"))
+    val stripUdf = udf((packed: Seq[org.apache.spark.sql.Row]) =>
+      packed.map(_.getLong(1)).toArray) // pre-sorted by sort_array
+    wstarts.join(layout, Seq("doc_id"))
+      .select(col("bucket"),
+        (col("start_offset") + col("wstart")).as("base"),
+        posexplode(col("ids")))
+      .select(col("bucket"), (col("base") + col("pos")).as("gpos"), col("col").as("tid"))
+      .groupBy(col("bucket"),
+        floor(col("gpos") / budget).cast("long").as("pack_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        stripUdf(sort_array(collect_list(struct(col("gpos"), col("tid")))))
+          .as("token_ids"))
   }
 
   /** Tokenize documents with a trained merge list (applied in training

@@ -340,11 +340,12 @@ object BenchHeavy {
       }),
 
     // End-to-end tokenize-and-pack: train 30 BPE merges on the
-    // amplified corpus, count per-doc BPE tokens via the vocab-join
-    // path (the merge loop runs once per DISTINCT word, never per
-    // occurrence — bpeTokenCounts scaladoc), then compute the pack
-    // layout at budget 2048 over 64 bucket streams. The dominant real
-    // cost of a production ingest, exercised as one workload.
+    // amplified corpus, BPE-encode every document to dense symbol ids
+    // (the merge loop runs once per DISTINCT word, never per
+    // occurrence), and EMIT the actual packed id sequences at budget
+    // 2048 over 64 bucket streams (r8 verdict #4 — a production
+    // ingest's output is the packed corpus, not just its layout; the
+    // l67 oracle row pins the id arrays bit-for-bit at gate scale).
     QueryDef(
       "x12_tokenize_pack",
       (s, d) => {
@@ -355,13 +356,8 @@ object BenchHeavy {
           else s.read.parquet(amplifiedDir(s, d, "documents", f)(
             graft.tools.Amplify.documents(_, f)))
         val merges = graft.ops.BpeTrainer.trainMergesAuto(docs, "text", 30)
-        val counted = graft.ops.BpeTrainer.bpeTokenCounts(
-          docs, "doc_id", "text", merges)
-        graft.ops.Packing.packCounted(counted, "doc_id", "n_bpe",
-            budget = 2048, buckets = 64)
-          .groupBy(col("bucket"))
-          .agg(max(col("pack_id")).as("packs"),
-            sum(col("n_tokens")).as("bpe_tokens"))
+        graft.ops.BpeTrainer.packTokenIds(docs, "doc_id", "text", merges,
+          budget = 2048, buckets = 64)
       })
   )
 }

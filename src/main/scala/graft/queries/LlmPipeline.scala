@@ -2422,6 +2422,90 @@ object LlmPipeline {
              |        GROUP BY d.doc_id)
              |SELECT id AS doc_id, CAST(rank AS DOUBLE) AS rank FROM r3""".stripMargin)),
 
+    // Packed token-id emission — the end-to-end tokenizer artifact a
+    // production ingest hands the trainer (r8 verdict #4): train 4 BPE
+    // merges, encode every document to dense symbol ids (UTF-8-ordered
+    // symbol table), lay documents out in Packing's deterministic
+    // sharded stream order, and emit each 64-token pack's id array
+    // (CSV-stringified on both engine sides, the a45 lesson). The
+    // oracle re-derives the ENTIRE chain: word counts, four sequential
+    // training rounds — top pair under the trainer's total (cnt DESC,
+    // a, b) order, applied with a list_reduce fold that reproduces the
+    // left-to-right non-overlapping merge exactly (the fold merges iff
+    // the accumulated tail equals `a`, which a just-merged `a||b` can
+    // never do) — symbol-id assignment, per-word id lists, per-doc
+    // flattening, the md5 stream order, and the pack arithmetic.
+    QueryDef(
+      "l67_packed_token_ids",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = BpeTrainer.trainMergesAuto(docs, "text", 4)
+        BpeTrainer.packTokenIds(docs, "doc_id", "text", merges,
+            budget = 64, buckets = 4)
+          .select(col("bucket"), col("pack_id"), col("n_tokens"),
+            concat_ws(",",
+              transform(col("token_ids"), _.cast("string"))).as("token_ids"))
+      },
+      Some {
+        val rounds = (1 to 4).map { k =>
+          s"""m$k AS (SELECT a, b FROM (
+             |    SELECT syms[i] AS a, syms[i+1] AS b, SUM(freq) AS cnt
+             |      FROM (SELECT freq, syms, unnest(generate_series(1, len(syms)-1)) AS i
+             |              FROM v${k - 1} WHERE len(syms) >= 2)
+             |     GROUP BY 1, 2) ORDER BY cnt DESC, a, b LIMIT 1),
+             |v$k AS MATERIALIZED (
+             |  SELECT word, freq, list_reduce(list_transform(syms, x -> [x]),
+             |    (acc, x) -> CASE WHEN acc[-1] = m$k.a AND x[1] = m$k.b
+             |                     THEN acc[1:len(acc)-1] || [m$k.a || m$k.b]
+             |                     ELSE acc || x END) AS syms
+             |    FROM v${k - 1}, m$k),""".stripMargin
+        }.mkString("\n")
+        s"""WITH toks AS (
+           |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+           |                             x -> len(x) > 0) AS ts
+           |    FROM documents),
+           |wc AS MATERIALIZED (
+           |  SELECT w AS word, COUNT(*) AS freq
+           |    FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY w),
+           |v0 AS MATERIALIZED (
+           |  SELECT word, freq,
+           |         list_transform(generate_series(1, len(word)), i -> substr(word, i, 1)) AS syms
+           |    FROM wc),
+           |$rounds
+           |symtab AS (SELECT s AS sym, row_number() OVER (ORDER BY s) AS sid
+           |             FROM (SELECT DISTINCT unnest(syms) AS s FROM v4)),
+           |wsym AS (SELECT word, i, syms[i] AS sym
+           |           FROM (SELECT word, syms, unnest(generate_series(1, len(syms))) AS i FROM v4)),
+           |wids AS MATERIALIZED (
+           |  SELECT word, list(sid ORDER BY i) AS ids
+           |    FROM wsym JOIN symtab USING (sym) GROUP BY word),
+           |dw AS (SELECT doc_id, i AS wpos, ts[i] AS word
+           |         FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM toks)),
+           |dflat AS MATERIALIZED (
+           |  SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS flat
+           |    FROM dw JOIN wids USING (word) GROUP BY doc_id),
+           |lay AS (
+           |  SELECT d.doc_id,
+           |         COALESCE(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000, 0) % 4 AS bucket,
+           |         md5(CAST(d.doc_id AS VARCHAR)) AS rk,
+           |         COALESCE(len(f.flat), 0) AS n
+           |    FROM documents d LEFT JOIN dflat f USING (doc_id)),
+           |off AS (
+           |  SELECT doc_id, bucket,
+           |         CAST(SUM(n) OVER (PARTITION BY bucket ORDER BY rk, doc_id
+           |                           ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start_offset
+           |    FROM lay),
+           |tok AS (
+           |  SELECT bucket, start_offset + i - 1 AS gpos, flat[i] AS tid
+           |    FROM (SELECT o.bucket, o.start_offset, f.flat,
+           |                 unnest(generate_series(1, len(f.flat))) AS i
+           |            FROM dflat f JOIN off o USING (doc_id)))
+           |SELECT bucket, CAST(floor(gpos / 64.0) AS BIGINT) AS pack_id,
+           |       COUNT(*) AS n_tokens,
+           |       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY gpos) AS token_ids
+           |  FROM tok GROUP BY bucket, pack_id""".stripMargin
+      }),
+
     // 2H: streaming corpus-quality monitor run in BATCH mode (the
     // oracle twin): curation-rules pass rate per event-time minute.
     // The same QualityMonitor.windowedPassRate runs unchanged as a

@@ -112,4 +112,41 @@ class BpeTrainerSpec extends AnyFunSuite {
     assert(viaVocab == direct)
     assert(viaVocab(3L) == 0L && viaVocab(4L) == 0L)
   }
+
+  test("packTokenIds reconstructs the per-bucket stream of encode() exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "newest newest low"),
+      (2L, "lower widest low low"),
+      (3L, "the newest widest lower"),
+      (4L, ""),
+      (5L, "low low low newest")).toDF("doc_id", "text")
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    // independent reference: encode() each doc to symbol strings, map
+    // through the UTF-8-ordered symbol table, concatenate in Packing's
+    // (md5(id), id) stream order, chunk at the budget
+    val encoded = BpeTrainer.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String], Long)].collect()
+    val symIds = encoded.flatMap(_._2).distinct
+      .sorted(BpeTrainer.utf8Ord).zipWithIndex
+      .map { case (s, i) => (s, (i + 1).toLong) }.toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val budget = 5
+    val stream = encoded.sortBy(e => (md5hex(e._1.toString), e._1))
+      .flatMap(_._2.map(symIds))
+    val expected = stream.grouped(budget).zipWithIndex
+      .map { case (ids, p) => (p.toLong, ids.toSeq) }.toMap
+
+    val got = BpeTrainer.packTokenIds(docs, "doc_id", "text", merges,
+        budget = budget, buckets = 1)
+      .as[(Long, Long, Long, Seq[Long])].collect()
+    assert(got.map(_._1).forall(_ == 0L)) // one bucket
+    assert(got.map(g => g._2 -> g._4).toMap == expected)
+    assert(got.forall(g => g._3 == g._4.length))
+    // every pack but the bucket's last is exactly full
+    val lastPack = got.map(_._2).max
+    assert(got.filter(_._2 != lastPack).forall(_._3 == budget))
+  }
 }
