@@ -288,6 +288,42 @@ object TextKernel {
     java.lang.Long.valueOf(set.size.toLong)
   }
 
+  /** Stride-1 sliding L-token window fingerprints — one hash per
+    * window start over the space-joined lowercased window tokens. The
+    * exact-substring dedup primitive (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): a token position
+    * lies inside a duplicated span of length ≥ L iff at least one
+    * L-window covering it occurs ≥ 2 times in the corpus, so the union
+    * of repeated windows recovers the duplicated spans EXACTLY (at
+    * fingerprint-collision probability, shared with the oracle since
+    * both derive the same md5 prefix). `exact` picks md5Hash60 (the
+    * engine-neutral oracle family, = first 15 md5 hex chars as BIGINT)
+    * vs FNV hash64 (the cheaper production default, x13's path).
+    * null / shorter-than-L texts → empty.
+    */
+  def slidingWindowHashes(text: String, l: Int,
+      exact: Boolean): Array[Long] = {
+    if (text == null) return Array.empty
+    val ts = tokens(text)
+    val n = ts.length - (l - 1)
+    if (n <= 0) return Array.empty
+    val out = new Array[Long](n)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + l) {
+        if (j > i) sb.append(' ')
+        sb.append(ts(j)); j += 1
+      }
+      val s = sb.toString
+      out(i) = if (exact) md5Hash60(s) else hash64(s)
+      i += 1
+    }
+    out
+  }
+
   /** 60-bit md5-family SimHash as one Long — the kernel twin of the
     * interpreted column formulation in Dedup.simhashPairsExact's
     * original shape (and bit-for-bit equal to it, so the DuckDB

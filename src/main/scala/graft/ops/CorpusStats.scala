@@ -281,6 +281,71 @@ object CorpusStats {
         col("n_dup_chunks").cast("double") / col("n_chunks"))
   }
 
+  /** Exact-substring duplicated spans (the full Lee et al. ExactSubstr
+    * semantics, upgrading [[dupChunkFraction]]'s chunk granularity,
+    * r8 verdict #5): every maximal token range covered by some
+    * `minTokens`-token window that occurs ≥ `minCount` times in the
+    * corpus (occurrences, not distinct docs — a string repeated twice
+    * inside ONE document is duplicated text, per the paper). Windows
+    * slide at stride 1, so this finds every duplicated span of length
+    * ≥ minTokens exactly — the suffix-array result — without a suffix
+    * array: the union of repeated stride-1 windows IS the duplicated
+    * region set. Output per doc (all docs, zeros when clean):
+    * (doc_id, n_spans, n_dup_tokens, spans) with spans a
+    * "start-end,start-end" CSV of 1-based inclusive token ranges.
+    *
+    * Scale shape — O(corpus) shuffle, never all-pairs: the window
+    * fingerprints (8-byte longs, one per token position) ride ONE
+    * exchange partitioned by fingerprint where a frameless COUNT gives
+    * the global occurrence count (the [[dupChunkFraction]] trick — no
+    * second kernel pass, no flagged-set broadcast round-trip); only
+    * the DUPLICATED window starts (a small fraction of a real corpus)
+    * re-shuffle by doc for the interval merge, which is two per-doc
+    * windows (running max end → island ids) and an island aggregate.
+    * A distributed suffix array would sort O(corpus²) suffix bytes;
+    * this is the published practical equivalent at identical output.
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, minCount: Int = 2,
+      exactHash: Boolean = true): DataFrame = {
+    val winUdf = udf((t: String) =>
+      graft.kernel.TextKernel.slidingWindowHashes(t, minTokens, exactHash))
+    val wins = docs
+      .select(col(idCol).as("doc_id"), posexplode(winUdf(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).as("s"), col("col").as("fp"))
+    val dupStarts = wins
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("occ") >= minCount)
+      .select(col("doc_id"), col("s"),
+        (col("s") + (minTokens - 1)).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = dupStarts
+      .withColumn("prev_end", max(col("e")).over(wPrev))
+      .withColumn("nu",
+        when(col("prev_end").isNull || col("s") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("nu")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("n_dup_tokens"),
+        // span-granular HOF (a handful per doc) — cold path by the
+        // repo rule; hot per-token work stayed in the kernel above
+        concat_ws(",", transform(
+          array_sort(collect_list(struct(col("ss"), col("se")))),
+          x => concat(x("ss").cast("string"), lit("-"),
+            x("se").cast("string")))).as("spans"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+        coalesce(col("spans"), lit("")).as("spans"))
+  }
+
   /** Vocabulary table: per lowercased whitespace token, total
     * occurrences, document frequency, and fraction of all corpus
     * tokens (the Zipf curve / tokenizer-coverage input). The corpus

@@ -358,6 +358,24 @@ object BenchHeavy {
         val merges = graft.ops.BpeTrainer.trainMergesAuto(docs, "text", 30)
         graft.ops.BpeTrainer.packTokenIds(docs, "doc_id", "text", merges,
           budget = 2048, buckets = 64)
+      }),
+
+    // Exact-substring dedup at the published span length (50 tokens,
+    // Lee et al.) over the amplified corpus, FNV production hash —
+    // tracks the O(corpus)-shuffle claim (one fingerprint exchange +
+    // the duplicated-starts island merge) as a wall-time number. l68
+    // is the md5-family correctness twin at gate scale.
+    QueryDef(
+      "x13_exact_substr",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        graft.ops.CorpusStats.exactSubstrSpans(docs, "doc_id", "text",
+          minTokens = 50, minCount = 2, exactHash = false)
       })
   )
 }

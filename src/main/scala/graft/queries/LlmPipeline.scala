@@ -2506,6 +2506,46 @@ object LlmPipeline {
            |  FROM tok GROUP BY bucket, pack_id""".stripMargin
       }),
 
+    // Exact-substring duplicated spans (full Lee et al. ExactSubstr
+    // semantics, r8 verdict #5 — l36's chunk-granular signal upgraded
+    // to exact maximal spans): stride-1 8-token window fingerprints,
+    // a window occurring >= 2 times anywhere marks its token range
+    // duplicated, overlapping/adjacent ranges merge into maximal
+    // spans. Oracle re-derives tokenization, the md5-prefix window
+    // fingerprints, occurrence counts, and the island merge.
+    QueryDef(
+      "l68_exact_substr_spans",
+      (s, d) => CorpusStats.exactSubstrSpans(
+        Tables.documents(s, d), "doc_id", "text",
+        minTokens = 8, minCount = 2),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                             x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |win AS (
+             |  SELECT doc_id, i AS s, i + 7 AS e,
+             |         CAST(('0x' || substr(md5(array_to_string(ts[i : i+7], ' ')), 1, 15)) AS BIGINT) AS fp
+             |    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM toks)),
+             |dup AS (SELECT fp FROM win GROUP BY fp HAVING COUNT(*) >= 2),
+             |ds AS (SELECT doc_id, s, e FROM win WHERE fp IN (SELECT fp FROM dup)),
+             |isl AS (
+             |  SELECT doc_id, s, e,
+             |         SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+             |    FROM (SELECT doc_id, s, e,
+             |                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |            FROM ds)),
+             |sp AS (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se FROM isl GROUP BY doc_id, island),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_spans, CAST(SUM(se - ss + 1) AS BIGINT) AS n_dup_tokens,
+             |         string_agg(ss || '-' || se, ',' ORDER BY ss) AS spans
+             |    FROM sp GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+             |       COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens,
+             |       COALESCE(a.spans, '') AS spans
+             |  FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
     // 2H: streaming corpus-quality monitor run in BATCH mode (the
     // oracle twin): curation-rules pass rate per event-time minute.
     // The same QualityMonitor.windowedPassRate runs unchanged as a

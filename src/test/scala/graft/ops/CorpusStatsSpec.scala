@@ -146,4 +146,43 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Double)].head()
     assert(r == ((5L, 5L, 3L, 0L, 0L, 0.0)))
   }
+
+  test("exactSubstrSpans finds maximal duplicated spans, incl. within-doc repeats") {
+    import spark.implicits._
+    val docs = Seq(
+      // cross-doc shared 6-token phrase at different offsets
+      (1L, "the quick brown fox jumps over pad1 pad2"),
+      (2L, "intro the quick brown fox jumps over tail"),
+      // within-doc repeat "x y z w": dup windows at 1,2,5,6 → coverage
+      // {1..4} ∪ {5..8} is contiguous → ONE maximal span 1-8
+      (3L, "x y z w x y z w"),
+      (4L, "alpha beta gamma unique words here"),
+      (5L, ""),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = CorpusStats.exactSubstrSpans(docs, "doc_id", "text",
+        minTokens = 3, minCount = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((1L, 6L, "1-6")))
+    assert(got(2L) == ((1L, 6L, "2-7")))
+    assert(got(3L) == ((1L, 8L, "1-8")))
+    assert(got(4L) == ((0L, 0L, "")))
+    assert(got(5L) == ((0L, 0L, "")))
+    assert(got(6L) == ((0L, 0L, "")))
+  }
+
+  test("exactSubstrSpans keeps disjoint duplicated regions as separate spans") {
+    import spark.implicits._
+    // "a b c" repeats (docs 1,2) and "p q r" repeats (docs 1,2), with
+    // unique separators — two maximal spans in each doc
+    val docs = Seq(
+      (1L, "a b c sep1 sep2 p q r"),
+      (2L, "lead a b c mid1 mid2 mid3 p q r")).toDF("doc_id", "text")
+    val got = CorpusStats.exactSubstrSpans(docs, "doc_id", "text",
+        minTokens = 3, minCount = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 6L, "1-3,6-8")))
+    assert(got(2L) == ((2L, 6L, "2-4,8-10")))
+  }
 }
