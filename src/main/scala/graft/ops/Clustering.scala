@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding clustering and dimensionality reduction for corpus
+  * organization at training-data scale: k-means (the IVF coarse
+  * quantizer / SemDeDup grouping primitive, here as a first-class
+  * oracle-exact operator) and signed random projection
+  * (Johnson–Lindenstrauss embedding compression, the cheap-distance
+  * scale path when 64 float dims per candidate pair is already too
+  * much I/O).
+  *
+  * Determinism strategy (the repo-wide oracle discipline, cf. a54 /
+  * l60 / l63): all arithmetic that decides an output value runs in
+  * exact 64-bit integers. Embeddings are quantized once with
+  * floor(x·scale) — floor of an IEEE double is bit-defined, so Spark
+  * and DuckDB agree — and every distance / projection after that is
+  * integer multiply-adds whose results are independent of
+  * accumulation order. That is what makes a DISTRIBUTED engine
+  * hash-comparable against a single-threaded oracle: float sums
+  * reorder under partial aggregation; integer sums don't care.
+  *
+  * Scale shape (100 TB / 1000 executors):
+  *  - kmeans: Lloyd's with k·dim driver state only. Assignment is a
+  *    map-only pass (centroids ride the closure as literals — no
+  *    join, no shuffle of the corpus); the update is one partial-
+  *    aggregated groupBy(cluster, dim) whose shuffle carries
+  *    O(partitions · k · dim) rows, NOT the corpus. Per iteration:
+  *    one corpus scan, one k·dim-row collect. This is exactly the
+  *    shape of the reference's IVF training loop, minus any
+  *    all-pairs or driver-side corpus materialization.
+  *  - randomProject: zero state, zero shuffle — the sign matrix is
+  *    recomputed identically on every executor from a splitmix-style
+  *    integer mix, so projection is a pure codegen'd projection.
+  *
+  * Reference anchor: the reference exposes embedding clustering only
+  * through its ANN index build (IVF coarse quantizer); this makes the
+  * primitive available standalone, reusing the same bounded-state
+  * contract adjudicated for the l11 quantizer.
+  */
+object Clustering {
+
+  import org.apache.spark.sql.graft.ColumnBridge
+  import graft.functions.VectorExpressions.LongVectorSqDist
+
+  /** floor(x·scale) integer codes of a float embedding — the shared
+    * quantization both engines can reproduce bit-for-bit. NOT the l15
+    * int8 path (that one optimizes reconstruction error with a
+    * per-vector scale); this one is a fixed global grid so that
+    * distances between DIFFERENT vectors stay comparable.
+    */
+  def quantizeCodes(embedding: Column, scale: Int): Column =
+    transform(embedding, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Exact integer squared L2 distance (native codegen'd kernel). */
+  def sqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(LongVectorSqDist(
+      ColumnBridge.expression(a.cast("array<bigint>")),
+      ColumnBridge.expression(b.cast("array<bigint>"))))
+
+  /** One Lloyd's assignment pass against a driver-held centroid table:
+    * argmin over k centroids of sqDist, ties to the lowest centroid
+    * id (array_min over struct(dist, cid) — lexicographic struct
+    * ordering IS the tie-break). Map-only: centroids are literals in
+    * the plan, so this composes with whatever partitioning the input
+    * already has.
+    */
+  private def assign(q: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+    val candidates = centroids.map { case (cid, c) =>
+      struct(
+        sqDist(col("q"), typedLit(c)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    q.withColumn("best", array_min(array(candidates: _*)))
+      .select(col("vec_id"), col("q"),
+        col("best.cid").as("cluster"), col("best.dist").as("dist"))
+  }
+
+  /** Lloyd's k-means over an embedding column, exact-integer flavor.
+    *
+    * Init: the k vectors with the lowest ids (deterministic, oracle-
+    * reproducible — k-means++ would need a random stream both engines
+    * share; id-init is the standard trick for cross-engine pins).
+    * Update: per-cluster per-dimension floor(mean) — floor(sum/count)
+    * in double is exact here because sum and count are far below 2^53
+    * and a non-integer rational p/q with q < 2^26 is ≥ 2^-26 away
+    * from any integer, 26 bits wider than the division's rounding
+    * error. Clusters that lose every member VANISH (no respawn
+    * heuristic) — documented semantics the oracle shares.
+    *
+    * Returns the final assignment (vec_id, cluster, dist) against the
+    * post-`iters`-updates centroids.
+    *
+    * Driver state: k·dim longs per iteration — bounded contract like
+    * the l11 IVF quantizer (k and dim are model hyper-parameters, not
+    * data-sized).
+    */
+  def kmeans(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Int = 1000): DataFrame = {
+    require(k > 0 && iters >= 0)
+    val q = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      quantizeCodes(col(vecCol), scale).as("q"))
+    // Reused iters+2 times (init scan + one assign per update + the
+    // final assign): cache the quantized codes, not the float source.
+    q.persist()
+    try {
+      var centroids: Seq[(Long, Seq[Long])] =
+        q.orderBy(col("vec_id")).limit(k).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+      var it = 0
+      while (it < iters) {
+        val upd = assign(q, centroids)
+          .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+          .groupBy(col("cluster"), col("i"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("i"),
+            floor(col("s").cast("double") / col("n")).cast("long").as("cv"))
+          .collect() // k·dim rows — bounded
+        centroids = upd.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+          case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+        it += 1
+      }
+      assign(q, centroids).select(col("vec_id"), col("cluster"), col("dist"))
+    } finally q.unpersist()
+  }
+
+  /** The deterministic ±1 sign of projection cell (i → j): a fixed
+    * integer mix whose every operation exists verbatim in DuckDB SQL
+    * (`//` = Spark's `div` on non-negative operands), so the oracle
+    * re-derives the identical matrix symbolically while Spark bakes
+    * it into the plan as literals. Middle bit (not the low bit — the
+    * low bit of h·odd is just parity of h) of a Knuth-style
+    * multiplicative mix.
+    */
+  def projSign(i: Int, j: Int): Long = {
+    val h = (i.toLong * 7919L + j.toLong * 104729L + 12345L) * 2654435761L
+    1L - 2L * ((h / 1048576L) % 2L)
+  }
+
+  /** Signed random projection (Johnson–Lindenstrauss) of integer
+    * embedding codes down to outDim dims: out_j = Σ_i q_i · s(i, j).
+    * The sign matrix is driver-computed and baked in as literals, so
+    * the whole operator is ONE codegen'd map-only projection — no
+    * model table, no join, no shuffle; at 100 TB it runs at scan
+    * speed and cuts every downstream distance computation from dim
+    * to outDim multiplies. Output exploded to scalar rows
+    * (vec_id, j, proj) — the a45 lesson: keep oracle-compared columns
+    * scalar.
+    */
+  def randomProject(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      outDim: Int,
+      scale: Int = 1000): DataFrame = {
+    val q = quantizeCodes(col(vecCol), scale)
+    val outs = (0 until outDim).map { j =>
+      (0 until dim).map { i =>
+        element_at(q, i + 1) * lit(projSign(i, j))
+      }.reduce(_ + _)
+    }
+    emb.select(col(idCol).cast("long").as("vec_id"),
+        posexplode(array(outs: _*)).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+  }
+
+  // ---------------------------------------------------------------
+  // Oracle SQL builders (DuckDB) — generated, like the l66 unrolled
+  // PPR chain, so registration stays in lockstep with `iters`.
+  // ---------------------------------------------------------------
+
+  private def duckAssign(qRel: String, cRel: String, dim: Int): String =
+    s"""SELECT vec_id, cid AS cluster, dist FROM (
+       |  SELECT v.vec_id, c.cid,
+       |         CAST(list_sum(list_transform(generate_series(1, $dim),
+       |           i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+       |    FROM $qRel v CROSS JOIN $cRel c)
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""".stripMargin
+
+  /** Unrolled Lloyd's chain matching [[kmeans]] exactly (id-init,
+    * floor-mean update, vanishing empty clusters, (dist, cid)
+    * tie-break).
+    */
+  def kmeansOracleSql(k: Int, iters: Int, dim: Int, scale: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH q AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+         |    FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, q AS c FROM q ORDER BY vec_id LIMIT $k)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""",
+           |a$t AS (${duckAssign("q", s"c${t - 1}", dim)}),
+           |u$t AS (
+           |  SELECT a.cluster AS cid, g.i AS i,
+           |         CAST(floor(CAST(sum(v.q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+           |    FROM a$t a JOIN q v USING (vec_id)
+           |         CROSS JOIN generate_series(1, $dim) g(i)
+           |   GROUP BY 1, 2),
+           |c$t AS (SELECT cid, list(cv ORDER BY i) AS c FROM u$t GROUP BY cid)""".stripMargin)
+    }
+    sb.append(s"\n${duckAssign("q", s"c$iters", dim)}")
+    sb.toString
+  }
+
+  /** Symbolic twin of [[randomProject]]: same quantization, same sign
+    * mix re-derived in SQL per (i, j).
+    */
+  def randomProjectOracleSql(dim: Int, outDim: Int, scale: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+       |    FROM embeddings),
+       |g AS (
+       |  SELECT vec_id, j.j AS j, i.i AS i, q[i.i + 1] AS v
+       |    FROM q
+       |         CROSS JOIN generate_series(0, ${outDim - 1}) j(j)
+       |         CROSS JOIN generate_series(0, ${dim - 1}) i(i))
+       |SELECT vec_id, j,
+       |       CAST(SUM(v * (1 - 2 * ((((i * 7919 + j * 104729 + 12345) * 2654435761) // 1048576) % 2))) AS BIGINT) AS proj
+       |  FROM g GROUP BY vec_id, j""".stripMargin
+}

@@ -964,6 +964,96 @@ object LayerA2 {
              |       CAST(SUM(cents) OVER (PARTITION BY o_orderpriority ORDER BY grp
              |                             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE)
              |         / 100.0 AS grp_sum
-             |  FROM g""".stripMargin))
+             |  FROM g""".stripMargin)),
+
+    // A63 (beyond the inventory): mode() + percentile_disc (DuckDB
+    // quantile_disc). percentile_disc is DuckDB's builtin on the
+    // oracle side — probed convention: the element at rank ceil(p·n),
+    // 1-based, i.e. the smallest value whose cume_dist ≥ p — and
+    // Spark re-derives exactly that rank with a window (no exact
+    // grouped percentile_disc builtin exists). mode is the a54 call
+    // repeated: SQL leaves mode ties implementation-defined, which a
+    // distributed engine can't hash-match against a single-threaded
+    // oracle, so BOTH sides pin the tie-break (count DESC, value ASC)
+    // explicitly — the groupBy-count + max(struct) formulation below
+    // IS the scalable distributed mode (two partial-agg shuffles, no
+    // per-group value lists).
+    QueryDef(
+      "a63_mode_percentile_disc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d).select(col("l_returnflag"), col("l_quantity"))
+        val mode = li.groupBy(col("l_returnflag"), col("l_quantity")).count()
+          .groupBy(col("l_returnflag"))
+          .agg(max(struct(col("count").as("c"), (-col("l_quantity")).as("nq"))).as("m"))
+          .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+            col("m.c").as("n_mode"))
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        val disc = li
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            min(when(col("rn") === ceil(col("n") * lit(0.5)).cast("long"),
+              col("l_quantity"))).as("median_qty"),
+            min(when(col("rn") === ceil(col("n") * lit(0.9)).cast("long"),
+              col("l_quantity"))).as("p90_qty"))
+        mode.join(disc, "l_returnflag")
+          .select(col("l_returnflag"), col("mode_qty"), col("n_mode"),
+            col("median_qty"), col("p90_qty"))
+      },
+      Some("""WITH m AS (
+             |  SELECT l_returnflag, l_quantity AS mode_qty, COUNT(*) AS n_mode
+             |    FROM lineitem GROUP BY 1, 2
+             |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |                             ORDER BY COUNT(*) DESC, l_quantity) = 1),
+             |q AS (
+             |  SELECT l_returnflag,
+             |         quantile_disc(l_quantity, 0.5) AS median_qty,
+             |         quantile_disc(l_quantity, 0.9) AS p90_qty
+             |    FROM lineitem GROUP BY 1)
+             |SELECT m.l_returnflag, m.mode_qty, m.n_mode, q.median_qty, q.p90_qty
+             |  FROM m JOIN q USING (l_returnflag)""".stripMargin)),
+
+    // A64 (beyond the inventory): generate_series / range table
+    // function as a date spine — the gaps-included monthly report
+    // every BI layer on the reference relies on. Spark expresses the
+    // table function as explode(sequence(start, stop, interval)); the
+    // spine is rows-tiny so Spark broadcasts it and the month counts
+    // arrive from ONE partial-aggregated exchange of the orders scan.
+    QueryDef(
+      "a64_generate_series",
+      (s, d) => {
+        val spine = Tables.orders(s, d).sparkSession.range(1)
+          .select(explode(sequence(
+            lit(java.sql.Date.valueOf("1992-01-01")),
+            lit(java.sql.Date.valueOf("1998-12-01")),
+            expr("interval 1 month"))).as("month"))
+        val monthly = Tables.orders(s, d)
+          .groupBy(trunc(col("o_orderdate"), "MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(LayerA1.cents("o_totalprice")).cast("double") / 100.0)
+              .as("revenue"))
+        spine.join(monthly, Seq("month"), "left")
+          // stringified like a34's ship_day: Spark writes date32,
+          // DuckDB returns datetime64 — same VALUE, drifting physical
+          // dtype under the driver's hash
+          .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("revenue"), lit(0.0)).as("revenue"))
+      },
+      Some("""WITH s AS (
+             |  SELECT CAST(gs AS DATE) AS month
+             |    FROM generate_series(DATE '1992-01-01', DATE '1998-12-01',
+             |                         INTERVAL 1 MONTH) g(gs)),
+             |c AS (
+             |  SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n_orders,
+             |         CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS DOUBLE)
+             |           / 100.0 AS revenue
+             |    FROM orders GROUP BY 1)
+             |SELECT CAST(s.month AS VARCHAR) AS month,
+             |       COALESCE(c.n_orders, 0) AS n_orders,
+             |       COALESCE(c.revenue, 0.0) AS revenue
+             |  FROM s LEFT JOIN c USING (month)""".stripMargin))
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{BpeTrainer, CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, Dsir, GraphRank, LmScore, Multimodal, Packing, Preference, QualityClassifier, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
+import graft.ops.{BpeTrainer, Clustering, CorpusStats, CorpusWriter, Curation, Decontaminate, Dedup, Dsir, GraphRank, LmScore, Multimodal, Packing, Preference, QualityClassifier, Retrieval, Sampling, Similarity, Sketches, TextStats, UrlOps}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over documents/embeddings.
@@ -2545,6 +2545,35 @@ object LlmPipeline {
              |       COALESCE(a.n_dup_tokens, 0) AS n_dup_tokens,
              |       COALESCE(a.spans, '') AS spans
              |  FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // Exact-integer Lloyd's k-means over the embeddings table — the
+    // IVF coarse quantizer / SemDeDup grouping primitive as a
+    // standalone oracle-exact operator (ops/Clustering scaladoc for
+    // the determinism + scale story: map-only assignment with
+    // literal centroids, k·dim-row update shuffle, k·dim driver
+    // state). k=4, 2 update rounds, floor(x·1000) codes; the oracle
+    // unrolls the identical chain (id-init, integer distances,
+    // (dist, cid) tie-break, floor-mean update, vanishing empty
+    // clusters).
+    QueryDef(
+      "l69_kmeans",
+      (s, d) => Clustering.kmeans(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2, scale = 1000),
+      Some(Clustering.kmeansOracleSql(k = 4, iters = 2, dim = 64, scale = 1000))),
+
+    // Signed random projection (Johnson–Lindenstrauss) of the
+    // embeddings to 16 dims: the embedding-compression scale path for
+    // cheap candidate distances. Sign matrix is a fixed integer mix —
+    // Spark bakes it into one codegen'd map-only projection (zero
+    // shuffle, zero state); the oracle re-derives every sign
+    // symbolically with the same BIGINT arithmetic.
+    QueryDef(
+      "l70_random_projection",
+      (s, d) => Clustering.randomProject(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, outDim = 16, scale = 1000),
+      Some(Clustering.randomProjectOracleSql(dim = 64, outDim = 16, scale = 1000))),
 
     // 2H: streaming corpus-quality monitor run in BATCH mode (the
     // oracle twin): curation-rules pass rate per event-time minute.

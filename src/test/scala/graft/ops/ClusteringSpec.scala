@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+
+  private def embDf(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  test("kmeans separates two obvious blobs and converges in one update") {
+    // Blob A around (1, 0), blob B around (0, 1). Init = vec 0 (blob A)
+    // and vec 1 (blob B) — one Lloyd's round lands each point with its
+    // blob and further rounds change nothing.
+    val emb = embDf(
+      0L -> Seq(1.0f, 0.1f), 1L -> Seq(0.1f, 1.0f),
+      2L -> Seq(0.9f, 0.0f), 3L -> Seq(0.0f, 0.9f),
+      4L -> Seq(1.1f, 0.2f), 5L -> Seq(0.2f, 1.1f))
+    def clusters(iters: Int): Map[Long, Long] =
+      Clustering.kmeans(emb, "vec_id", "embedding", k = 2, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = clusters(1)
+    assert(c1(0L) == 0L && c1(2L) == 0L && c1(4L) == 0L)
+    assert(c1(1L) == 1L && c1(3L) == 1L && c1(5L) == 1L)
+    // fixed point: more iterations = identical assignment
+    assert(clusters(3) == c1)
+  }
+
+  test("kmeans iters=0 assigns against the raw id-init centroids") {
+    val emb = embDf(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(1.0f, 1.0f), 2L -> Seq(0.9f, 0.9f))
+    val out = Clustering.kmeans(emb, "vec_id", "embedding", k = 2, iters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // codes: (0,0), (1000,1000), (899,899) — 0.9f widens to
+    // 0.89999997…, so floor(x·1000) = 899, the same value DuckDB
+    // computes from the parquet float. dist(v2, c1) = 101²·2.
+    assert(out == Set((0L, 0L, 0L), (1L, 1L, 0L),
+      (2L, 1L, 101L * 101L * 2)))
+  }
+
+  test("kmeans distance ties break to the lowest centroid id") {
+    // vec 2 is equidistant from both init centroids.
+    val emb = embDf(
+      0L -> Seq(0.0f), 1L -> Seq(2.0f), 2L -> Seq(1.0f))
+    val out = Clustering.kmeans(emb, "vec_id", "embedding", k = 2, iters = 0)
+      .filter(col("vec_id") === 2L).collect()
+    assert(out.head.getLong(1) == 0L)
+  }
+
+  test("empty clusters vanish instead of respawning") {
+    // Duplicate points seed duplicate init centroids (the real-data
+    // way a cluster empties): c0 and c1 both start at (1,1), every
+    // point ties between them, and the (dist, cid) tie-break sends
+    // ALL of them to c0 — cluster 1 has zero members after round 1
+    // and must not reappear in the final assignment.
+    val emb = embDf(
+      0L -> Seq(1.0f, 1.0f), 1L -> Seq(1.0f, 1.0f),
+      2L -> Seq(2.0f, 2.0f), 3L -> Seq(0.0f, 0.0f))
+    val out = Clustering.kmeans(emb, "vec_id", "embedding", k = 2, iters = 1)
+      .select("cluster").distinct().collect().map(_.getLong(0)).toSet
+    assert(out == Set(0L))
+  }
+
+  test("sqDist kernel: nulls and length mismatch yield null, values exact") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L), Seq(4L, 6L)),
+      (Seq(1L, 2L), Seq(1L, 2L))).toDF("a", "b")
+    val got = df.select(Clustering.sqDist(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == Seq(9L + 16L, 0L))
+    val mismatch = Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+      .select(Clustering.sqDist(col("a"), col("b"))).collect()
+    assert(mismatch.head.isNullAt(0))
+  }
+
+  test("randomProject matches a hand computation of the sign mix") {
+    val emb = embDf(7L -> Seq(0.5f, -0.25f, 1.0f))
+    val got = Clustering.randomProject(emb, "vec_id", "embedding",
+        dim = 3, outDim = 2, scale = 1000)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val q = Seq(500L, -250L, 1000L)
+    val expect = (0 until 2).map { j =>
+      j.toLong -> (0 until 3).map(i => q(i) * Clustering.projSign(i, j)).sum
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("randomProject signs are balanced and JL preserves neighbor order") {
+    // sign balance: over the 64×16 matrix the mean |sum of signs per
+    // row| should be far from saturated (a broken mix that returns
+    // constant sign fails this hard).
+    val signs = for (i <- 0 until 64; j <- 0 until 16) yield Clustering.projSign(i, j)
+    val total = signs.sum
+    assert(math.abs(total) < 200, s"sign mix is biased: $total")
+
+    // JL sanity: a vector's nearest neighbor in the original space
+    // stays nearer than a far point in the projected space.
+    val rnd = new scala.util.Random(42)
+    def vec(base: Array[Float], noise: Float): Seq[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * noise).toSeq
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val far = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val emb = embDf(0L -> base.toSeq, 1L -> vec(base, 0.05f), 2L -> far.toSeq)
+    val proj = Clustering.randomProject(emb, "vec_id", "embedding",
+        dim = 64, outDim = 16)
+      .groupBy("vec_id").agg(sort_array(collect_list(struct(col("j"), col("proj")))).as("p"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))).toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(proj(0L), proj(1L)) < d2(proj(0L), proj(2L)))
+  }
+}
