@@ -12,6 +12,17 @@ import javax.imageio.ImageIO
   */
 object ImageCodec {
 
+  // ImageIO defaults to useCache=true: every read(InputStream) spools
+  // the stream through a FileCacheImageInputStream — one temp-file
+  // create/write/delete PER DECODE in java.io.tmpdir. Our payloads are
+  // byte arrays already in memory, so the file cache is pure syscall
+  // churn: x10 (50k decodes) swung 3.3–12 s run-to-run with it on
+  // (r9 X10Probe), and executors hammering one tmpdir is exactly the
+  // kind of hidden shared-disk bottleneck a 1000-executor image pass
+  // cannot afford. Memory-cache streams instead (process-wide, set
+  // once at class load — every decode path below goes through here).
+  ImageIO.setUseCache(false)
+
   /** Decoded image features: dimensions plus per-channel pixel means —
     * deterministic functions of the pixel data, so an oracle that
     * KNOWS the generative pixel formula can re-derive them without
