@@ -174,6 +174,60 @@ object Clustering {
       .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, then prune near-duplicates WITHIN each cluster —
+    * the cluster bound is what makes semantic dedup tractable at
+    * corpus scale (candidates are O(Σ cluster²), never all-pairs; at
+    * 100 TB you run k large enough that clusters are ~10³–10⁴ docs, so
+    * the within-cluster join is bucket-local work exactly like the
+    * MinHash band join in ops/Dedup). Deterministic keep rule (the
+    * paper keeps a per-group representative; rule choice is free): a
+    * vector is a duplicate iff ANY lower-id vector in its cluster has
+    * cosine ≥ tau with it — same contract as the repo's other dedup
+    * families, and exactly re-derivable by the oracle because the
+    * cosine is the bit-pinned left-fold dot (Similarity.dot /
+    * duckDot).
+    *
+    * Returns (vec_id, cluster, is_dup).
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      tau: Double,
+      scale: Int = 1000): DataFrame = {
+    // The assignment feeds BOTH sides of the candidate join and the
+    // final left join — localCheckpoint materializes the kmeans
+    // subtree once instead of three times (same necessarily-retained
+    // contract as GraphRank's final ranks checkpoint; freed by the
+    // ContextCleaner when the returned frame is dropped). vecs itself
+    // stays lazy: each re-evaluation is a scan + join off the
+    // checkpoint, map-cheap at any scale.
+    val assigned = kmeans(emb, idCol, vecCol, k, iters, scale)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint()
+    val vecs = emb.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("emb"))
+      .join(assigned, "vec_id")
+      .withColumn("nrm", Similarity.norm(col("emb")))
+    val a = vecs.select(col("cluster"), col("vec_id").as("id_a"),
+      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = vecs.select(col("cluster"), col("vec_id").as("id_b"),
+      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    // within-cluster candidate join; a row is dup if a lower id clears tau
+    val dups = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(Similarity.dot(col("emb_a"), col("emb_b")) /
+        (col("nrm_a") * col("nrm_b")) >= tau)
+      .select(col("id_b").as("vec_id")).distinct()
+    vecs.join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   // ---------------------------------------------------------------
   // Oracle SQL builders (DuckDB) — generated, like the l66 unrolled
   // PPR chain, so registration stays in lockstep with `iters`.
@@ -187,11 +241,12 @@ object Clustering {
        |    FROM $qRel v CROSS JOIN $cRel c)
        | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1""".stripMargin
 
-  /** Unrolled Lloyd's chain matching [[kmeans]] exactly (id-init,
-    * floor-mean update, vanishing empty clusters, (dist, cid)
-    * tie-break).
+  /** The WITH-body of the unrolled Lloyd's chain, ending with a CTE
+    * named `finalName` holding the final (vec_id, cluster, dist)
+    * assignment — embeddable prefix for composed oracles (semDedup).
     */
-  def kmeansOracleSql(k: Int, iters: Int, dim: Int, scale: Int): String = {
+  def kmeansOracleCtes(
+      k: Int, iters: Int, dim: Int, scale: Int, finalName: String): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH q AS (
@@ -211,9 +266,46 @@ object Clustering {
            |   GROUP BY 1, 2),
            |c$t AS (SELECT cid, list(cv ORDER BY i) AS c FROM u$t GROUP BY cid)""".stripMargin)
     }
-    sb.append(s"\n${duckAssign("q", s"c$iters", dim)}")
+    sb.append(s""",
+      |$finalName AS (
+      |${duckAssign("q", s"c$iters", dim)})""".stripMargin)
     sb.toString
   }
+
+  /** Unrolled Lloyd's chain matching [[kmeans]] exactly (id-init,
+    * floor-mean update, vanishing empty clusters, (dist, cid)
+    * tie-break).
+    */
+  def kmeansOracleSql(k: Int, iters: Int, dim: Int, scale: Int): String =
+    kmeansOracleCtes(k, iters, dim, scale, "akm") +
+      "\nSELECT vec_id, cluster, dist FROM akm"
+
+  /** DuckDB left-fold double dot product over `dim` elements — the
+    * same strict float→double left-to-right order as Similarity.dot,
+    * so cosines are bit-equal across engines (the l05/l09 contract).
+    */
+  private def duckDotSql(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(generate_series(1, $dim), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
+
+  /** Composed twin of [[semDedup]]: the unrolled k-means chain, then
+    * within-cluster cosine pruning with the identical fold arithmetic
+    * and keep rule.
+    */
+  def semDedupOracleSql(
+      k: Int, iters: Int, dim: Int, scale: Int, tau: Double): String =
+    kmeansOracleCtes(k, iters, dim, scale, "akm") +
+      s""",
+         |ve AS (
+         |  SELECT e.vec_id, a.cluster, e.embedding,
+         |         sqrt(${duckDotSql("e.embedding", "e.embedding", dim)}) AS nrm
+         |    FROM embeddings e JOIN akm a USING (vec_id)),
+         |dups AS (
+         |  SELECT DISTINCT b.vec_id
+         |    FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+         |   WHERE ${duckDotSql("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) >= $tau)
+         |SELECT v.vec_id, v.cluster, (d.vec_id IS NOT NULL) AS is_dup
+         |  FROM ve v LEFT JOIN dups d ON v.vec_id = d.vec_id""".stripMargin
 
   /** Symbolic twin of [[randomProject]]: same quantization, same sign
     * mix re-derived in SQL per (i, j).

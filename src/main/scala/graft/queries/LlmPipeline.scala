@@ -2575,6 +2575,20 @@ object LlmPipeline {
         dim = 64, outDim = 16, scale = 1000),
       Some(Clustering.randomProjectOracleSql(dim = 64, outDim = 16, scale = 1000))),
 
+    // SemDeDup (Abbas et al. 2023): k-means the embedding space, prune
+    // cosine near-duplicates WITHIN clusters — the cluster bound is
+    // what keeps semantic dedup off the all-pairs cliff at corpus
+    // scale. Composes l69's exact-integer clustering with l09's
+    // bit-pinned cosine; keep rule = lowest id per over-threshold
+    // neighborhood, re-derived wholesale by the oracle.
+    QueryDef(
+      "l71_semdedup",
+      (s, d) => Clustering.semDedup(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2, tau = 0.3, scale = 1000),
+      Some(Clustering.semDedupOracleSql(
+        k = 4, iters = 2, dim = 64, scale = 1000, tau = 0.3))),
+
     // 2H: streaming corpus-quality monitor run in BATCH mode (the
     // oracle twin): curation-rules pass rate per event-time minute.
     // The same QualityMonitor.windowedPassRate runs unchanged as a

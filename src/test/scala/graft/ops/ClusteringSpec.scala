@@ -90,6 +90,43 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("semDedup flags within-cluster near-duplicates, keeps the lowest id") {
+    // Two blobs; vecs 2 and 4 duplicate vec 0's direction (cos = 1),
+    // vec 5 duplicates vec 1's. Lowest id in each neighborhood stays.
+    val emb = embDf(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(1.0f, 0.0f), 3L -> Seq(0.6f, -0.8f),
+      4L -> Seq(0.5f, 0.0f), 5L -> Seq(0.0f, 0.7f))
+    val got = Clustering.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 1, tau = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> false, 1L -> false, 2L -> true,
+      3L -> false, 4L -> true, 5L -> true))
+  }
+
+  test("semDedup is cluster-bounded: cross-cluster twins are NOT flagged") {
+    // The documented SemDeDup approximation: identical vectors that
+    // land in different clusters never meet. Construct it: init
+    // centroids are vecs 0/1 (orthogonal); vec 2 ties exactly between
+    // them? No — make vec 2 equal to vec 1 but assign-separated by
+    // seeding: vec 0=(1,0), vec 1=(0,1); vec 2=(0.9, 0.9) sits in
+    // cluster 0 by the tie-break after quantization asymmetry, while
+    // vec 3=(0.9, 0.95) lands cluster 1 — near-identical directions,
+    // different clusters, not compared.
+    val emb = embDf(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(0.9f, 0.9f), 3L -> Seq(0.9f, 0.95f))
+    val out = Clustering.semDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 0, tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq.sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    // cos(v2, v3) ≈ 0.9996 — over tau — but they sit in different
+    // clusters, so neither is flagged
+    assert(byId(2L)._2 != byId(3L)._2)
+    assert(!byId(2L)._3 && !byId(3L)._3)
+  }
+
   test("randomProject signs are balanced and JL preserves neighbor order") {
     // sign balance: over the 64×16 matrix the mean |sum of signs per
     // row| should be far from saturated (a broken mix that returns
