@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -53,6 +53,72 @@ object VectorCodegen {
     }
     java.lang.Long.valueOf(s)
   }
+
+  /** Signed projection of a code vector through a ±1 sign matrix:
+    * out(j) = Σ_i q(i) · signs(j)(i). One dim·outDim primitive loop
+    * per row; null on any null element or a length mismatch against
+    * the matrix rows.
+    */
+  def projectSigned(q: ArrayData, signs: Array[Array[Long]]): Array[Long] = {
+    val n = q.numElements()
+    if (signs.length == 0 || signs(0).length != n) return null
+    val qv = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return null
+      qv(i) = q.getLong(i)
+      i += 1
+    }
+    val out = new Array[Long](signs.length)
+    var j = 0
+    while (j < signs.length) {
+      val sj = signs(j)
+      var s = 0L
+      var i2 = 0
+      while (i2 < n) { s += qv(i2) * sj(i2); i2 += 1 }
+      out(j) = s
+      j += 1
+    }
+    out
+  }
+
+  /** Full Lloyd's assignment for one code vector against the whole
+    * centroid matrix: argmin of sqDistLong over k centroids, ties to
+    * the LOWEST centroid id (callers pass cids ascending; strict <
+    * keeps the earlier winner). One tight k·dim primitive loop per
+    * row — the k-inline-sqDist-expressions formulation blows past the
+    * codegen budget around k≈64 and degrades to interpreted
+    * per-struct evaluation (measured 52 s vs ~2 s at 500k rows,
+    * k=256). Returns null when the row vector is null-element'd or
+    * length-mismatched against the matrix.
+    */
+  def assignMin(q: ArrayData, cents: Array[Array[Long]], cids: Array[Long]): Array[Long] = {
+    val n = q.numElements()
+    if (cents.length == 0 || cents(0).length != n) return null
+    val qv = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i)) return null
+      qv(i) = q.getLong(i)
+      i += 1
+    }
+    var bestD = Long.MaxValue
+    var bestC = -1L
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      var s = 0L
+      var j = 0
+      while (j < n) {
+        val d = qv(j) - cv(j)
+        s += d * d
+        j += 1
+      }
+      if (s < bestD) { bestD = s; bestC = cids(c) }
+      c += 1
+    }
+    Array(bestD, bestC)
+  }
 }
 
 object VectorExpressions {
@@ -92,6 +158,108 @@ object VectorExpressions {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** Lloyd's assignment(array<bigint>) → struct(dist BIGINT, cid
+    * BIGINT): argmin over a driver-provided centroid matrix riding
+    * the expression as a codegen reference object, ties to the
+    * lowest centroid id. Replaces the array_min(array(k × struct(
+    * sqDist, cid))) formulation, whose generated code outgrows the
+    * codegen budget around k≈64 and falls back to interpreted
+    * per-struct evaluation (52 s → ~2 s at 500k rows / k=256,
+    * KmProbe r9). Semantics identical to that formulation — the
+    * DuckDB oracle chain (dist, cid tie-break) pins both.
+    */
+  case class KMeansAssign(
+      child: Expression,
+      cids: Array[Long],
+      cents: Array[Array[Long]])
+      extends UnaryExpression {
+    require(cids.length == cents.length && cents.nonEmpty)
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("dist", LongType, nullable = false),
+      StructField("cid", LongType, nullable = false)))
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"kmeans assign requires array<bigint> input, got ${other.sql}")
+      }
+
+    override protected def nullSafeEval(q: Any): Any = {
+      val r = VectorCodegen.assignMin(q.asInstanceOf[ArrayData], cents, cids)
+      if (r == null) null
+      else new GenericInternalRow(Array[Any](r(0), r(1)))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val centsRef = ctx.addReferenceObj("kmCents", cents, "long[][]")
+      val cidsRef = ctx.addReferenceObj("kmCids", cids, "long[]")
+      nullSafeCodeGen(ctx, ev, q => {
+        val tmp = ctx.freshName("kmRes")
+        s"""
+          long[] $tmp = graft.functions.VectorCodegen.assignMin($q, $centsRef, $cidsRef);
+          if ($tmp == null) { ${ev.isNull} = true; }
+          else {
+            ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              new Object[] { $tmp[0], $tmp[1] });
+          }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Signed random projection(array<bigint>) → array<bigint>: the
+    * Johnson–Lindenstrauss kernel with the driver-computed ±1 sign
+    * matrix as a codegen reference object. The unrolled
+    * dim·outDim-term expression formulation codegens fine standalone
+    * but drops to interpreted evaluation once composed under a join
+    * (~11 s per 500k-row evaluation vs 0.3 s here, KmProbe r9); the
+    * kernel is immune to plan composition. Bit-identical semantics
+    * (pure integer multiply-adds).
+    */
+  case class SignedRandomProject(
+      child: Expression,
+      signs: Array[Array[Long]])
+      extends UnaryExpression {
+    require(signs.nonEmpty)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"signed project requires array<bigint> input, got ${other.sql}")
+      }
+
+    override protected def nullSafeEval(q: Any): Any = {
+      val r = VectorCodegen.projectSigned(q.asInstanceOf[ArrayData], signs)
+      if (r == null) null
+      else new org.apache.spark.sql.catalyst.util.GenericArrayData(r)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val signsRef = ctx.addReferenceObj("rpSigns", signs, "long[][]")
+      nullSafeCodeGen(ctx, ev, q => {
+        val tmp = ctx.freshName("rpRes")
+        s"""
+          long[] $tmp = graft.functions.VectorCodegen.projectSigned($q, $signsRef);
+          if ($tmp == null) { ${ev.isNull} = true; }
+          else {
+            ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp);
+          }
+        """
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
 
   /** Squared L2 distance(array<bigint>, array<bigint>) → BIGINT, the

@@ -61,18 +61,23 @@ object Clustering {
 
   /** One Lloyd's assignment pass against a driver-held centroid table:
     * argmin over k centroids of sqDist, ties to the lowest centroid
-    * id (array_min over struct(dist, cid) — lexicographic struct
-    * ordering IS the tie-break). Map-only: centroids are literals in
-    * the plan, so this composes with whatever partitioning the input
-    * already has.
+    * id. Map-only: the centroid MATRIX rides the plan as one codegen
+    * reference object (functions.VectorExpressions.KMeansAssign), so
+    * the pass composes with whatever partitioning the input already
+    * has and the per-row cost is one tight k·dim primitive loop —
+    * the k-inline-sqDist-structs formulation this replaces outgrew
+    * the codegen budget at k≈64 and fell back to interpreted
+    * evaluation (52 s → ~2 s at 500k rows / k=256, KmProbe r9).
+    * Callers pass centroids sorted by cid ascending — that order IS
+    * the tie-break.
     */
   private def assign(q: DataFrame, centroids: Seq[(Long, Seq[Long])]): DataFrame = {
-    val candidates = centroids.map { case (cid, c) =>
-      struct(
-        sqDist(col("q"), typedLit(c)).as("dist"),
-        lit(cid).as("cid"))
-    }
-    q.withColumn("best", array_min(array(candidates: _*)))
+    val cids = centroids.map(_._1).toArray
+    require(cids.sameElements(cids.sorted), "centroids must be cid-ascending")
+    val cents = centroids.map(_._2.toArray).toArray
+    q.withColumn("best", ColumnBridge.column(
+        graft.functions.VectorExpressions.KMeansAssign(
+          ColumnBridge.expression(col("q").cast("array<bigint>")), cids, cents)))
       .select(col("vec_id"), col("q"),
         col("best.cid").as("cluster"), col("best.dist").as("dist"))
   }
@@ -162,16 +167,37 @@ object Clustering {
       vecCol: String,
       dim: Int,
       outDim: Int,
-      scale: Int = 1000): DataFrame = {
-    val q = quantizeCodes(col(vecCol), scale)
-    val outs = (0 until outDim).map { j =>
-      (0 until dim).map { i =>
-        element_at(q, i + 1) * lit(projSign(i, j))
-      }.reduce(_ + _)
-    }
-    emb.select(col(idCol).cast("long").as("vec_id"),
-        posexplode(array(outs: _*)).as(Seq("j", "proj")))
+      scale: Int = 1000): DataFrame =
+    randomProjectVec(emb, idCol, vecCol, dim, outDim, scale)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "proj")))
       .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+
+  /** Array-output variant of [[randomProject]] for composition (e.g.
+    * project → cluster): (vec_id, embedding[outDim]) in one map-only
+    * projection, no explode/reassemble round-trip.
+    */
+  def randomProjectVec(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      outDim: Int,
+      scale: Int = 1000): DataFrame = {
+    // The projection is a kernel expression with the sign matrix as a
+    // codegen reference object, NOT a dim·outDim-term unrolled sum:
+    // the unrolled form codegens standalone but drops to interpreted
+    // evaluation once composed under a join — and interpreted, every
+    // term re-ran the full quantize transform too. Measured on the
+    // x14 pipeline: 73 s unrolled-inline → 29 s with q named → 7 s
+    // kernelized (KmProbe r9). Same repo rule as the r8 straggler
+    // hunt: spec-pinned hot loops live in kernels.
+    val signs = Array.tabulate(outDim, dim)((j, i) => projSign(i, j))
+    val q = emb.select(col(idCol).cast("long").as("vec_id"),
+      quantizeCodes(col(vecCol), scale).as("q"))
+    q.select(col("vec_id"), ColumnBridge.column(
+      graft.functions.VectorExpressions.SignedRandomProject(
+        ColumnBridge.expression(col("q").cast("array<bigint>")), signs))
+      .as("embedding"))
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
@@ -199,20 +225,22 @@ object Clustering {
       iters: Int,
       tau: Double,
       scale: Int = 1000): DataFrame = {
-    // The assignment feeds BOTH sides of the candidate join and the
-    // final left join — localCheckpoint materializes the kmeans
-    // subtree once instead of three times (same necessarily-retained
-    // contract as GraphRank's final ranks checkpoint; freed by the
-    // ContextCleaner when the returned frame is dropped). vecs itself
-    // stays lazy: each re-evaluation is a scan + join off the
-    // checkpoint, map-cheap at any scale.
+    // vecs feeds BOTH sides of the candidate join and the final left
+    // join — localCheckpoint materializes the (assignment ⋈ input)
+    // working set ONCE instead of three times. This matters doubly
+    // when the input is itself a derived pipeline (x14: the JL
+    // projection): a composed plan that outgrows the codegen budget
+    // re-evaluates the upstream INTERPRETED per use — measured 73 s
+    // vs 4 s at 50k vectors (KmProbe r9). Necessarily-retained
+    // contract as GraphRank's final checkpoint; freed by the
+    // ContextCleaner when the returned frame is dropped.
     val assigned = kmeans(emb, idCol, vecCol, k, iters, scale)
       .select(col("vec_id"), col("cluster"))
-      .localCheckpoint()
     val vecs = emb.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).cast("array<float>").as("emb"))
       .join(assigned, "vec_id")
       .withColumn("nrm", Similarity.norm(col("emb")))
+      .localCheckpoint()
     val a = vecs.select(col("cluster"), col("vec_id").as("id_a"),
       col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = vecs.select(col("cluster"), col("vec_id").as("id_b"),

@@ -376,6 +376,31 @@ object BenchHeavy {
             graft.tools.Amplify.documents(_, f)))
         graft.ops.CorpusStats.exactSubstrSpans(docs, "doc_id", "text",
           minTokens = 50, minCount = 2, exactHash = false)
+      }),
+
+    // Embedding-cluster pipeline at 50k vectors (same amplified corpus
+    // as x04): JL-project 64→16 dims (map-only), then SemDeDup over
+    // the PROJECTED vectors — k=64 clusters, 2 Lloyd's rounds, within-
+    // cluster cosine prune. Tracks the clustering family's two scale
+    // claims as wall-time numbers: assignment stays map-side (literal
+    // centroids, no corpus join) and candidates stay cluster-local.
+    // l69/l70/l71 are the oracle-exact twins at gate scale.
+    QueryDef(
+      "x14_semdedup",
+      (s, d) => {
+        val f = factorFor(s, d, "embeddings", EmbTarget)
+        val emb =
+          if (f <= 1) Tables.embeddings(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "embeddings", f)(
+            graft.tools.Amplify.embeddings(_, f)))
+        val proj = graft.ops.Clustering.randomProjectVec(
+            emb, "vec_id", "embedding", dim = 64, outDim = 16)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as float))").as("embedding"))
+        graft.ops.Clustering.semDedup(proj, "vec_id", "embedding",
+          k = 64, iters = 2, tau = 0.99)
+          .groupBy(col("is_dup")).agg(count(lit(1)).as("n"))
       })
   )
 }
