@@ -116,26 +116,71 @@ object Clustering {
     // final assign): cache the quantized codes, not the float source.
     q.persist()
     try {
-      var centroids: Seq[(Long, Seq[Long])] =
-        q.orderBy(col("vec_id")).limit(k).collect()
-          .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
-      var it = 0
-      while (it < iters) {
-        val upd = assign(q, centroids)
-          .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
-          .groupBy(col("cluster"), col("i"))
-          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-          .select(col("cluster"), col("i"),
-            floor(col("s").cast("double") / col("n")).cast("long").as("cv"))
-          .collect() // k·dim rows — bounded
-        centroids = upd.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
-          case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
-        }
-        it += 1
-      }
+      val centroids = lloyd(q, k, iters)
       assign(q, centroids).select(col("vec_id"), col("cluster"), col("dist"))
     } finally q.unpersist()
+  }
+
+  /** The trained centroid TABLE itself — the model artifact a serving
+    * path (IVF coarse quantizer, streaming drift monitor) holds while
+    * scoring arriving vectors with [[nearestCentroid]]. Same training
+    * loop as [[kmeans]], same bounded k·dim driver state.
+    */
+  def kmeansCentroids(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      scale: Int = 1000): Seq[(Long, Seq[Long])] = {
+    require(k > 0 && iters >= 0)
+    val q = emb.select(
+      col(idCol).cast("long").as("vec_id"),
+      quantizeCodes(col(vecCol), scale).as("q"))
+    q.persist()
+    try lloyd(q, k, iters) finally q.unpersist()
+  }
+
+  /** Lloyd's training loop over persisted codes (callers hold the
+    * persist). Returns cid-ascending centroids after `iters` updates.
+    */
+  private def lloyd(q: DataFrame, k: Int, iters: Int): Seq[(Long, Seq[Long])] = {
+    var centroids: Seq[(Long, Seq[Long])] =
+      q.orderBy(col("vec_id")).limit(k).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    var it = 0
+    while (it < iters) {
+      val upd = assign(q, centroids)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("i"),
+          floor(col("s").cast("double") / col("n")).cast("long").as("cv"))
+        .collect() // k·dim rows — bounded
+      centroids = upd.groupBy(_.getLong(0)).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** struct(dist, cid) of the nearest centroid for a float embedding
+    * column — the stateless serving expression (model rides the plan
+    * as one reference object; streaming-safe: no join, no state).
+    */
+  def nearestCentroid(
+      vecCol: Column,
+      centroids: Seq[(Long, Seq[Long])],
+      scale: Int = 1000): Column = {
+    val cids = centroids.map(_._1).toArray
+    require(cids.sameElements(cids.sorted), "centroids must be cid-ascending")
+    val cents = centroids.map(_._2.toArray).toArray
+    ColumnBridge.column(
+      graft.functions.VectorExpressions.KMeansAssign(
+        ColumnBridge.expression(
+          quantizeCodes(vecCol, scale).cast("array<bigint>")), cids, cents))
   }
 
   /** The deterministic ±1 sign of projection cell (i → j): a fixed
@@ -274,13 +319,14 @@ object Clustering {
     * assignment — embeddable prefix for composed oracles (semDedup).
     */
   def kmeansOracleCtes(
-      k: Int, iters: Int, dim: Int, scale: Int, finalName: String): String = {
+      k: Int, iters: Int, dim: Int, scale: Int, finalName: String,
+      source: String = "embeddings"): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH q AS (
          |  SELECT vec_id,
          |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
-         |    FROM embeddings),
+         |    FROM $source),
          |c0 AS (SELECT vec_id AS cid, q AS c FROM q ORDER BY vec_id LIMIT $k)""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(
@@ -334,6 +380,29 @@ object Clustering {
          |   WHERE ${duckDotSql("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) >= $tau)
          |SELECT v.vec_id, v.cluster, (d.vec_id IS NOT NULL) AS is_dup
          |  FROM ve v LEFT JOIN dups d ON v.vec_id = d.vec_id""".stripMargin
+
+  /** Oracle for the h06 drift monitor: train the centroid model on
+    * `modelSource` with the unrolled Lloyd's chain, score EVERY
+    * embeddings row against the final centroids, window by the
+    * vec_id-derived event time, and aggregate the integer-exact
+    * drift stats — the full streaming-monitor semantics re-derived.
+    */
+  def driftOracleSql(
+      k: Int, iters: Int, dim: Int, scale: Int,
+      farThreshold: Long, modelSource: String): String =
+    kmeansOracleCtes(k, iters, dim, scale, "akm_model", modelSource) +
+      s""",
+         |qall AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS BIGINT)) AS q
+         |    FROM embeddings),
+         |sc AS (${duckAssign("qall", s"c$iters", dim)}),
+         |g AS (SELECT 1704067200 + (vec_id % 600) // 60 * 60 AS es, dist FROM sc)
+         |SELECT strftime(make_timestamp(es * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         |       COUNT(*) AS n_vecs,
+         |       CAST(SUM(dist) AS BIGINT) // COUNT(*) AS mean_dist,
+         |       (CAST(SUM(CASE WHEN dist > $farThreshold THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS far_rate_milli
+         |  FROM g GROUP BY es""".stripMargin
 
   /** Symbolic twin of [[randomProject]]: same quantization, same sign
     * mix re-derived in SQL per (i, j).

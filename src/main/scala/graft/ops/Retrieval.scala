@@ -253,4 +253,80 @@ object Retrieval {
           slice(col("toks"), (col("col") * stride + 1).cast("int"), lit(chunk)))
           .as("chunk_text"))
   }
+
+  /** Maximal Marginal Relevance diversification (Carbonell &
+    * Goldstein 1998): greedily select k candidates maximizing
+    * λ·rel − (1−λ)·max_{s∈selected} cos(d, s) — the re-ranker that
+    * keeps a RAG context window or a labeling batch from filling with
+    * near-duplicates of the single best hit.
+    *
+    * Shape: k argmax passes over the candidate pool (persisted once);
+    * each pass is one distributed TakeOrdered with the selected
+    * vectors riding the plan as literals (selected state is k·dim —
+    * bounded, like the Lloyd's centroids). Candidates are a
+    * RETRIEVER'S top-m output (compose with bm25TopK / ivfTopK), so
+    * the pool is small by construction — MMR's sequential greed is
+    * inherent to the algorithm, and each pass is corpus-free.
+    *
+    * Determinism: rel and cos are the bit-pinned left-fold doubles
+    * (Similarity.dot); ties break on vec_id; λ·rel − (1−λ)·maxSim is
+    * the same expression tree the DuckDB oracle evaluates. Step 1's
+    * score is λ·rel (empty selected set — no sim term).
+    *
+    * Returns exactly k rows (rank, vec_id, score), score rounded 6dp
+    * for display (selection uses the raw doubles).
+    */
+  def mmrDiversify(
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      relCol: String,
+      k: Int,
+      lambda: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    val cand = candidates.select(
+        col(idCol).cast("long").as("vec_id"),
+        col(vecCol).cast("array<float>").as("emb"),
+        col(relCol).cast("double").as("rel"))
+      .withColumn("nrm", Similarity.norm(col("emb")))
+      .persist()
+    try {
+      var selected = Vector.empty[(Long, Double, Seq[Float], Double)]
+      var step = 1
+      while (step <= k) {
+        val base = cand.filter(!col("vec_id")
+          .isin(selected.map(_._1): _*))
+        val scored =
+          if (selected.isEmpty)
+            base.withColumn("score", lit(lambda) * col("rel"))
+          else {
+            val sims = selected.map { case (_, _, e, n) =>
+              Similarity.dot(col("emb"), typedLit(e)) / (col("nrm") * lit(n))
+            }
+            val msim = if (sims.size == 1) sims.head else greatest(sims: _*)
+            base.withColumn("score",
+              lit(lambda) * col("rel") - lit(1.0 - lambda) * msim)
+          }
+        val top = scored.orderBy(col("score").desc, col("vec_id"))
+          .select(col("vec_id"), col("score"), col("emb"), col("nrm"))
+          .limit(1).collect()
+        if (top.isEmpty) step = k + 1 // pool exhausted
+        else {
+          val r = top.head
+          selected :+= ((r.getLong(0), r.getDouble(1),
+            r.getSeq[Float](2), r.getDouble(3)))
+          step += 1
+        }
+      }
+      import spark.implicits._
+      selected.zipWithIndex
+        .map { case ((id, sc, _, _), i) =>
+          ((i + 1).toLong, id,
+            // HALF_UP at 6dp — the same convention as Spark's round()
+            // and DuckDB's ROUND on the oracle side
+            BigDecimal(sc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble) }
+        .toDF("rank", "vec_id", "score")
+    } finally cand.unpersist()
+  }
 }

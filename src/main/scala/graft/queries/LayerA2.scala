@@ -1054,6 +1054,56 @@ object LayerA2 {
              |SELECT CAST(s.month AS VARCHAR) AS month,
              |       COALESCE(c.n_orders, 0) AS n_orders,
              |       COALESCE(c.revenue, 0.0) AS revenue
-             |  FROM s LEFT JOIN c USING (month)""".stripMargin))
+             |  FROM s LEFT JOIN c USING (month)""".stripMargin)),
+
+    // A65 (beyond the inventory): first_value / last_value / nth_value
+    // over an explicit ROWS frame — same-name window builtins in both
+    // engines; the unique o_orderkey ordering makes every value
+    // deterministic (the repo's tie-free window rule).
+    QueryDef(
+      "a65_value_windows",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderkey")).rowsBetween(-2, 2)
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 4000)
+          .withColumn("cents", LayerA1.cents("o_totalprice"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            first(col("cents")).over(w).as("frame_first"),
+            last(col("cents")).over(w).as("frame_last"),
+            nth_value(col("cents"), 2).over(w).as("frame_second"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |       first_value(cents) OVER w AS frame_first,
+             |       last_value(cents) OVER w AS frame_last,
+             |       nth_value(cents, 2) OVER w AS frame_second
+             |  FROM (SELECT o_orderkey, o_orderpriority,
+             |               CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+             |          FROM orders WHERE o_orderkey <= 4000)
+             |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+             |             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""".stripMargin)),
+
+    // A66 (beyond the inventory): Levenshtein edit distance — the
+    // fuzzy-match scalar both engines ship natively (Spark
+    // `levenshtein`, DuckDB `levenshtein`), exercised as a
+    // fuzzy-dedup-style banding of nation names against a probe
+    // string.
+    QueryDef(
+      "a66_levenshtein",
+      (s, d) =>
+        Tables.nation(s, d)
+          .select(col("n_name"),
+            levenshtein(col("n_name"), lit("UNITED STATES")).cast("long")
+              .as("lev"))
+          .withColumn("band",
+            when(col("lev") <= 2, "exactish")
+              .when(col("lev") <= 8, "near").otherwise("far")),
+      Some("""SELECT n_name,
+             |       CAST(levenshtein(n_name, 'UNITED STATES') AS BIGINT) AS lev,
+             |       CASE WHEN levenshtein(n_name, 'UNITED STATES') <= 2 THEN 'exactish'
+             |            WHEN levenshtein(n_name, 'UNITED STATES') <= 8 THEN 'near'
+             |            ELSE 'far' END AS band
+             |  FROM nation""".stripMargin))
   )
 }

@@ -2676,6 +2676,95 @@ object LlmPipeline {
              |       COUNT(*) AS n_tokens,
              |       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
              |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
-             |  FROM j GROUP BY es""".stripMargin))
+             |  FROM j GROUP BY es""".stripMargin)),
+
+    // Maximal Marginal Relevance diversification (Carbonell &
+    // Goldstein 1998): greedily re-rank ANN candidates by
+    // λ·rel − (1−λ)·max-sim-to-selected — the diversifier between a
+    // retriever and a RAG context window. Query = vec 0's embedding;
+    // candidates = every other vector with its cosine relevance; k=5,
+    // λ=0.5. The oracle unrolls all five greedy steps (each a NOT-IN
+    // filter + correlated MAX over the selected set + top-1 under the
+    // identical (score DESC, vec_id) order) with the bit-pinned
+    // left-fold cosine on both sides.
+    QueryDef(
+      "l72_mmr_diversify",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val q0 = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qemb"),
+            Similarity.norm(col("embedding")).as("qnrm"))
+        val cands = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"), col("embedding"),
+            (Similarity.dot(col("embedding"), col("qemb")) /
+              (Similarity.norm(col("embedding")) * col("qnrm"))).as("rel"))
+        Retrieval.mmrDiversify(cands, "vec_id", "embedding", "rel",
+          k = 5, lambda = 0.5)
+      },
+      Some {
+        def dot(a: String, b: String) = duckDot(a, b)
+        // per-candidate max-sim via a cross join + GROUP BY, not a
+        // correlated subquery: DuckDB's list lambdas cannot capture a
+        // correlated outer alias ("Referenced table c not found")
+        val steps = (2 to 5).map { n =>
+          s""",
+             |m$n AS (
+             |  SELECT c.vec_id,
+             |         MAX(${dot("c.embedding", "s.embedding")} / (c.nrm * s.nrm)) AS msim
+             |    FROM candn c CROSS JOIN sel${n - 1} s
+             |   WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+             |   GROUP BY c.vec_id),
+             |s$n AS (
+             |  SELECT vec_id, embedding, nrm, rel, score, CAST($n AS BIGINT) AS rank FROM (
+             |    SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+             |           0.5 * c.rel - 0.5 * m.msim AS score
+             |      FROM candn c JOIN m$n m USING (vec_id))
+             |   ORDER BY score DESC, vec_id LIMIT 1),
+             |sel$n AS (SELECT * FROM sel${n - 1} UNION ALL SELECT * FROM s$n)""".stripMargin
+        }.mkString
+        s"""WITH q0 AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+           |candn AS MATERIALIZED (
+           |  SELECT c.vec_id, c.embedding,
+           |         sqrt(${dot("c.embedding", "c.embedding")}) AS nrm,
+           |         ${dot("c.embedding", "q.embedding")} /
+           |           (sqrt(${dot("c.embedding", "c.embedding")}) *
+           |            sqrt(${dot("q.embedding", "q.embedding")})) AS rel
+           |    FROM embeddings c, q0 q WHERE c.vec_id != 0),
+           |s1 AS (
+           |  SELECT vec_id, embedding, nrm, rel, 0.5 * rel AS score,
+           |         CAST(1 AS BIGINT) AS rank
+           |    FROM candn ORDER BY 0.5 * rel DESC, vec_id LIMIT 1),
+           |sel1 AS (SELECT * FROM s1)$steps
+           |SELECT rank, vec_id, ROUND(score, 6) AS score FROM sel5""".stripMargin
+      }),
+
+    // Streaming embedding-drift monitor run in BATCH mode (the oracle
+    // twin): a k-means model trained on the accepted half of the
+    // corpus (even vec_ids), every arriving vector scored by exact
+    // integer distance to its nearest centroid — a stateless map, the
+    // model rides the plan as one reference object — and windowed
+    // mean-distance / far-rate stats. The vector-side counterpart of
+    // h05's OOV tripwire: catches an embedding regime change (new
+    // content domain, encoder swap) online. The oracle re-derives the
+    // TRAINING (unrolled Lloyd's over the model half) and the scoring.
+    // QualityMonitorSpec drives the same function through MemoryStream.
+    QueryDef(
+      "h06_stream_embedding_drift",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val model = Clustering.kmeansCentroids(
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          k = 4, iters = 2)
+        graft.streaming.QualityMonitor.windowedEmbeddingDrift(
+          emb.select(
+            timestamp_seconds(lit(1704067200L) + col("vec_id") % 600)
+              .as("ts"),
+            col("embedding")),
+          "ts", "embedding", model, farThreshold = 1900000L)
+      },
+      Some(Clustering.driftOracleSql(k = 4, iters = 2, dim = 64,
+        scale = 1000, farThreshold = 1900000L,
+        modelSource = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")))
   )
 }

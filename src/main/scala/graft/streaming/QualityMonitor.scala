@@ -86,4 +86,41 @@ object QualityMonitor {
         col("n_docs"), col("n_tokens"), col("n_oov"),
         expr("(n_oov * 1000) div n_tokens").as("oov_rate_milli"))
   }
+
+  /** Windowed embedding-distribution drift against a static k-means
+    * model: per arriving vector, the exact integer distance to its
+    * nearest trained centroid (ops/Clustering.nearestCentroid — the
+    * model rides the plan as ONE reference object, so scoring is a
+    * stateless map: no join, no stream-side model state); per window,
+    * the mean distance and the fraction beyond `farThreshold`. A
+    * rising far-rate is the online tripwire for an embedding-space
+    * regime change (new content domain, upstream encoder swap) —
+    * the vector-side counterpart of the h05 OOV monitor.
+    *
+    * Same function runs batch (the h06 oracle row re-derives the
+    * training AND the scoring in DuckDB) and streaming (only stateful
+    * operator: the windowed scalar aggregate, O(windows) state).
+    * All outputs integer-exact: mean_dist = sum div n,
+    * far_rate_milli = 1000·n_far div n.
+    */
+  def windowedEmbeddingDrift(vecs: DataFrame, tsCol: String, vecCol: String,
+      centroids: Seq[(Long, Seq[Long])], farThreshold: Long,
+      windowDur: String = "60 seconds", scale: Int = 1000,
+      watermark: Option[String] = None): DataFrame = {
+    val scored0 = vecs.select(col(tsCol).as("ts"),
+      graft.ops.Clustering.nearestCentroid(col(vecCol), centroids, scale)
+        .getField("dist").as("dist"))
+    val scored = watermark.fold(scored0)(w => scored0.withWatermark("ts", w))
+    scored
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).as("sum_dist"),
+        sum(when(col("dist") > farThreshold, 1L).otherwise(0L)).as("n_far"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_vecs"),
+        expr("sum_dist div n_vecs").as("mean_dist"),
+        expr("(n_far * 1000) div n_vecs").as("far_rate_milli"))
+  }
 }

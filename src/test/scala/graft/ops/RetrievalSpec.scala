@@ -151,4 +151,37 @@ class RetrievalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunker must not shuffle:\n$plan")
   }
+
+  test("mmrDiversify skips the near-duplicate of the first pick") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a is the top hit, a2 its near-clone (cos(a2, a) ≈ 1), b
+    // orthogonal. Pure top-2 = (a, a2); MMR λ=0.5 picks (a, b):
+    // a2's step-2 score = 0.45 − 0.5·cos(a2, a) ≈ −0.05, b's =
+    // 0.35 − 0.5·0 = 0.35. (rel must differ from cos-to-first here:
+    // when rel IS the cosine to the first pick's direction, every
+    // step-2 score collapses to λrel − λrel = 0 and the test is
+    // noise — the production pairing composes MMR with a retriever
+    // whose rel is BM25 or a different query.)
+    val cands = Seq(
+      (10L, Seq(1.0f, 0.0f), 1.0),
+      (11L, Seq(1.0f, 0.001f), 0.9),
+      (12L, Seq(0.0f, 1.0f), 0.7)).toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrDiversify(cands, "vec_id", "embedding", "rel",
+        k = 2, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq(1L -> 10L, 2L -> 12L))
+  }
+
+  test("mmrDiversify stops at pool exhaustion and ranks deterministically") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.5),
+      (2L, Seq(0.0f, 1.0f), 0.5)).toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrDiversify(cands, "vec_id", "embedding", "rel",
+        k = 5, lambda = 0.5)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // equal rel → vec_id tie-break picks 1 first; pool exhausts at 2
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 2L))
+  }
 }

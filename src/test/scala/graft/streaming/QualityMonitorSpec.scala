@@ -127,4 +127,52 @@ class QualityMonitorSpec extends AnyFunSuite {
       assert(got == oovExpected)
     } finally query.stop()
   }
+
+  // ---- embedding drift monitor (h06) ----
+
+  // 2-dim model: centroids at (0,0) and (10,10) in code space (scale
+  // 1000 → codes ±10000). Arrivals: near c0 (dist 2), near c1
+  // (dist 8), far outlier (dist (5000-0)²·2 to c0 ... min over both).
+  private val driftCentroids = Seq(
+    0L -> Seq(0L, 0L), 1L -> Seq(10000L, 10000L))
+  private val driftRows = Seq(
+    (t("2026-01-01 10:00:05"), Seq(0.001f, 0.001f)),   // dist 2 to c0
+    (t("2026-01-01 10:00:40"), Seq(10.002f, 10.002f)), // dist 2 to c1
+    (t("2026-01-01 10:01:10"), Seq(5.0f, 5.0f)))       // dist 5e7 — far
+  // codes: 0.001f widens ABOVE (1.000000047 → 1); 10.002f widens BELOW
+  // (10001.99985 → 10001) — the same float-grid honesty the
+  // ClusteringSpec iters=0 test pins. window 10:00: n=2, mean=(2+2)/2;
+  // window 10:01: n=1, mean=5e7, far 1000‰
+  private val driftExpected = Set(
+    ("2026-01-01 10:00:00", 2L, 2L, 0L),
+    ("2026-01-01 10:01:00", 1L, 50000000L, 1000L))
+
+  test("batch drift windows: hand-computed mean distance and far rate") {
+    import spark.implicits._
+    val got = QualityMonitor.windowedEmbeddingDrift(
+        driftRows.toDF("ts", "embedding"), "ts", "embedding",
+        driftCentroids, farThreshold = 1000000L, windowDur = "60 seconds")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == driftExpected)
+  }
+
+  test("drift monitor runs as a streaming query with identical output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Seq[Float])]
+    val query = QualityMonitor.windowedEmbeddingDrift(
+        input.toDF().toDF("ts", "embedding"), "ts", "embedding",
+        driftCentroids, farThreshold = 1000000L, windowDur = "60 seconds")
+      .writeStream.format("memory").queryName("graft_drift_monitor")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(driftRows.take(1))
+      query.processAllAvailable()
+      input.addData(driftRows.drop(1))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_drift_monitor")
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got == driftExpected)
+    } finally query.stop()
+  }
 }
