@@ -215,4 +215,67 @@ object GraphRank {
       iters, damping)
       .withColumnRenamed("id", "domain")
       .withColumnRenamed("rank", "authority")
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the link-analysis
+    * complement to PageRank for crawl curation: authorities are the
+    * content pages worth ingesting, hubs the link pages worth
+    * re-crawling. Update order pinned as the textbook sequential
+    * sweep: a_t = normalize(Eᵀ h_{t−1}), then h_t = normalize(E a_t)
+    * — the NEW authorities feed the hub update within the iteration.
+    * Normalization is L1 (scores sum to 1; avoids the sqrt of L2 in
+    * the oracle re-derivation).
+    *
+    * Scale shape: same as [[pageRank]] — the deduplicated edge list is
+    * checkpointed once; each iteration is two edge-keyed
+    * hash-aggregates (by dst, then by src) with the two 1-row
+    * normalization totals crossJoin-broadcast in the same job;
+    * lineage localCheckpoint-truncated per iteration, superseded
+    * score tables unpersisted. Returns (id, hub, auth).
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    if (n == 0) {
+      e.unpersist()
+      return nodes.select(col("id"), lit(0.0d).as("hub"),
+        lit(0.0d).as("auth"))
+    }
+    var scores = nodes.select(col("id"),
+        lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      // a_raw(v) = Σ_{u→v} hub(u) over the CURRENT hubs
+      val aRaw = nodes.join(
+          e.join(scores.select(col("id"), col("hub")),
+              e("src") === col("id"))
+            .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("ra")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("ra"), lit(0.0d)).as("ra"))
+      val aTot = aRaw.agg(sum(col("ra")).as("ta"))
+      val auth = aRaw.crossJoin(broadcast(aTot))
+        .select(col("id"), (col("ra") / col("ta")).as("auth"))
+      // h_raw(u) = Σ_{u→v} auth(v) over the NEW authorities
+      val hRaw = nodes.join(
+          e.join(auth, e("dst") === auth("id"))
+            .groupBy(col("src").as("id")).agg(sum(col("auth")).as("rh")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("rh"), lit(0.0d)).as("rh"))
+      val hTot = hRaw.agg(sum(col("rh")).as("th"))
+      val hub = hRaw.crossJoin(broadcast(hTot))
+        .select(col("id"), (col("rh") / col("th")).as("hub"))
+      val next = hub.join(auth, "id").localCheckpoint(true)
+      scores.unpersist()
+      scores = next
+      it += 1
+    }
+    nodes.unpersist()
+    e.unpersist()
+    scores.select(col("id"), col("hub"), col("auth"))
+  }
 }

@@ -2678,6 +2678,55 @@ object LlmPipeline {
              |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
              |  FROM j GROUP BY es""".stripMargin)),
 
+    // HITS hubs & authorities (Kleinberg 1999) over the same derived
+    // link graph as l65 — the link-analysis complement to PageRank
+    // for crawl curation (authorities = content worth ingesting, hubs
+    // = link pages worth re-crawling). Textbook sequential sweep
+    // (a_t from h_{t−1}, then h_t from the NEW a_t), L1-normalized;
+    // the oracle unrolls both iterations with the same LEFT JOIN +
+    // COALESCE shape as the PageRank chains.
+    QueryDef(
+      "l73_hits",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val n = docs.count()
+        val edges = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 37 + 11) % n).as("dst"))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * 53 + 7) % n))
+          .union(docs.select(col("doc_id"),
+            (col("doc_id") * 97 + 3) % n))
+        GraphRank.hits(edges, iters = 2)
+          .select(col("id").as("doc_id"), col("hub"), col("auth"))
+      },
+      Some {
+        val iterations = (1 to 2).map { t =>
+          val prevHub = if (t == 1) "s0" else s"h${t - 1}"
+          s""",
+             |a${t}r AS (
+             |  SELECT d.doc_id AS id, COALESCE(SUM($prevHub.hub), CAST(0 AS DOUBLE)) AS ra
+             |    FROM documents d LEFT JOIN e ON e.dst = d.doc_id
+             |         LEFT JOIN $prevHub ON $prevHub.id = e.src
+             |   GROUP BY d.doc_id),
+             |a$t AS (SELECT id, ra / (SELECT SUM(ra) FROM a${t}r) AS auth FROM a${t}r),
+             |h${t}r AS (
+             |  SELECT d.doc_id AS id, COALESCE(SUM(a$t.auth), CAST(0 AS DOUBLE)) AS rh
+             |    FROM documents d LEFT JOIN e ON e.src = d.doc_id
+             |         LEFT JOIN a$t ON a$t.id = e.dst
+             |   GROUP BY d.doc_id),
+             |h$t AS (SELECT id, rh / (SELECT SUM(rh) FROM h${t}r) AS hub FROM h${t}r)""".stripMargin
+        }.mkString
+        s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+           |e AS MATERIALIZED (
+           |  SELECT DISTINCT src, dst FROM (
+           |    SELECT doc_id AS src, (doc_id*37 + 11) % nn.n AS dst FROM documents, nn
+           |    UNION ALL SELECT doc_id, (doc_id*53 + 7) % nn.n FROM documents, nn
+           |    UNION ALL SELECT doc_id, (doc_id*97 + 3) % nn.n FROM documents, nn)),
+           |s0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE)/nn.n AS hub FROM documents, nn)$iterations
+           |SELECT h2.id AS doc_id, h2.hub AS hub, a2.auth AS auth
+           |  FROM h2 JOIN a2 USING (id)""".stripMargin
+      }),
+
     // Maximal Marginal Relevance diversification (Carbonell &
     // Goldstein 1998): greedily re-rank ANN candidates by
     // λ·rel − (1−λ)·max-sim-to-selected — the diversifier between a

@@ -173,4 +173,80 @@ class GraphRankSpec extends AnyFunSuite {
       Seq(1L -> 2L, 2L -> 3L, 3L -> 1L)
     assertClose(run(edges, 5), refPageRank(edges, 5))
   }
+
+  // ---- HITS ----
+
+  /** Driver-side reference: textbook sequential sweep with L1
+    * normalization — a_t = norm(Eᵀ h_{t−1}), h_t = norm(E a_t).
+    */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Double, Double)] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = nodes.size
+    var hub = nodes.map(_ -> 1.0 / n).toMap
+    var auth = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.map(v =>
+        v -> e.filter(_._2 == v).map(ed => hub(ed._1)).sum).toMap
+      val ta = aRaw.values.sum
+      auth = aRaw.map { case (k, v) => k -> v / ta }
+      val hRaw = nodes.map(u =>
+        u -> e.filter(_._1 == u).map(ed => auth(ed._2)).sum).toMap
+      val th = hRaw.values.sum
+      hub = hRaw.map { case (k, v) => k -> v / th }
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int)
+      : Map[Long, (Double, Double)] = {
+    import spark.implicits._
+    GraphRank.hits(edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+  }
+
+  test("HITS: hub-and-authority star matches the reference") {
+    // 1 links to 10..12 (1 is the hub); 10..12 link to 20 (20 is the
+    // authority-of-authorities)
+    val edges = Seq(1L -> 10L, 1L -> 11L, 1L -> 12L,
+      10L -> 20L, 11L -> 20L, 12L -> 20L)
+    val got = runHits(edges, 3)
+    val ref = refHits(edges, 3)
+    assert(got.keySet == ref.keySet)
+    for ((k, (h, a)) <- got) {
+      assert(math.abs(h - ref(k)._1) < 1e-12, s"hub $k: $h vs ${ref(k)._1}")
+      assert(math.abs(a - ref(k)._2) < 1e-12, s"auth $k: $a vs ${ref(k)._2}")
+    }
+    // 20 is the top authority; 1 the top hub... 10..12 both link and
+    // are linked, so assert the extremes only
+    assert(got(20L)._2 == got.values.map(_._2).max)
+    assert(got(1L)._2 == got.values.map(_._2).min)
+  }
+
+  test("HITS: random seeded graphs match the reference, scores sum to 1") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(80)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val got = runHits(edges, 4)
+      val ref = refHits(edges, 4)
+      assert(got.keySet == ref.keySet)
+      for ((k, (h, a)) <- got) {
+        assert(math.abs(h - ref(k)._1) < 1e-9, s"hub $k")
+        assert(math.abs(a - ref(k)._2) < 1e-9, s"auth $k")
+      }
+      assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+      assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    }
+  }
+
+  test("HITS: zero iterations returns the uniform prior") {
+    val got = runHits(Seq(1L -> 2L, 2L -> 3L), 0)
+    assert(got == Map(1L -> ((1.0 / 3, 1.0 / 3)),
+      2L -> ((1.0 / 3, 1.0 / 3)), 3L -> ((1.0 / 3, 1.0 / 3))))
+  }
 }
