@@ -222,6 +222,34 @@ object TextKernel {
   def tokens(text: String): Array[String] =
     text.toLowerCase.split(WsPlus).filter(_.nonEmpty)
 
+  /** Excise 1-based token-index ranges from text, preserving original
+    * token case and joining survivors with single spaces (excision
+    * canonicalizes whitespace — the documented contract; callers
+    * return the ORIGINAL text when no ranges hit a doc). Ranges must
+    * be sorted and disjoint (the island-merge output). Tokenization
+    * is the repo-wide WsPlus split, so indexes line up with the
+    * lowercased fingerprint windows.
+    */
+  def exciseTokenRanges(text: String, ss: Array[Int], ee: Array[Int]): String = {
+    if (text == null) return null
+    if (ss == null || ss.isEmpty) return text
+    val raw = text.split(WsPlus).filter(_.nonEmpty)
+    val sb = new java.lang.StringBuilder()
+    var r = 0
+    var i = 0
+    while (i < raw.length) {
+      val pos = i + 1
+      while (r < ss.length && ee(r) < pos) r += 1
+      val cut = r < ss.length && ss(r) <= pos && pos <= ee(r)
+      if (!cut) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(raw(i))
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Distinct code-point n-gram substrings — kernel twin of the
     * `array_distinct(transform(sequence(...), i → substr(text, i, n)))`
     * column idiom (graft.ops.Dedup.shingles): Spark's substr indexes

@@ -305,6 +305,26 @@ object CorpusStats {
     * A distributed suffix array would sort O(corpus²) suffix bytes;
     * this is the published practical equivalent at identical output.
     */
+  /** Island-merge of overlapping/adjacent 1-based token ranges: input
+    * (doc_id, s, e) rows, output maximal disjoint (doc_id, ss, se)
+    * spans — the classic prev-max-end window over a per-doc sort.
+    * Shared by [[exactSubstrSpans]] and Decontaminate's excision.
+    */
+  def mergeTokenSpans(ranges: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranges
+      .withColumn("prev_end", max(col("e")).over(wPrev))
+      .withColumn("nu",
+        when(col("prev_end").isNull || col("s") > col("prev_end") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("nu")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+  }
+
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, minCount: Int = 2,
       exactHash: Boolean = true): DataFrame = {
@@ -318,18 +338,7 @@ object CorpusStats {
       .filter(col("occ") >= minCount)
       .select(col("doc_id"), col("s"),
         (col("s") + (minTokens - 1)).as("e"))
-    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val spans = dupStarts
-      .withColumn("prev_end", max(col("e")).over(wPrev))
-      .withColumn("nu",
-        when(col("prev_end").isNull || col("s") > col("prev_end") + 1, 1L)
-          .otherwise(0L))
-      .withColumn("island", sum(col("nu")).over(wRun))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("s")).as("ss"), max(col("e")).as("se"))
+    val spans = mergeTokenSpans(dupStarts)
     val perDoc = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("se") - col("ss") + 1).as("n_dup_tokens"),

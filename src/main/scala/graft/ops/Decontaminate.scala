@@ -54,6 +54,64 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_leaked_ngrams"))
   }
 
+  /** Decontamination by SPAN EXCISION (the removal step of Lee et al.
+    * 2022's dedup/decontamination recipe, and what production
+    * pipelines actually do with a leaked benchmark: cut the span, keep
+    * the document). Every ≥`n`-token window of a corpus doc whose
+    * fingerprint appears ANYWHERE in the benchmark marks its token
+    * range; ranges island-merge to maximal spans (the l68 machinery —
+    * CorpusStats.mergeTokenSpans); the spans are then excised from the
+    * original text token-exactly.
+    *
+    * Contract: docs with no hits return their ORIGINAL text untouched;
+    * excised docs re-join surviving tokens with single spaces
+    * (excision canonicalizes whitespace — kernel scaladoc). Case is
+    * preserved (fingerprints are over lowercased tokens, excision over
+    * the raw split; the WsPlus tokenization makes indexes line up).
+    *
+    * Scale shape: benchmark fingerprints are a distinct set (broadcast
+    * by AQE when small — the common case; decontaminateBloom's
+    * prefilter composes in front when it is not); corpus windows
+    * shuffle KEYS ONLY on fp for the membership join; the span table
+    * that joins back onto the text is rows-per-contaminated-doc —
+    * tiny in practice, so the text-side join broadcasts and document
+    * text never rides an exchange (the l45 line-dedup lesson; no
+    * broadcast HINT, per the r8-advice gated-broadcast rule — AQE
+    * decides from measured size).
+    *
+    * Output: (doc_id, n_spans, n_removed_tokens, cleaned_text).
+    */
+  def decontaminateExcise(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int,
+      exactHash: Boolean = true): DataFrame = {
+    val winUdf = udf((t: String) =>
+      TextKernel.slidingWindowHashes(t, n, exactHash))
+    val benchFps = benchmark
+      .select(explode(winUdf(col(textCol))).as("fp")).distinct()
+    val hits = corpus
+      .select(col(idCol).as("doc_id"), posexplode(winUdf(col(textCol))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+        col("col").as("fp"))
+      .join(benchFps, "fp")
+      .select(col("doc_id"), col("s"), (col("s") + (n - 1)).as("e"))
+    val spansPerDoc = CorpusStats.mergeTokenSpans(hits)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("se") - col("ss") + 1).as("n_removed_tokens"),
+        array_sort(collect_list(struct(col("ss"), col("se")))).as("sp"))
+    val exciseUdf = udf((text: String, sp: Seq[org.apache.spark.sql.Row]) =>
+      if (sp == null) text
+      else TextKernel.exciseTokenRanges(text,
+        sp.map(_.getLong(0).toInt).toArray,
+        sp.map(_.getLong(1).toInt).toArray))
+    corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(spansPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+        exciseUdf(col("text"), col("sp")).as("cleaned_text"))
+  }
+
   /** Bloom-prefiltered decontamination — the shape for when the
     * benchmark fingerprint set itself is large (a full eval-suite
     * union can reach 10^8 distinct grams: too big to broadcast as an

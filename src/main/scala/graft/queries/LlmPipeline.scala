@@ -2678,6 +2678,66 @@ object LlmPipeline {
              |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
              |  FROM j GROUP BY es""".stripMargin)),
 
+    // Decontamination by SPAN EXCISION (the removal step of Lee et
+    // al.'s recipe — l23 flags leaked docs, this one CUTS the leaked
+    // spans and keeps the document): 8-token window fingerprints
+    // matched against the benchmark set (doc_id % 23 = 0, as l23),
+    // island-merged to maximal spans, excised token-exactly from the
+    // ORIGINAL text (case preserved; excision canonicalizes
+    // whitespace; untouched docs keep their exact original text).
+    // The oracle re-derives tokenization, the md5-prefix window
+    // fingerprints, the membership join, the island merge, and the
+    // token-by-token rebuild.
+    QueryDef(
+      "l74_decontaminate_excise",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontaminate.decontaminateExcise(docs,
+          docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 8)
+      },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id, text,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts,
+             |         list_filter(string_split_regex(text, '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS raw
+             |    FROM documents),
+             |win AS (
+             |  SELECT doc_id, i AS s, i + 7 AS e,
+             |         CAST(('0x' || substr(md5(array_to_string(ts[i : i+7], ' ')), 1, 15)) AS BIGINT) AS fp
+             |    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM tok)),
+             |bfp AS (SELECT DISTINCT fp FROM win WHERE doc_id % 23 = 0),
+             |ds AS (SELECT w.doc_id, w.s, w.e FROM win w JOIN bfp USING (fp)),
+             |isl AS (
+             |  SELECT doc_id, s, e,
+             |         SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+             |    FROM (SELECT doc_id, s, e,
+             |                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |            FROM ds)),
+             |sp AS (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se FROM isl GROUP BY doc_id, island),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_spans,
+             |         CAST(SUM(se - ss + 1) AS BIGINT) AS n_removed_tokens
+             |    FROM sp GROUP BY doc_id),
+             |kept AS (
+             |  SELECT x.doc_id, x.i, x.raw[x.i] AS tok
+             |    FROM (SELECT t.doc_id, t.raw, unnest(generate_series(1, len(t.raw))) AS i
+             |            FROM tok t JOIN (SELECT DISTINCT doc_id FROM sp) c USING (doc_id)) x
+             |   WHERE NOT EXISTS (SELECT 1 FROM sp
+             |                      WHERE sp.doc_id = x.doc_id AND x.i BETWEEN sp.ss AND sp.se)),
+             |cleanedc AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned
+             |    FROM kept GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |       COALESCE(a.n_spans, 0) AS n_spans,
+             |       COALESCE(a.n_removed_tokens, 0) AS n_removed_tokens,
+             |       CASE WHEN a.doc_id IS NULL THEN d.text
+             |            ELSE COALESCE(cc.cleaned, '') END AS cleaned_text
+             |  FROM documents d LEFT JOIN agg a USING (doc_id)
+             |       LEFT JOIN cleanedc cc ON cc.doc_id = d.doc_id""".stripMargin)),
+
     // HITS hubs & authorities (Kleinberg 1999) over the same derived
     // link graph as l65 — the link-analysis complement to PageRank
     // for crawl curation (authorities = content worth ingesting, hubs

@@ -76,4 +76,42 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
     assert(bloom == exact)
   }
+
+  test("exciseTokenRanges: case kept, whitespace canonicalized, edges exact") {
+    import graft.kernel.TextKernel.exciseTokenRanges
+    val t = "Alpha  beta\tGAMMA delta epsilon"
+    // cut tokens 2..3 (beta GAMMA)
+    assert(exciseTokenRanges(t, Array(2), Array(3)) == "Alpha delta epsilon")
+    // cut everything
+    assert(exciseTokenRanges(t, Array(1), Array(5)) == "")
+    // no ranges → ORIGINAL text, double spaces and tab untouched
+    assert(exciseTokenRanges(t, Array.empty, Array.empty) eq t)
+    // two disjoint ranges incl. both boundaries
+    assert(exciseTokenRanges(t, Array(1, 5), Array(1, 5)) ==
+      "beta GAMMA delta")
+  }
+
+  test("decontaminateExcise cuts the planted leak span, keeps clean docs verbatim") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val leak = "one two three four" // the benchmark 4-gram
+    val corpus = Seq(
+      (1L, s"Intro words here $leak tail words here end"),
+      (2L, "totally clean document with  DOUBLE  spaces kept"),
+      (3L, s"$leak $leak")) // leak twice, adjacent → one merged span
+      .toDF("doc_id", "text")
+    val benchmark = Seq((100L, leak)).toDF("doc_id", "text")
+    val got = Decontaminate.decontaminateExcise(
+        corpus, benchmark, "doc_id", "text", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((1L, 4L, "Intro words here tail words here end")))
+    assert(got(2L) ==
+      ((0L, 0L, "totally clean document with  DOUBLE  spaces kept")))
+    // doc 3: windows at 1..5 all match (the doubled leak contains
+    // every 4-gram of "one two three four one two three four"? no —
+    // only those whose 4 tokens equal the benchmark's single gram:
+    // positions 1 and 5) → merged island 1..8 → fully excised
+    assert(got(3L) == ((1L, 8L, "")))
+  }
 }
