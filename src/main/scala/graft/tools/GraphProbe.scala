@@ -47,6 +47,9 @@ object GraphProbe {
         case "ppr" =>
           graft.ops.GraphRank.personalizedPageRankWithStats(edges,
             spark.range(0, n, 100).select(col("id")), iters, tol = tol)
+        case "hits" =>
+          (graft.ops.GraphRank.hits(edges, iters)
+            .select(col("id"), col("auth").as("rank")), iters)
         case _ =>
           graft.ops.GraphRank.pageRankWithStats(edges, iters, tol = tol)
       }
