@@ -108,4 +108,48 @@ object Sampling {
       .filter(col("bkt") < round(col("rate") * 10000))
       .select("doc_id", "source", "n_tokens")
   }
+
+  /** Temperature-balanced mixture — the multilingual upsampling recipe
+    * (mC4 / XLM-R style): per-stratum keep rates derived from the
+    * corpus's OWN counts with share_s ∝ n_s^τ, so dominant strata are
+    * downsampled and rare ones kept whole. τ is fixed at 0.5 (sqrt):
+    * IEEE sqrt is correctly rounded in every engine while pow is only
+    * faithfully rounded — sqrt is the τ a cross-engine-exact oracle
+    * can re-derive bit-for-bit (the determinism boundary, stated
+    * rather than hidden).
+    *
+    *   w_s = sqrt(n_s);  W = Σ w_s folded in ASCENDING stratum order
+    *   (explicit fold — a plain SUM's association is engine-private);
+    *   rate_s = min(1, ((B · w_s) / W) / n_s);
+    *   keep iff hashBucket(text) < floor(rate_s · 10⁴).
+    *
+    * Scale shape: one |strata|-row aggregate to the driver (bounded —
+    * strata are languages/sources), rates fold into a literal CASE
+    * chain, and the mixture is a map-side WHERE like every sampler
+    * here — no shuffle, no join, text never moves.
+    */
+  def temperatureMix(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stratumCol: String,
+      budgetDocs: Long): DataFrame = {
+    require(budgetDocs >= 0)
+    val counts = docs.groupBy(col(stratumCol).as("s"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val ws = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble)) }
+    val bigW = ws.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
+    val milli = ws.map { case (s, n, w) =>
+      val rate = math.min(1.0, ((budgetDocs.toDouble * w) / bigW) / n.toDouble)
+      s -> math.floor(rate * 10000).toLong
+    }
+    val threshold = milli.foldLeft(lit(0L): Column) {
+      case (acc, (s, m)) =>
+        when(col(stratumCol) === lit(s), lit(m)).otherwise(acc)
+    }
+    docs.filter(hashBucket(col(textCol)) < threshold)
+      .select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+  }
 }

@@ -2678,6 +2678,30 @@ object LlmPipeline {
              |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
              |  FROM j GROUP BY es""".stripMargin)),
 
+    // Temperature-balanced multilingual mix (mC4/XLM-R recipe): keep
+    // rates derived from the corpus's own per-language counts with
+    // share ∝ n^0.5 — τ fixed at sqrt because IEEE sqrt is correctly
+    // rounded cross-engine while pow is not (the documented
+    // determinism boundary). The oracle re-derives counts, the
+    // ascending-stratum-order W fold (list_reduce over list(w ORDER BY
+    // lang) — a plain SUM's association is engine-private), the capped
+    // rates, and the md5-bucket membership.
+    QueryDef(
+      "l75_temperature_mix",
+      (s, d) => Sampling.temperatureMix(
+        Tables.documents(s, d), "doc_id", "text", "lang",
+        budgetDocs = 200L),
+      Some("""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+             |tot AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS tw FROM w),
+             |r AS (SELECT lang,
+             |             CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+             |               ((CAST(200 AS DOUBLE) * w) / tot.tw) / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS milli
+             |        FROM w, tot)
+             |SELECT d.doc_id, d.lang AS stratum
+             |  FROM documents d JOIN r USING (lang)
+             | WHERE COALESCE(CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT) % 10000, 0) < r.milli""".stripMargin)),
+
     // Decontamination by SPAN EXCISION (the removal step of Lee et
     // al.'s recipe — l23 flags leaked docs, this one CUTS the leaked
     // spans and keeps the document): 8-token window fingerprints

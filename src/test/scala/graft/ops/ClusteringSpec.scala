@@ -78,6 +78,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(mismatch.head.isNullAt(0))
   }
 
+  test("plan pins: projection and assignment are map-only (no Exchange, no Join)") {
+    val emb = embDf(0L -> Seq(1.0f, 2.0f), 1L -> Seq(3.0f, 4.0f))
+    // the serving projection: one ProjectExec over the scan
+    val projPlan = Clustering.randomProjectVec(emb, "vec_id", "embedding",
+      dim = 2, outDim = 4).queryExecution.executedPlan.toString
+    assert(!projPlan.contains("Exchange") && !projPlan.contains("Join"),
+      s"JL projection must be map-only:\n$projPlan")
+    // the serving assignment: nearestCentroid is a scalar expression —
+    // centroids ride the plan, no join against a model table
+    val servePlan = emb.select(Clustering.nearestCentroid(col("embedding"),
+        Seq(0L -> Seq(0L, 0L), 1L -> Seq(1000L, 1000L))))
+      .queryExecution.executedPlan.toString
+    assert(!servePlan.contains("Exchange") && !servePlan.contains("Join"),
+      s"centroid serving must be map-only:\n$servePlan")
+  }
+
   test("randomProject matches a hand computation of the sign mix") {
     val emb = embDf(7L -> Seq(0.5f, -0.25f, 1.0f))
     val got = Clustering.randomProject(emb, "vec_id", "embedding",

@@ -61,4 +61,26 @@ class SamplingSpec extends AnyFunSuite {
       8000, Map("tiny" -> 1.0)).collect()
     assert(out.forall(_.getString(1) == "tiny"))
   }
+
+  test("temperatureMix: rare stratum kept whole, dominant downsampled to ∝√n") {
+    import spark.implicits._
+    // 900 docs of 'big', 9 of 'rare'. w = (30, 3), W = 33. Budget 200:
+    //   rate_big  = min(1, 200·30/33/900) = 0.2020…  → milli 2020
+    //   rate_rare = min(1, 200·3/33/9)    = 2.02 → capped 1 → milli 10000
+    val docs = ((1 to 900).map(i => (i.toLong, s"big doc $i", "big")) ++
+      (1 to 9).map(i => (1000L + i, s"rare doc $i", "rare")))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.temperatureMix(docs, "doc_id", "text", "lang", 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byStratum = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byStratum("rare") == 9, s"rare must be kept whole: $byStratum")
+    // ~0.202 of 900 ≈ 182 expected; md5 buckets are uniform enough
+    // that [120, 250] is a 10-sigma-safe envelope
+    assert(byStratum("big") > 120 && byStratum("big") < 250, s"$byStratum")
+    // deterministic: a repartitioned rerun keeps the identical rows
+    val again = Sampling.temperatureMix(docs.repartition(7),
+      "doc_id", "text", "lang", 200L)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSet == out.toSet)
+  }
 }
