@@ -135,10 +135,19 @@ object Sampling {
       stratumCol: String,
       budgetDocs: Long): DataFrame = {
     require(budgetDocs >= 0)
-    val counts = docs.groupBy(col(stratumCol).as("s"))
+    // strata are languages/sources — a bounded model table. Guard the
+    // driver collect loudly (the r8-advice contract-enforcement rule):
+    // a high-cardinality stratumCol (say, doc_id) would otherwise pull
+    // a corpus-sized result onto the driver.
+    val maxStrata = 100000
+    val counts0 = docs.groupBy(col(stratumCol).as("s"))
       .agg(count(lit(1)).as("n"))
+      .limit(maxStrata + 1)
       .collect().map(r => r.getString(0) -> r.getLong(1))
-      .sortBy(_._1)
+    require(counts0.length <= maxStrata,
+      s"temperatureMix: over $maxStrata distinct strata in '$stratumCol' — " +
+        "that is a key column, not a mixing stratum")
+    val counts = counts0.sortBy(_._1)
     val ws = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble)) }
     val bigW = ws.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
     val milli = ws.map { case (s, n, w) =>
