@@ -2678,6 +2678,112 @@ object LlmPipeline {
              |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
              |  FROM j GROUP BY es""".stripMargin)),
 
+    // The composed ingest pipeline — the "user story" row: curation
+    // rules gate → decontamination by span excision (benchmark = the
+    // external eval set, NOT subject to curation) → temperature-
+    // balanced language mix over the CLEANED text. Three oracle-green
+    // operators composed end-to-end, and the oracle re-derives the
+    // whole chain (rules, window fingerprints, island merge, token
+    // rebuild, √n rates, md5 membership) — proving the pieces compose
+    // without seams, the way a production ingest runs them.
+    QueryDef(
+      "l76_ingest_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val kept = docs.filter(
+          Curation.gopherReason(col("text"), col("lang"),
+            minTokens = 40).isNull)
+        // checkpoint the excision output: temperatureMix's count pass
+        // and the final join both consume it — without this the whole
+        // fingerprint/island chain runs twice (the semDedup lesson)
+        val excised = Decontaminate.decontaminateExcise(kept,
+          docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 8)
+          .join(kept.select(col("doc_id"), col("lang")), "doc_id")
+          .localCheckpoint()
+        val mixed = Sampling.temperatureMix(
+          excised.select(col("doc_id"),
+            col("cleaned_text").as("text"), col("lang")),
+          "doc_id", "text", "lang", budgetDocs = 100L)
+        mixed.join(excised.select(col("doc_id"), col("n_spans"),
+            col("n_removed_tokens")), "doc_id")
+          .select(col("doc_id"), col("stratum"),
+            col("n_spans"), col("n_removed_tokens"))
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lang, text,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts,
+             |         list_filter(string_split_regex(text, '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS raw
+             |    FROM documents),
+             |sig AS MATERIALIZED (
+             |  SELECT doc_id, lang, CAST(len(ts) AS BIGINT) AS n_tokens,
+             |         CASE WHEN len(ts) > 0
+             |              THEN CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE) / len(ts) END
+             |           AS mean_token_len,
+             |         CASE WHEN len(ts) > 0
+             |              THEN CAST(len(list_filter(ts, x -> regexp_full_match(x, '[a-z]+'))) AS DOUBLE) / len(ts) END
+             |           AS alpha_frac,
+             |         list_has_any(ts, ['the', 'a', 'and', 'of', 'to', 'in']) AS has_stop
+             |    FROM t),
+             |keepd AS (
+             |  SELECT doc_id FROM sig
+             |   WHERE CASE WHEN n_tokens < 40 THEN 'too_short'
+             |              WHEN n_tokens > 100000 THEN 'too_long'
+             |              WHEN mean_token_len < 3.0 OR mean_token_len > 10.0 THEN 'token_len'
+             |              WHEN alpha_frac < 0.8 THEN 'alpha'
+             |              WHEN NOT has_stop THEN 'stopwords'
+             |              WHEN lang NOT IN ('en', 'es', 'de', 'fr') THEN 'lang'
+             |         END IS NULL),
+             |win AS (
+             |  SELECT doc_id, i AS s, i + 7 AS e,
+             |         CAST(('0x' || substr(md5(array_to_string(ts[i : i+7], ' ')), 1, 15)) AS BIGINT) AS fp
+             |    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM t)),
+             |bfp AS (SELECT DISTINCT fp FROM win WHERE doc_id % 23 = 0),
+             |ds AS (SELECT w.doc_id, w.s, w.e
+             |         FROM win w JOIN bfp USING (fp) JOIN keepd k ON k.doc_id = w.doc_id),
+             |isl AS (
+             |  SELECT doc_id, s, e,
+             |         SUM(CASE WHEN prev_end IS NULL OR s > prev_end + 1 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+             |    FROM (SELECT doc_id, s, e,
+             |                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+             |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             |            FROM ds)),
+             |sp AS (SELECT doc_id, island, MIN(s) AS ss, MAX(e) AS se FROM isl GROUP BY doc_id, island),
+             |agg AS (
+             |  SELECT doc_id, COUNT(*) AS n_spans,
+             |         CAST(SUM(se - ss + 1) AS BIGINT) AS n_removed_tokens
+             |    FROM sp GROUP BY doc_id),
+             |keptt AS (
+             |  SELECT x.doc_id, x.i, x.raw[x.i] AS tok
+             |    FROM (SELECT t.doc_id, t.raw, unnest(generate_series(1, len(t.raw))) AS i
+             |            FROM t JOIN (SELECT DISTINCT doc_id FROM sp) c USING (doc_id)) x
+             |   WHERE NOT EXISTS (SELECT 1 FROM sp
+             |                      WHERE sp.doc_id = x.doc_id AND x.i BETWEEN sp.ss AND sp.se)),
+             |cleanedc AS (
+             |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS cleaned
+             |    FROM keptt GROUP BY doc_id),
+             |clean AS (
+             |  SELECT k.doc_id, t.lang,
+             |         CASE WHEN a.doc_id IS NULL THEN t.text
+             |              ELSE COALESCE(cc.cleaned, '') END AS ctext,
+             |         COALESCE(a.n_spans, 0) AS n_spans,
+             |         COALESCE(a.n_removed_tokens, 0) AS n_removed_tokens
+             |    FROM keepd k JOIN t USING (doc_id)
+             |         LEFT JOIN agg a ON a.doc_id = k.doc_id
+             |         LEFT JOIN cleanedc cc ON cc.doc_id = k.doc_id),
+             |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM clean GROUP BY lang),
+             |w AS (SELECT lang, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+             |tot AS (SELECT list_reduce(list(w ORDER BY lang), (a, b) -> a + b) AS tw FROM w),
+             |r AS (SELECT lang,
+             |             CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+             |               ((CAST(100 AS DOUBLE) * w) / tot.tw) / CAST(n AS DOUBLE)) * 10000) AS BIGINT) AS milli
+             |        FROM w, tot)
+             |SELECT cl.doc_id, cl.lang AS stratum, cl.n_spans, cl.n_removed_tokens
+             |  FROM clean cl JOIN r USING (lang)
+             | WHERE COALESCE(CAST(('0x' || substr(md5(cl.ctext), 1, 8)) AS BIGINT) % 10000, 0) < r.milli""".stripMargin)),
+
     // Temperature-balanced multilingual mix (mC4/XLM-R recipe): keep
     // rates derived from the corpus's own per-language counts with
     // share ∝ n^0.5 — τ fixed at sqrt because IEEE sqrt is correctly
