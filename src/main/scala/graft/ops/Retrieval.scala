@@ -289,6 +289,10 @@ object Retrieval {
         col(vecCol).cast("array<float>").as("emb"),
         col(relCol).cast("double").as("rel"))
       .withColumn("nrm", Similarity.norm(col("emb")))
+      // a null embedding/rel can't be scored; without this filter a
+      // null-score row becomes pickable once real candidates run out
+      // (desc ordering is nulls-LAST, but exhaustion reaches them)
+      .filter(col("rel").isNotNull && col("nrm").isNotNull)
       .persist()
     try {
       var selected = Vector.empty[(Long, Double, Seq[Float], Double)]

@@ -147,7 +147,10 @@ object Sampling {
     require(counts0.length <= maxStrata,
       s"temperatureMix: over $maxStrata distinct strata in '$stratumCol' — " +
         "that is a key column, not a mixing stratum")
-    val counts = counts0.sortBy(_._1)
+    // NULL strata are DROPPED (documented): the CASE threshold below
+    // never matches them (NULL === s is NULL → falls to the 0 arm),
+    // and the driver-side sort would NPE on a null key otherwise.
+    val counts = counts0.filter(_._1 != null).sortBy(_._1)
     val ws = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble)) }
     val bigW = ws.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
     val milli = ws.map { case (s, n, w) =>

@@ -184,4 +184,17 @@ class RetrievalSpec extends AnyFunSuite {
     // equal rel → vec_id tie-break picks 1 first; pool exhausts at 2
     assert(got.toSeq == Seq(1L -> 1L, 2L -> 2L))
   }
+
+  test("mmrDiversify never selects null-embedding/null-rel candidates") {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, Some(Seq(1.0f, 0.0f)), Some(0.9)),
+      (2L, None: Option[Seq[Float]], Some(0.8)),
+      (3L, Some(Seq(0.0f, 1.0f)), None: Option[Double]))
+      .toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrDiversify(cands, "vec_id", "embedding", "rel",
+        k = 3, lambda = 0.5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L)) // unscorables dropped, pool exhausts at 1
+  }
 }

@@ -83,4 +83,14 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1)))
     assert(again.toSet == out.toSet)
   }
+
+  test("temperatureMix drops NULL strata instead of NPEing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a doc", Some("en")), (2L, "b doc", Some("en")),
+      (3L, "c doc", None)).toDF("doc_id", "text", "lang")
+    val out = Sampling.temperatureMix(docs, "doc_id", "text", "lang", 100L)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L)) // budget >> n → all non-null kept
+  }
 }
