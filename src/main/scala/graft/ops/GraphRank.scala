@@ -232,7 +232,19 @@ object GraphRank {
     * lineage localCheckpoint-truncated per iteration, superseded
     * score tables unpersisted. Returns (id, hub, auth).
     */
-  def hits(edges: DataFrame, iters: Int): DataFrame = {
+  def hits(edges: DataFrame, iters: Int): DataFrame =
+    hitsWithStats(edges, iters)._1
+
+  /** [[hits]] plus iterations actually run. `tol` > 0 adds the same
+    * production convergence stop as [[pageRank]]: stop once the L1
+    * delta of the AUTHORITY vector falls below tol (authorities are
+    * the ingest-side signal; hubs converge in lockstep since each is
+    * one half-sweep of the other). One extra 1-row aggregate per
+    * checked iteration; tol = 0 skips the check entirely — bit-for-bit
+    * the fixed-iteration behavior the l73 oracle unrolls.
+    */
+  def hitsWithStats(edges: DataFrame, iters: Int,
+      tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
       .localCheckpoint(true)
@@ -242,14 +254,15 @@ object GraphRank {
     val n = nodes.count()
     if (n == 0) {
       e.unpersist()
-      return nodes.select(col("id"), lit(0.0d).as("hub"),
-        lit(0.0d).as("auth"))
+      return (nodes.select(col("id"), lit(0.0d).as("hub"),
+        lit(0.0d).as("auth")), 0)
     }
     var scores = nodes.select(col("id"),
         lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth"))
       .localCheckpoint(true)
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       // a_raw(v) = Σ_{u→v} hub(u) over the CURRENT hubs
       val aRaw = nodes.join(
           e.join(scores.select(col("id"), col("hub")),
@@ -270,12 +283,18 @@ object GraphRank {
       val hub = hRaw.crossJoin(broadcast(hTot))
         .select(col("id"), (col("rh") / col("th")).as("hub"))
       val next = hub.join(auth, "id").localCheckpoint(true)
+      it += 1
+      if (tol > 0.0 && it < iters && !converged) {
+        val delta = next.as("n").join(scores.as("p"), "id")
+          .agg(sum(abs(col("n.auth") - col("p.auth"))))
+          .head().getDouble(0)
+        converged = delta < tol
+      }
       scores.unpersist()
       scores = next
-      it += 1
     }
     nodes.unpersist()
     e.unpersist()
-    scores.select(col("id"), col("hub"), col("auth"))
+    (scores.select(col("id"), col("hub"), col("auth")), it)
   }
 }

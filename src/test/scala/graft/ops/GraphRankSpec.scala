@@ -249,4 +249,19 @@ class GraphRankSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1.0 / 3, 1.0 / 3)),
       2L -> ((1.0 / 3, 1.0 / 3)), 3L -> ((1.0 / 3, 1.0 / 3))))
   }
+
+  test("HITS: tol convergence stops early with output equal to its depth") {
+    import spark.implicits._
+    // a fast-mixing star converges in a couple of sweeps
+    val edges = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 1L -> 11L)
+    val (conv, ran) = GraphRank.hitsWithStats(
+      edges.toDF("src", "dst"), iters = 30, tol = 1e-9)
+    assert(ran < 30, s"expected early stop, ran $ran")
+    val fixedAtDepth = GraphRank.hits(edges.toDF("src", "dst"), ran)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val got = conv.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == fixedAtDepth)
+  }
 }
