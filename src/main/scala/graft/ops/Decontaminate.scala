@@ -80,6 +80,12 @@ object Decontaminate {
     * decides from measured size).
     *
     * Output: (doc_id, n_spans, n_removed_tokens, cleaned_text).
+    *
+    * `corpus` is consumed TWICE (the window pass and the text-side
+    * join) — callers composing this behind an expensive upstream (a
+    * curation gate, a derived projection) should pass a materialized
+    * frame (localCheckpoint), or the upstream re-evaluates per
+    * consumer (measured 2× wall on the x15 composed pipeline).
     */
   def decontaminateExcise(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int,

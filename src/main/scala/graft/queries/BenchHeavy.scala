@@ -401,6 +401,38 @@ object BenchHeavy {
         graft.ops.Clustering.semDedup(proj, "vec_id", "embedding",
           k = 64, iters = 2, tau = 0.99)
           .groupBy(col("is_dup")).agg(count(lit(1)).as("n"))
+      }),
+
+    // The composed ingest pipeline at 500k amplified docs (l76's
+    // user-story chain at 10× the gate corpus): curation rules gate →
+    // decontamination by span excision (FNV production hash; benchmark
+    // = the %23 slice) → temperature language mix over the cleaned
+    // text, reduced to per-stratum keep counts. Tracks the end-to-end
+    // wall time a production ingest actually pays.
+    QueryDef(
+      "x15_ingest_pipeline",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", 500000L)
+        val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
+          graft.tools.Amplify.documents(_, f)))
+        // materialize the gated corpus once: decontaminateExcise
+        // consumes its corpus twice (window pass + text-side join),
+        // and the regex-heavy rules gate is the most expensive map in
+        // the chain — re-evaluating it per consumer cost 2× wall
+        val kept = docs.filter(
+          graft.ops.Curation.gopherReason(col("text"), col("lang"),
+            minTokens = 40).isNull)
+          .localCheckpoint()
+        val excised = graft.ops.Decontaminate.decontaminateExcise(kept,
+            docs.filter(col("doc_id") % 23 === 0), "doc_id", "text",
+            n = 8, exactHash = false)
+          .join(kept.select(col("doc_id"), col("lang")), "doc_id")
+          .localCheckpoint()
+        graft.ops.Sampling.temperatureMix(
+            excised.select(col("doc_id"),
+              col("cleaned_text").as("text"), col("lang")),
+            "doc_id", "text", "lang", budgetDocs = 100000L)
+          .groupBy(col("stratum")).agg(count(lit(1)).as("n_kept"))
       })
   )
 }

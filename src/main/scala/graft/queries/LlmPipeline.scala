@@ -2690,9 +2690,13 @@ object LlmPipeline {
       "l76_ingest_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
+        // kept materialized once: the excision consumes its corpus
+        // twice and the regex-heavy gate is the chain's costliest map
+        // (2× wall measured on x15, the 500k-doc bench twin)
         val kept = docs.filter(
           Curation.gopherReason(col("text"), col("lang"),
             minTokens = 40).isNull)
+          .localCheckpoint()
         // checkpoint the excision output: temperatureMix's count pass
         // and the final join both consume it — without this the whole
         // fingerprint/island chain runs twice (the semDedup lesson)
