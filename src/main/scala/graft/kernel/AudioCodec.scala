@@ -103,6 +103,91 @@ object AudioCodec {
     } finally ais.close()
   }
 
+  /** K-bucket energy-envelope signature — the audio counterpart of
+    * ImageCodec.dHash56 for perceptual-ish dedup: per frame t, the
+    * cross-channel |amplitude| sum; frames bucket by k = (t·K)/n
+    * (integer division, the same arithmetic an oracle re-derives);
+    * bit k of the signature is set iff the bucket's energy exceeds
+    * its pro-rata share of the total — compared CROSS-MULTIPLIED
+    * (bucketSum·nFrames > totalSum·bucketLen), so the rule is exact
+    * integer arithmetic with no division. None when the payload is
+    * not decodable PCM or has zero frames.
+    *
+    * Magnitudes: |amp| ≤ 32768·channels per frame; totalSum ≤ that
+    * ·nFrames; the cross-product stays far under 2⁶³ for any audio
+    * that fits in a row.
+    */
+  def envelopeSig(bytes: Array[Byte], buckets: Int): Option[java.lang.Long] = {
+    require(buckets >= 1 && buckets <= 62)
+    if (!looksLikeAudio(bytes)) return None
+    val ais =
+      try AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = ais.getFormat
+      val bits = fmt.getSampleSizeInBits
+      val channels = fmt.getChannels
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == AudioFormat.Encoding.PCM_UNSIGNED
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) || channels <= 0)
+        return None
+      val frameSize = fmt.getFrameSize
+      if (frameSize != channels * (bits / 8)) return None
+      val frameAbs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val buf = new Array[Byte](8192 - 8192 % frameSize)
+      val bigEndian = fmt.isBigEndian
+      var read = ais.read(buf)
+      while (read > 0) {
+        var i = 0
+        while (i + frameSize <= read) {
+          var c = 0
+          var fa = 0L
+          while (c < channels) {
+            val off = i + c * (bits / 8)
+            val s =
+              if (bits == 8) {
+                if (signed) buf(off).toInt else (buf(off) & 0xff) - 128
+              } else {
+                val lo = if (bigEndian) buf(off + 1) else buf(off)
+                val hi = if (bigEndian) buf(off) else buf(off + 1)
+                val v = ((hi & 0xff) << 8) | (lo & 0xff)
+                val sv = v.toShort.toInt
+                if (signed) sv else v - 32768
+              }
+            fa += math.abs(s)
+            c += 1
+          }
+          frameAbs += fa
+          i += frameSize
+        }
+        read = ais.read(buf)
+      }
+      val n = frameAbs.length
+      if (n == 0) return None
+      val bucketSum = new Array[Long](buckets)
+      val bucketLen = new Array[Long](buckets)
+      var total = 0L
+      var t = 0
+      while (t < n) {
+        val k = ((t.toLong * buckets) / n).toInt
+        bucketSum(k) += frameAbs(t)
+        bucketLen(k) += 1
+        total += frameAbs(t)
+        t += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < buckets) {
+        if (bucketSum(k) * n > total * bucketLen(k)) sig |= (1L << k)
+        k += 1
+      }
+      Some(java.lang.Long.valueOf(sig))
+    } catch {
+      case _: Exception => None
+    } finally ais.close()
+  }
+
   /** Encode a 16-bit signed PCM sample function to WAV bytes
     * (lossless — decode returns exactly these samples). `sample(ch, t)`
     * is evaluated for t in [0, nFrames) per channel and interleaved in

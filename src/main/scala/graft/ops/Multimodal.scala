@@ -177,8 +177,12 @@ object Multimodal {
     * through a REAL encode (here) + decode (AudioCodec inside
     * extractFeatures). PCM is lossless, so the two must agree exactly.
     */
-  def syntheticAudio(docs: DataFrame, limit: Long): DataFrame = {
-    val mk = udf((id: Long) => {
+  def syntheticAudio(docs: DataFrame, limit: Long,
+      contentMod: Long = Long.MaxValue): DataFrame = {
+    val mk = udf((rawId: Long) => {
+      // contentMod folds ids onto shared payloads (planted duplicates
+      // for the dedup fixtures — the syntheticImages convention)
+      val id = rawId % contentMod
       val channels = (1 + id % 2).toInt
       val rate = (8000 * (1 + id % 3)).toInt
       val frames = (40 + id % 25).toInt
@@ -233,6 +237,32 @@ object Multimodal {
     val dh = udf((p: Array[Byte]) => graft.kernel.ImageCodec.dHash56(p))
     media.select(col("media_id"), dh(col("payload")).as("dhash"))
       .filter(col("dhash").isNotNull)
+  }
+
+  /** Audio exact-envelope dedup — the audio counterpart of the image
+    * dHash family: every payload maps to a K-bucket energy-envelope
+    * signature (kernel/AudioCodec.envelopeSig — exact integer
+    * arithmetic an oracle can re-derive from the generative PCM
+    * formula, the l22 pattern), then signatures group exactly and
+    * every member above the lowest media_id in its group is flagged.
+    * Map-side signature + one hash aggregate on an 8-byte key —
+    * document-payload bytes never ride the shuffle. At corpus scale
+    * `buckets` widens (2^K signature space) exactly like dHash's
+    * 56-bit space; non-decodable payloads are dropped (byte-level
+    * dedup covers them).
+    *
+    * Returns (media_id, sig, group_n, is_dup).
+    */
+  def audioSigDedup(media: DataFrame, buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigUdf = udf((p: Array[Byte]) =>
+      graft.kernel.AudioCodec.envelopeSig(p, buckets).orNull)
+    val w = Window.partitionBy(col("sig"))
+    media.select(col("media_id"), sigUdf(col("payload")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("is_dup", col("media_id") =!= min(col("media_id")).over(w))
+      .select(col("media_id"), col("sig"), col("group_n"), col("is_dup"))
   }
 
   /** Perceptual near-duplicate image pairs: dHash56, banded into

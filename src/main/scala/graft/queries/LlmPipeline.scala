@@ -2678,6 +2678,45 @@ object LlmPipeline {
              |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
              |  FROM j GROUP BY es""".stripMargin)),
 
+    // Audio envelope-signature dedup — the audio twin of the image
+    // dHash family (l56): real WAV decode through the JDK codec, a
+    // K=8-bucket integer energy-envelope signature (cross-multiplied
+    // bit rule, no division), exact signature grouping. Duplicates
+    // planted via contentMod=50; the oracle re-derives the PCM from
+    // the generative formula (the l22 pattern), the bucket sums, the
+    // bit rule, and the grouping.
+    QueryDef(
+      "l77_audio_sig_dedup",
+      (s, d) => Multimodal.audioSigDedup(
+        Multimodal.syntheticAudio(Tables.documents(s, d), 200,
+          contentMod = 50), buckets = 8),
+      Some("""WITH auds AS (
+             |  SELECT doc_id AS media_id, doc_id % 50 AS cid,
+             |         CAST(1 + (doc_id % 50) % 2 AS INTEGER) AS channels,
+             |         CAST(40 + (doc_id % 50) % 25 AS INTEGER) AS n
+             |    FROM documents WHERE doc_id < 200),
+             |fa AS (
+             |  SELECT media_id, n,
+             |         list_transform(generate_series(0, n - 1), t ->
+             |           list_sum(list_transform(generate_series(0, channels - 1), c ->
+             |             abs(((cid * 7919 + c * 104729 + t * 1299721) % 65536) - 32768)))) AS f
+             |    FROM auds),
+             |sg AS (
+             |  SELECT media_id,
+             |         CAST(list_sum(list_transform(generate_series(0, 7), k ->
+             |           CASE WHEN
+             |             list_sum(list_transform(generate_series(0, len(f) - 1), t ->
+             |               CASE WHEN (t * 8) // len(f) = k THEN f[t + 1] ELSE 0 END)) * len(f)
+             |             > list_sum(f) *
+             |               list_sum(list_transform(generate_series(0, len(f) - 1), t ->
+             |                 CASE WHEN (t * 8) // len(f) = k THEN 1 ELSE 0 END))
+             |           THEN (CAST(1 AS BIGINT) << k) ELSE 0 END)) AS BIGINT) AS sig
+             |    FROM fa)
+             |SELECT media_id, sig,
+             |       COUNT(*) OVER (PARTITION BY sig) AS group_n,
+             |       media_id != MIN(media_id) OVER (PARTITION BY sig) AS is_dup
+             |  FROM sg""".stripMargin)),
+
     // The composed ingest pipeline — the "user story" row: curation
     // rules gate → decontamination by span excision (benchmark = the
     // external eval set, NOT subject to curation) → temperature-

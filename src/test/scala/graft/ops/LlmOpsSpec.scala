@@ -397,6 +397,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => Set(3L).contains(p._1) || Set(3L).contains(p._2)))
   }
 
+  test("audio envelope-sig dedup: identical payloads group, undecodables drop") {
+    import spark.implicits._
+    def wav(seed: Long): Array[Byte] =
+      graft.kernel.AudioCodec.encodeWav(1, 8000, 64, (_, t) =>
+        (((seed * 7919 + t * 1299721L) % 65536) - 32768).toShort)
+    val media = Seq(
+      (0L, "audio", wav(1)), (1L, "audio", wav(2)), (2L, "audio", wav(1)),
+      (3L, "audio", "not audio".getBytes)
+    ).toDF("media_id", "kind", "payload")
+    val got = Multimodal.audioSigDedup(media, buckets = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(!got.contains(3L), "undecodable payload leaked in")
+    // identical payloads share the signature; the higher id is the dup
+    assert(got(0L)._1 == got(2L)._1)
+    assert(!got(0L)._3 && got(2L)._3)
+    // an 8-bit envelope CAN collide across contents — only assert the
+    // group arithmetic is consistent, not that 1L is alone
+    assert(got.values.forall(v => v._2 >= 1))
+  }
+
   test("winnowFingerprintCountExact kernel matches the original column formulation") {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
