@@ -54,6 +54,29 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_leaked_ngrams"))
   }
 
+  /** Per-document n-gram NOVELTY against a previous corpus snapshot:
+    * the fraction (integer milli, exact) of each new doc's distinct
+    * n-gram fingerprints unseen in the old snapshot — the freshness /
+    * memorization-risk triage between generations (a near-zero score
+    * means the "new" doc is recombined old content; near-1000 means
+    * genuinely new text). Same machinery as [[decontaminate]] with
+    * the membership inverted; keys-only fp shuffle, text never moves.
+    * Docs with zero windows (shorter than n tokens) are omitted —
+    * they have no grams to be novel.
+    */
+  def ngramNovelty(newDocs: DataFrame, oldDocs: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val newFps = fingerprints(newDocs, idCol, textCol, n)
+    val oldFps = fingerprints(oldDocs, idCol, textCol, n)
+      .select(col("fp")).distinct().withColumn("seen", lit(true))
+    newFps.join(oldFps, Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("(n_novel * 1000) div n_grams").as("novelty_milli"))
+  }
+
   /** Decontamination by SPAN EXCISION (the removal step of Lee et al.
     * 2022's dedup/decontamination recipe, and what production
     * pipelines actually do with a leaked benchmark: cut the span, keep

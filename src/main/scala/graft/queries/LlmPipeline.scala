@@ -2678,6 +2678,43 @@ object LlmPipeline {
              |       (CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) * 1000) // COUNT(*) AS oov_rate_milli
              |  FROM j GROUP BY es""".stripMargin)),
 
+    // Per-document n-gram novelty vs the previous corpus snapshot
+    // (freshness / memorization-risk triage between generations):
+    // old = even doc_ids, new = odd; novelty = unseen-gram fraction in
+    // exact integer milli. Same fingerprint machinery as l23 with the
+    // membership inverted; oracle re-derives both snapshots' distinct
+    // 8-gram fingerprints and the integer ratio.
+    QueryDef(
+      "l78_ngram_novelty",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Decontaminate.ngramNovelty(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 8)
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+             |                     x -> len(x) > 0) AS ts
+             |    FROM documents),
+             |win AS (
+             |  SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i
+             |    FROM toks),
+             |grams AS (
+             |  SELECT DISTINCT doc_id,
+             |         CAST(('0x' || substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15))
+             |              AS BIGINT) AS fp
+             |    FROM win),
+             |old AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 2 = 0)
+             |SELECT g.doc_id, COUNT(*) AS n_grams,
+             |       CAST(SUM(CASE WHEN o.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |       (CAST(SUM(CASE WHEN o.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+             |         // COUNT(*) AS novelty_milli
+             |  FROM grams g LEFT JOIN old o USING (fp)
+             | WHERE g.doc_id % 2 = 1
+             | GROUP BY g.doc_id""".stripMargin)),
+
     // Audio envelope-signature dedup — the audio twin of the image
     // dHash family (l56): real WAV decode through the JDK codec, a
     // K=8-bucket integer energy-envelope signature (cross-multiplied
