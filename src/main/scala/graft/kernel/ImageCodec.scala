@@ -19,9 +19,26 @@ object ImageCodec {
   // churn: x10 (50k decodes) swung 3.3–12 s run-to-run with it on
   // (r9 X10Probe), and executors hammering one tmpdir is exactly the
   // kind of hidden shared-disk bottleneck a 1000-executor image pass
-  // cannot afford. Memory-cache streams instead (process-wide, set
-  // once at class load — every decode path below goes through here).
-  ImageIO.setUseCache(false)
+  // cannot afford. Scoped PER STREAM via MemoryCacheImageInput/
+  // OutputStream below — NOT ImageIO.setUseCache(false), which is a
+  // process-global mutation that silently changes behavior for every
+  // other ImageIO user in the JVM and only took effect once something
+  // happened to touch this class (r9 ADVICE).
+
+  /** Decode via an explicit in-memory-cached stream (see note above).
+    * null when the payload is not decodable.
+    */
+  private def readImage(bytes: Array[Byte]): BufferedImage =
+    try {
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      // ImageIO.read(ImageInputStream) closes the stream itself on
+      // success (JDK 17 behavior); the belt-and-suspenders close must
+      // swallow the resulting "already closed" IOException or it
+      // discards a successful decode from inside the finally.
+      try ImageIO.read(in)
+      finally try in.close() catch { case _: java.io.IOException => () }
+    } catch { case _: Exception => null }
 
   /** Decoded image features: dimensions plus per-channel pixel means —
     * deterministic functions of the pixel data, so an oracle that
@@ -51,9 +68,7 @@ object ImageCodec {
     */
   def decode(bytes: Array[Byte]): Option[Decoded] = {
     if (!looksLikeImage(bytes)) return None
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImage(bytes)
     if (img == null) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -85,9 +100,7 @@ object ImageCodec {
   def resizeNearestPng(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] = {
     require(w2 > 0 && h2 > 0, "target dims must be positive")
     if (!looksLikeImage(bytes)) return None
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImage(bytes)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -109,9 +122,7 @@ object ImageCodec {
     */
   def dHash56(bytes: Array[Byte]): Option[Long] = {
     if (!looksLikeImage(bytes)) return None
-    val img =
-      try ImageIO.read(new ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImage(bytes)
     if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
     val w = img.getWidth
     val h = img.getHeight
@@ -146,7 +157,11 @@ object ImageCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    // memory-cached output stream for the same per-stream reason as
+    // readImage: write(…, OutputStream) would spool via a temp FILE
+    // cache stream under ImageIO's global default
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try ImageIO.write(img, "png", ios) finally ios.close()
     out.toByteArray
   }
 }

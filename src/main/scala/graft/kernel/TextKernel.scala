@@ -282,6 +282,61 @@ object TextKernel {
     v >>> 4
   }
 
+  /** Modulus of the Carter–Wegman minhash family: the Mersenne prime
+    * 2³¹ − 1, chosen so `m1 + j·m2` never leaves a signed 64-bit range
+    * (j ≤ numHashes, operands < 2³¹) — the overflow-free contract an
+    * external SQL engine needs, since DuckDB BIGINT multiplication
+    * ERRORS on wrap rather than wrapping.
+    */
+  val CwPrime: Long = 2147483647L
+
+  /** Carter–Wegman minhash signature: sig_j = min over distinct
+    * shingles s of h_j(s), where h_j(s) = (m1(s) + j·m2(s)) mod P and
+    * (m1, m2) are the two md5-derived 60-bit halves of s reduced mod
+    * P = [[CwPrime]]. ONE md5 per distinct shingle instead of
+    * numHashes md5s (the r9 family, md5("j:" + s) per j, priced the
+    * DuckDB oracle at numHashes × |shingles| md5+conv evaluations per
+    * document — the measured reason l03/l40 sat on the sf0.1 sweep's
+    * exclusion list; the CW re-derivation is 64 integer ops per
+    * shingle after one md5, ~25× cheaper on the oracle side and
+    * ~40× fewer digests here). The halves mirror the oracle's
+    * `('0x' || substr(md5(s), 1, 15))` / `substr(md5(s), 16, 15)`
+    * conv idiom exactly: hex chars 1–15 = first 8 digest bytes >>> 4;
+    * hex chars 16–30 = digest bytes 7–14 masked to the low 60 bits.
+    * Empty shingle set → all-MaxValue signature (same convention the
+    * md5-per-j family had: min over an empty set stays MaxValue,
+    * callers filter length < n docs out anyway).
+    */
+  def minhashCwSig(text: String, shingleN: Int, numHashes: Int): Array[Long] = {
+    val shs = charShingles(text, shingleN)
+    val m1s = new Array[Long](shs.length)
+    val m2s = new Array[Long](shs.length)
+    var i = 0
+    while (i < shs.length) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(shs(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var a = 0L
+      var b = 0L
+      var k = 0
+      while (k < 8) { a = (a << 8) | (d(k) & 0xffL); k += 1 }
+      k = 7
+      while (k < 15) { b = (b << 8) | (d(k) & 0xffL); k += 1 }
+      m1s(i) = (a >>> 4) % CwPrime
+      m2s(i) = (b & 0x0FFFFFFFFFFFFFFFL) % CwPrime
+      i += 1
+    }
+    Array.tabulate(numHashes) { j =>
+      var m = Long.MaxValue
+      var s = 0
+      while (s < shs.length) {
+        val h = (m1s(s) + j * m2s(s)) % CwPrime
+        if (h < m) m = h
+        s += 1
+      }
+      m
+    }
+  }
+
   /** Winnowing fingerprint COUNT on the md5 hash family — kernel twin
     * of the column formulation in Dedup.winnowFingerprintCountExact
     * (spec-pinned bit-for-bit against it): k-gram md5Hash60 values

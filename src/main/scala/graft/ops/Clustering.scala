@@ -285,6 +285,13 @@ object Clustering {
     * cosine is the bit-pinned left-fold dot (Similarity.dot /
     * duckDot).
     *
+    * Contract: zero-norm / NaN embeddings are unscorable and never
+    * witness or receive a dup flag (they return is_dup = false) — the
+    * oracle carries the matching WHERE. Clusters larger than
+    * `spark.graft.semdedup.cluster.cap` (default 8192) are triangle-
+    * split so one degenerate cluster can't become a single quadratic
+    * straggler task.
+    *
     * Returns (vec_id, cluster, is_dup).
     */
   def semDedup(
@@ -304,6 +311,7 @@ object Clustering {
     // vs 4 s at 50k vectors (KmProbe r9). Necessarily-retained
     // contract as GraphRank's final checkpoint; freed by the
     // ContextCleaner when the returned frame is dropped.
+    val spark = emb.sparkSession
     val assigned = kmeans(emb, idCol, vecCol, k, iters, scale)
       .select(col("vec_id"), col("cluster"))
     val vecs = emb.select(col(idCol).cast("long").as("vec_id"),
@@ -311,13 +319,54 @@ object Clustering {
       .join(assigned, "vec_id")
       .withColumn("nrm", Similarity.norm(col("emb")))
       .localCheckpoint()
-    val a = vecs.select(col("cluster"), col("vec_id").as("id_a"),
-      col("emb").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = vecs.select(col("cluster"), col("vec_id").as("id_b"),
-      col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+    // Candidate-side contract: a zero-norm (or NaN-element) embedding
+    // is UNSCORABLE — cosine = dot/0 is NaN, and Spark's NaN compares
+    // greater than everything (NaN >= tau is TRUE) while DuckDB's
+    // 0/0 yields NULL, so without this filter a failed-encode zero
+    // vector silently flags dup against every cluster-mate in one
+    // engine and never in the other (r9 ADVICE). Excluded vectors
+    // still appear in the OUTPUT (is_dup = false) via the final left
+    // join — they just can't witness or be flagged as duplicates.
+    // NOTE nrm > 0 alone does not exclude NaN in Spark (NaN > 0 is
+    // true); the isnan guard is load-bearing.
+    val scorable = vecs.filter(col("nrm") > 0 && !isnan(col("nrm")))
+    // Hot-cluster triangle split (the ops/Dedup degenerate-bucket
+    // pattern, relational form): the within-cluster self-join is
+    // O(Σ cluster²) by design, but ONE degenerate cluster (k too
+    // small, boilerplate-collapsed embeddings) otherwise verifies its
+    // whole quadratic share inside a single task. Members of clusters
+    // over `cap` split into g = ceil(n/cap) sub-groups by id hash and
+    // replicate to the g tasks containing their sub-group; task
+    // (ti, tj) takes within-group pairs on the diagonal (ti == tj —
+    // only own-group members land there) and cross-group pairs
+    // off-diagonal (sub_a <> sub_b — a same-group pair would appear
+    // in every shared task), so every unordered pair is generated
+    // exactly once and per-task work is bounded by ~cap². The size
+    // table is ≤ k rows (k is a model hyper-parameter) — always
+    // broadcast, no stats gate needed.
+    val cap = spark.conf.getOption("spark.graft.semdedup.cluster.cap")
+      .map(_.toInt).getOrElse(8192)
+    val gTab = scorable.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cn"))
+      .select(col("cluster"),
+        greatest(ceil(col("cn").cast("double") / cap).cast("int"), lit(1)).as("g"))
+    val withSub = scorable.join(broadcast(gTab), "cluster")
+      .withColumn("sub", pmod(hash(col("vec_id")), col("g")))
+      .withColumn("t", explode(sequence(lit(0), col("g") - 1)))
+      .select(col("cluster"),
+        least(col("sub"), col("t")).as("ti"),
+        greatest(col("sub"), col("t")).as("tj"),
+        col("vec_id"), col("emb"), col("nrm"), col("sub"))
+    val a = withSub.select(col("cluster"), col("ti"), col("tj"),
+      col("vec_id").as("id_a"), col("emb").as("emb_a"),
+      col("nrm").as("nrm_a"), col("sub").as("sub_a"))
+    val b = withSub.select(col("cluster"), col("ti"), col("tj"),
+      col("vec_id").as("id_b"), col("emb").as("emb_b"),
+      col("nrm").as("nrm_b"), col("sub").as("sub_b"))
     // within-cluster candidate join; a row is dup if a lower id clears tau
-    val dups = a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
+    val dups = a.join(b, Seq("cluster", "ti", "tj"))
+      .filter(col("id_a") < col("id_b") &&
+        (col("ti") === col("tj") || col("sub_a") =!= col("sub_b")))
       .filter(Similarity.dot(col("emb_a"), col("emb_b")) /
         (col("nrm_a") * col("nrm_b")) >= tau)
       .select(col("id_b").as("vec_id")).distinct()
@@ -402,7 +451,9 @@ object Clustering {
          |dups AS (
          |  SELECT DISTINCT b.vec_id
          |    FROM ve a JOIN ve b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-         |   WHERE ${duckDotSql("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) >= $tau)
+         |   WHERE a.nrm > 0 AND NOT isnan(a.nrm)
+         |     AND b.nrm > 0 AND NOT isnan(b.nrm)
+         |     AND ${duckDotSql("a.embedding", "b.embedding", dim)} / (a.nrm * b.nrm) >= $tau)
          |SELECT v.vec_id, v.cluster, (d.vec_id IS NOT NULL) AS is_dup
          |  FROM ve v LEFT JOIN dups d ON v.vec_id = d.vec_id""".stripMargin
 

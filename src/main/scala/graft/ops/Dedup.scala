@@ -701,26 +701,19 @@ object Dedup {
       .filter(length(col(textCol)) >= shingleN)
       .select((col(idCol).as("id") +: col(textCol).as("text") +:
         carryCols.map(col)): _*)
-    // minhash_j = min over distinct shingles of md5-hash("j:" +
-    // shingle) — ONE kernel pass from text (TextKernel.charShingles +
-    // md5Hash60, both spec-pinned bit-for-bit to their column idioms),
-    // not the shingles/transform/array_min HOF formulation: Catalyst
-    // interprets lambda bodies, and numHashes × |shingles| conv
-    // extractions per document serialized to ~20 single-core minutes
-    // on a one-row-group sf0.1 scan. Every signature, band key and
-    // downstream oracle value is unchanged.
-    val sigUdf = udf((text: String) => {
-      val shs = graft.kernel.TextKernel.charShingles(text, shingleN)
-      Array.tabulate(numHashes) { j =>
-        val prefix = j.toString + ":"
-        var m = Long.MaxValue
-        for (s <- shs) {
-          val h = graft.kernel.TextKernel.md5Hash60(prefix + s)
-          if (h < m) m = h
-        }
-        m
-      }
-    })
+    // minhash_j = Carter–Wegman mix of the two md5 halves of each
+    // distinct shingle: h_j(s) = (m1 + j·m2) mod (2³¹−1), min over
+    // shingles (TextKernel.minhashCwSig). ONE md5 per shingle — the
+    // r9 md5("j:" + s)-per-j family cost numHashes × |shingles|
+    // digests per document on BOTH engines, which is what kept the
+    // l03/l40 DuckDB oracles on the sf0.1 sweep's exclusion list
+    // (>90 s re-probed); the CW family re-derives all numHashes
+    // values from one digest with overflow-free BIGINT arithmetic,
+    // so the oracle runs the identical signature in seconds. Kernel
+    // pass, not the shingles/transform/array_min HOF formulation:
+    // Catalyst interprets lambda bodies (the r8 lesson).
+    val sigUdf = udf((text: String) =>
+      graft.kernel.TextKernel.minhashCwSig(text, shingleN, numHashes))
     val sigs = base.withColumn("sig", sigUdf(col("text")))
     // band key = md5-hash("b|" + comma-joined slice of the signature).
     // `carryCols` ride along for callers that cannot join the payload

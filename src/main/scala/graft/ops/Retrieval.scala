@@ -265,8 +265,14 @@ object Retrieval {
     * vectors riding the plan as literals (selected state is k·dim —
     * bounded, like the Lloyd's centroids). Candidates are a
     * RETRIEVER'S top-m output (compose with bm25TopK / ivfTopK), so
-    * the pool is small by construction — MMR's sequential greed is
-    * inherent to the algorithm, and each pass is corpus-free.
+    * the pool is small by construction — and ENFORCED: pools over
+    * `spark.graft.mmr.pool.max` (default 100,000) are rejected with
+    * an error naming the contract rather than silently running k
+    * corpus-wide jobs. MMR's sequential greed is inherent to the
+    * algorithm, and each pass is corpus-free. Zero-norm / NaN
+    * candidates are unscorable and excluded up front (NaN sorts first
+    * under desc — one degenerate vector would otherwise win every
+    * argmax pass).
     *
     * Determinism: rel and cos are the bit-pinned left-fold doubles
     * (Similarity.dot); ties break on vec_id; λ·rel − (1−λ)·maxSim is
@@ -291,10 +297,32 @@ object Retrieval {
       .withColumn("nrm", Similarity.norm(col("emb")))
       // a null embedding/rel can't be scored; without this filter a
       // null-score row becomes pickable once real candidates run out
-      // (desc ordering is nulls-LAST, but exhaustion reaches them)
-      .filter(col("rel").isNotNull && col("nrm").isNotNull)
+      // (desc ordering is nulls-LAST, but exhaustion reaches them).
+      // Zero-norm / NaN vectors are equally unscorable, and WORSE than
+      // null: sim = dot/0 = NaN makes score NaN, and NaN sorts FIRST
+      // under Spark's desc ordering (NaN > everything), so a single
+      // degenerate vector would win every argmax pass after the first
+      // (r9 ADVICE). isNotNull does not catch NaN — the explicit
+      // guards are load-bearing.
+      .filter(col("rel").isNotNull && !isnan(col("rel")) &&
+        col("nrm").isNotNull && !isnan(col("nrm")) && col("nrm") > 0)
       .persist()
+    // The candidate pool is a RETRIEVER'S top-m output — bounded by
+    // construction, and the k argmax passes below are priced for that
+    // bound. Enforce it loudly (the temperatureMix contract pattern):
+    // a caller passing a corpus-sized frame would otherwise get k
+    // corpus-wide jobs with a k-literal isin filter instead of an
+    // error naming the misuse.
+    val maxPool = spark.conf.getOption("spark.graft.mmr.pool.max")
+      .map(_.toInt).getOrElse(100000)
     try {
+      // inside the try so a rejected pool still unpersists `cand`
+      val poolProbe = cand.limit(maxPool + 1).count()
+      require(poolProbe <= maxPool,
+        s"mmrDiversify: candidate pool exceeds $maxPool rows — MMR is a " +
+          "re-ranker over a retriever's top-m output, not a corpus scan; " +
+          "pre-select candidates (bm25TopK / ivfTopK) or raise " +
+          "spark.graft.mmr.pool.max if the pool really is model-sized")
       var selected = Vector.empty[(Long, Double, Seq[Float], Double)]
       var step = 1
       while (step <= k) {

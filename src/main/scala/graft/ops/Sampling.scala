@@ -119,14 +119,23 @@ object Sampling {
     * rather than hidden).
     *
     *   w_s = sqrt(n_s);  W = Σ w_s folded in ASCENDING stratum order
-    *   (explicit fold — a plain SUM's association is engine-private);
+    *   (explicit fold — a plain SUM's association is engine-private;
+    *   "ascending" means UTF-8 BYTE order, DuckDB's binary collation,
+    *   which the driver reproduces by comparing getBytes(UTF_8) —
+    *   Scala's String ordering is UTF-16 code-unit order and the two
+    *   disagree once strata mix U+E000..U+FFFF with supplementary
+    *   characters, the same trap BpeTrainer's tie-break documents);
     *   rate_s = min(1, ((B · w_s) / W) / n_s);
     *   keep iff hashBucket(text) < floor(rate_s · 10⁴).
     *
     * Scale shape: one |strata|-row aggregate to the driver (bounded —
-    * strata are languages/sources), rates fold into a literal CASE
-    * chain, and the mixture is a map-side WHERE like every sampler
-    * here — no shuffle, no join, text never moves.
+    * strata are languages/sources), rates ride back as a BROADCAST
+    * joined thresholds table (map-side hash lookup — the literal CASE
+    * chain this replaces was one nested when() per stratum, and
+    * Catalyst recurses over expression trees: at the guard's 100k
+    * strata the analyzer would blow the stack long before the guard
+    * tripped), and the mixture is a map-side filter — no shuffle,
+    * text never moves.
     */
   def temperatureMix(
       docs: DataFrame,
@@ -147,21 +156,41 @@ object Sampling {
     require(counts0.length <= maxStrata,
       s"temperatureMix: over $maxStrata distinct strata in '$stratumCol' — " +
         "that is a key column, not a mixing stratum")
-    // NULL strata are DROPPED (documented): the CASE threshold below
-    // never matches them (NULL === s is NULL → falls to the 0 arm),
+    // NULL strata are DROPPED (documented): they get no thresholds row
+    // (left join → null → coalesce 0, an always-false bucket test),
     // and the driver-side sort would NPE on a null key otherwise.
-    val counts = counts0.filter(_._1 != null).sortBy(_._1)
+    val counts = counts0.filter(_._1 != null)
+      .sortWith((a, b) => utf8Lt(a._1, b._1))
     val ws = counts.map { case (s, n) => (s, n, math.sqrt(n.toDouble)) }
     val bigW = ws.foldLeft(0.0) { case (acc, (_, _, w)) => acc + w }
     val milli = ws.map { case (s, n, w) =>
       val rate = math.min(1.0, ((budgetDocs.toDouble * w) / bigW) / n.toDouble)
       s -> math.floor(rate * 10000).toLong
     }
-    val threshold = milli.foldLeft(lit(0L): Column) {
-      case (acc, (s, m)) =>
-        when(col(stratumCol) === lit(s), lit(m)).otherwise(acc)
-    }
-    docs.filter(hashBucket(col(textCol)) < threshold)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val thresholds = milli.toSeq.toDF("s", "thr")
+    docs.join(broadcast(thresholds), col(stratumCol) === col("s"), "left")
+      .filter(hashBucket(col(textCol)) < coalesce(col("thr"), lit(0L)))
       .select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+  }
+
+  /** UTF-8 byte-order (unsigned) string comparison — DuckDB's binary
+    * collation, so driver-side fold orders match the oracle's
+    * `ORDER BY` exactly. Scala's natural String order compares UTF-16
+    * code units, which sorts supplementary characters BELOW
+    * U+E000..U+FFFF; UTF-8 bytes sort them above.
+    */
+  private[graft] def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
   }
 }

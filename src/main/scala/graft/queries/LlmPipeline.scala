@@ -29,6 +29,84 @@ object LlmPipeline {
        |          / (len(${duckShingles(ta)}) + len(${duckShingles(tb)})
        |             - len(list_intersect(${duckShingles(ta)}, ${duckShingles(tb)}))) END""".stripMargin
 
+  /** Jaccard from two PRECOMPUTED shingle-set columns — same defined
+    * empty∪empty → 1.0 case as [[duckJaccard]], but the sets are built
+    * once per DOCUMENT in a materialized CTE instead of 8× per PAIR
+    * (duckJaccard textually expands duckShingles eight times and
+    * DuckDB does not CSE across them: the l02 pair scan measured
+    * 335 s at sf0.1 inline vs 2.0 s restructured — the whole reason
+    * five of the seven sweep exclusions existed, r10).
+    */
+  private def duckJaccardSets(sa: String, sb: String): String =
+    s"""CASE WHEN len($sa) + len($sb) = 0 THEN 1.0
+       |     ELSE CAST(len(list_intersect($sa, $sb)) AS DOUBLE)
+       |          / (len($sa) + len($sb) - len(list_intersect($sa, $sb))) END""".stripMargin
+
+  /** Shared materialized per-doc shingle-set CTE + the consecutive-id
+    * pair scan with per-pair jaccard — the linear prefix of the
+    * l02/l12/l47/l51/l53 family.
+    */
+  private val duckConsecPairCtes: String =
+    s"""sh AS MATERIALIZED (
+       |  SELECT doc_id, ${duckShingles("text")} AS s FROM documents),
+       |pj AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         ${duckJaccardSets("a.s", "b.s")} AS jaccard
+       |    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1)""".stripMargin
+
+  /** Connected components of the thresholded consecutive-pair graph as
+    * a LINEAR gaps-and-islands computation: every edge in this family
+    * is (i, i+1) by construction, so a component is exactly a maximal
+    * run of consecutive edge-starts — id_a minus its dense row number
+    * is constant within a run, the run covers node ids [c0, c1], and
+    * the component label is its min node id c0. Replaces the
+    * recursive-CTE transitive closure whose reach set is QUADRATIC in
+    * component size (one long planted near-dup chain made l12/l47/
+    * l51/l53 un-runnable at sf0.1). `comp` = (id, component) over
+    * edge-incident nodes only — exactly the connectedComponents
+    * contract the Spark side implements.
+    */
+  private def duckConsecCompCtes(thr: Double): String =
+    s"""$duckConsecPairCtes,
+       |pairs AS MATERIALIZED (SELECT id_a, id_b FROM pj WHERE jaccard >= $thr),
+       |isl AS (SELECT id_a, id_a - ROW_NUMBER() OVER (ORDER BY id_a) AS grp FROM pairs),
+       |runs AS (SELECT MIN(id_a) AS c0, MAX(id_a) + 1 AS c1 FROM isl GROUP BY grp),
+       |comp AS MATERIALIZED (
+       |  SELECT unnest(generate_series(c0, c1)) AS id, c0 AS component
+       |    FROM runs)""".stripMargin
+
+  /** Carter–Wegman minhash signature + band-key CTEs over `rel` —
+    * the DuckDB re-derivation of TextKernel.minhashCwSig +
+    * Dedup.exactBandKeys, shared by l03/l40. ONE md5 per distinct
+    * shingle (hex halves 1–15 / 16–30 reduced mod 2³¹−1), then all
+    * numHashes values are integer mixes — the md5-per-(j, shingle)
+    * family this replaces priced the oracle at numHashes × |shingles|
+    * digests per document (>90 s at sf0.1; CW measured 3.9 s).
+    * Emits CTEs `base` (id, shs [+ extraCols]), `sig`, `banded`.
+    */
+  private def duckCwBandCtes(extraCols: String = ""): String =
+    s"""base AS (
+       |  SELECT doc_id AS id, ${duckShingles("text")} AS shs$extraCols
+       |    FROM documents WHERE length(text) >= 5),
+       |cw AS MATERIALIZED (
+       |  SELECT *,
+       |         list_transform(shs, sg -> CAST(('0x' || substr(md5(sg), 1, 15)) AS BIGINT) % 2147483647) AS m1,
+       |         list_transform(shs, sg -> CAST(('0x' || substr(md5(sg), 16, 15)) AS BIGINT) % 2147483647) AS m2
+       |    FROM base),
+       |sig AS MATERIALIZED (
+       |  SELECT * EXCLUDE (m1, m2),
+       |         list_transform(generate_series(0, 63), j ->
+       |           CASE WHEN len(m1) = 0 THEN 9223372036854775807
+       |                ELSE list_min(list_transform(generate_series(1, len(m1)),
+       |                       i -> (m1[i] + j * m2[i]) % 2147483647)) END) AS sig
+       |    FROM cw),
+       |banded AS MATERIALIZED (
+       |  SELECT * EXCLUDE (sig, shs), b AS band,
+       |         CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
+       |             array_to_string(list_transform(sig[b*4+1 : b*4+4],
+       |               h -> CAST(h AS VARCHAR)), ',')), 1, 15)) AS BIGINT) AS band_hash
+       |    FROM sig, generate_series(0, 15) t(b))""".stripMargin
+
   /** DuckDB left-fold double dot product of two float lists (matches
     * Spark aggregate+zip_with evaluation order bit-for-bit).
     */
@@ -115,47 +193,37 @@ object LlmPipeline {
           .select(col("id_a"), col("id_b"),
             round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 5), 6).as("jaccard"))
       },
-      Some(s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-              |       ROUND(${duckJaccard("a.text", "b.text")}, 6) AS jaccard
-              |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin)),
+      Some(s"""WITH $duckConsecPairCtes
+              |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM pj""".stripMargin)),
 
-    // MinHash + banded LSH near-dup pairs on the md5 hash family:
-    // identical pipeline shape to the fast-kernel minhashPairs
-    // (shingle → signature → band buckets → bucket join → exact-Jaccard
-    // verify) but every hash is md5-derived column arithmetic, so the
-    // oracle re-derives the ENTIRE candidate set — signatures, band
-    // keys, pairs, verification — bit-for-bit in DuckDB. The fast
-    // variant stays recall-tested in LlmOpsSpec.
+    // MinHash + banded LSH near-dup pairs on the md5-seeded
+    // Carter–Wegman hash family: identical pipeline shape to the
+    // fast-kernel minhashPairs (shingle → signature → band buckets →
+    // bucket join → exact-Jaccard verify) but every hash derives from
+    // ONE md5 per shingle plus integer arithmetic, so the oracle
+    // re-derives the ENTIRE candidate set — signatures, band keys,
+    // pairs, verification — bit-for-bit in DuckDB, in linear time
+    // (the md5-per-(j, shingle) family this replaces cost the oracle
+    // numHashes × |shingles| digests per doc — the r9 sweep
+    // exclusion). The fast variant stays recall-tested in LlmOpsSpec.
     QueryDef(
       "l03_minhash_lsh",
       (s, d) =>
         Dedup.minhashPairsExact(Tables.documents(s, d), "doc_id", "text",
           shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard")),
-      Some(s"""WITH base AS (
-              |  SELECT doc_id AS id, text, ${duckShingles("text")} AS shs
-              |    FROM documents WHERE length(text) >= 5),
-              |sig AS MATERIALIZED (
-              |  SELECT id, text,
-              |         list_transform(generate_series(0, 63), j ->
-              |           list_min(list_transform(shs, s1 ->
-              |             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s1), 1, 15)) AS BIGINT)))) AS sig
-              |    FROM base),
-              |banded AS MATERIALIZED (
-              |  SELECT id, text, b AS band,
-              |         CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
-              |             array_to_string(list_transform(sig[b*4+1 : b*4+4],
-              |               h -> CAST(h AS VARCHAR)), ',')), 1, 15)) AS BIGINT) AS band_hash
-              |    FROM sig, generate_series(0, 15) t(b)),
+      Some(s"""WITH ${duckCwBandCtes()},
               |cand AS (
-              |  SELECT DISTINCT l.id AS id_a, r.id AS id_b, l.text AS text_a, r.text AS text_b
+              |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
               |    FROM banded l JOIN banded r
               |      ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id),
               |jac AS (
-              |  SELECT id_a, id_b, ${duckJaccard("text_a", "text_b")} AS jaccard
-              |    FROM cand)
-              |SELECT id_a, id_b, ROUND(MAX(jaccard), 6) AS jaccard
-              |  FROM jac WHERE jaccard >= 0.4 GROUP BY id_a, id_b""".stripMargin)),
+              |  SELECT c.id_a, c.id_b, ${duckJaccardSets("a.shs", "b.shs")} AS jaccard
+              |    FROM cand c
+              |    JOIN base a ON a.id = c.id_a
+              |    JOIN base b ON b.id = c.id_b)
+              |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+              |  FROM jac WHERE jaccard >= 0.4""".stripMargin)),
 
     // SimHash near-dup pairs on the md5 hash family: 60-bit simhash
     // (bit j = majority vote of bit j of md5(token)), 5×12-bit band
@@ -346,8 +414,9 @@ object LlmPipeline {
     // Near-dup cluster formation: deterministic candidate pairs
     // (consecutive-id 5-gram jaccard >= 0.2, the l02 kernel) →
     // distributed connected components → (doc, component = min id).
-    // Oracle: DuckDB recursive-CTE transitive closure over the same
-    // pair set.
+    // Oracle: linear gaps-and-islands over the same pair set (edges
+    // are exactly (i, i+1), so components are runs — the recursive
+    // closure this replaces was quadratic in component size).
     QueryDef(
       "l12_dedup_clusters",
       (s, d) => {
@@ -360,18 +429,8 @@ object LlmPipeline {
           .select(col("id_a"), col("id_b"))
         Dedup.connectedComponents(pairs)
       },
-      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
-              |edges AS MATERIALIZED (
-              |  SELECT id_a AS src, id_b AS dst FROM pairs
-              |  UNION SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT src AS id, src AS r FROM edges
-              |  UNION
-              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id)
-              |SELECT id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin)),
+      Some(s"""WITH ${duckConsecCompCtes(0.2)}
+              |SELECT id, component FROM comp""".stripMargin)),
 
     // IVF ANN top-k, probed exhaustively (nProbe = nLists) so the
     // result is provably identical to brute force → the IVF plumbing
@@ -1302,9 +1361,10 @@ object LlmPipeline {
 
     // Incremental dedup against an indexed corpus: md5-odd docs are
     // the arriving shard, md5-even docs the persisted index (the l13
-    // hash family split). Same md5 minhash/band family as l03, so the
-    // oracle re-derives both sides' band keys, the asymmetric band
-    // join, verification, and the deterministic argmax bit-for-bit.
+    // hash family split). Same md5-seeded Carter–Wegman minhash/band
+    // family as l03, so the oracle re-derives both sides' band keys,
+    // the asymmetric band join, verification, and the deterministic
+    // argmax bit-for-bit — in linear time.
     QueryDef(
       "l40_dedup_against_index",
       (s, d) => {
@@ -1318,22 +1378,8 @@ object LlmPipeline {
             round(col("best_jaccard"), 6).as("best_jaccard"),
             col("best_match_id"))
       },
-      Some(s"""WITH base AS (
-              |  SELECT doc_id AS id, text, ${duckShingles("text")} AS shs,
-              |         COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) AS bkt
-              |    FROM documents WHERE length(text) >= 5),
-              |sig AS MATERIALIZED (
-              |  SELECT id, bkt,
-              |         list_transform(generate_series(0, 63), j ->
-              |           list_min(list_transform(shs, s1 ->
-              |             CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || s1), 1, 15)) AS BIGINT)))) AS sig
-              |    FROM base),
-              |banded AS MATERIALIZED (
-              |  SELECT id, bkt, b AS band,
-              |         CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
-              |             array_to_string(list_transform(sig[b*4+1 : b*4+4],
-              |               h -> CAST(h AS VARCHAR)), ',')), 1, 15)) AS BIGINT) AS band_hash
-              |    FROM sig, generate_series(0, 15) t(b)),
+      Some(s"""WITH ${duckCwBandCtes(extraCols =
+                ",\n       COALESCE(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 10000, 0) AS bkt")},
               |cand AS (
               |  SELECT DISTINCT n.id AS new_id, i.id AS matched_id
               |    FROM banded n JOIN banded i
@@ -1342,7 +1388,7 @@ object LlmPipeline {
               |ver AS (
               |  SELECT new_id, matched_id, jaccard FROM (
               |    SELECT c.new_id, c.matched_id,
-              |           ${duckJaccard("a.text", "b2.text")} AS jaccard
+              |           ${duckJaccardSets("a.shs", "b2.shs")} AS jaccard
               |      FROM cand c
               |      JOIN base a ON a.id = c.new_id
               |      JOIN base b2 ON b2.id = c.matched_id)
@@ -1563,18 +1609,7 @@ object LlmPipeline {
         Dedup.keepBest(docs, Dedup.connectedComponents(pairs),
           "doc_id", "n_chars")
       },
-      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
-              |edges AS MATERIALIZED (
-              |  SELECT id_a AS src, id_b AS dst FROM pairs
-              |  UNION SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT src AS id, src AS r FROM edges
-              |  UNION
-              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      Some(s"""WITH ${duckConsecCompCtes(0.2)},
               |scored AS (
               |  SELECT c.component, c.id, d.n_chars AS score
               |    FROM comp c JOIN documents d ON d.doc_id = c.id),
@@ -1709,18 +1744,7 @@ object LlmPipeline {
         Dedup.leakageFreeSplit(docs, Dedup.connectedComponents(pairs),
           "doc_id", trainPerMille = 900)
       },
-      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
-              |edges AS MATERIALIZED (
-              |  SELECT id_a AS src, id_b AS dst FROM pairs
-              |  UNION SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT src AS id, src AS r FROM edges
-              |  UNION
-              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+      Some(s"""WITH ${duckConsecCompCtes(0.2)}
               |SELECT d.doc_id AS id,
               |       COALESCE(c.component, d.doc_id) AS component,
               |       CASE WHEN COALESCE(CAST(('0x' || substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT)
@@ -1780,18 +1804,7 @@ object LlmPipeline {
             ((col("chars_total") - col("chars_kept")).cast("double")
               / col("chars_total")).as("savings_frac"))
       },
-      Some(s"""WITH RECURSIVE pairs AS MATERIALIZED (
-              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              |    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
-              |   WHERE ${duckJaccard("a.text", "b.text")} >= 0.2),
-              |edges AS MATERIALIZED (
-              |  SELECT id_a AS src, id_b AS dst FROM pairs
-              |  UNION SELECT id_b, id_a FROM pairs),
-              |reach AS (
-              |  SELECT src AS id, src AS r FROM edges
-              |  UNION
-              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
-              |comp AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      Some(s"""WITH ${duckConsecCompCtes(0.2)},
               |scored AS (
               |  SELECT c.component, c.id, d.n_chars AS score
               |    FROM comp c JOIN documents d ON d.doc_id = c.id),

@@ -161,6 +161,44 @@ class ClusteringSpec extends AnyFunSuite {
     assert(!byId(2L)._3 && !byId(3L)._3)
   }
 
+  test("semDedup hot-cluster triangle split is output-identical") {
+    // 40 vectors, all in ONE cluster (k=1): with the cap forced to 6
+    // the within-cluster join splits into g=7 sub-groups / 28 task
+    // pairs, and every unordered pair must still be generated exactly
+    // once — a dropped cross-group or diagonal task loses dup flags,
+    // a doubled one is invisible here but caught by the distinct().
+    // ids 0..19 are one near-dup direction family, 20..39 another.
+    val rows = (0L until 40L).map { i =>
+      val base = if (i < 20) Seq(1.0f, 0.01f * i) else Seq(0.01f * i, 1.0f)
+      i -> base
+    }
+    val emb = embDf(rows: _*)
+    def run(): Map[Long, Boolean] =
+      Clustering.semDedup(emb, "vec_id", "embedding",
+          k = 1, iters = 1, tau = 0.999)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val baseline = run() // cap default: single task for the cluster
+    spark.conf.set("spark.graft.semdedup.cluster.cap", "6")
+    try assert(run() == baseline)
+    finally spark.conf.unset("spark.graft.semdedup.cluster.cap")
+  }
+
+  test("semDedup: zero-norm and NaN embeddings are unscorable, never flagged or witnessing") {
+    // vec 2 is a failed-encode ZERO vector: cos(v2, ·) = 0/0 = NaN,
+    // and Spark's NaN >= tau is TRUE — without the scorable filter v2
+    // would flag dup against every cluster-mate (r9 ADVICE). vec 3
+    // carries a NaN element (norm NaN, NaN > 0 is true in Spark — the
+    // isnan guard is what catches it). Both must come back is_dup =
+    // false and must not flag the legitimate vec 1.
+    val emb = embDf(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(1.0f, 0.0f),
+      2L -> Seq(0.0f, 0.0f), 3L -> Seq(Float.NaN, 1.0f))
+    val got = Clustering.semDedup(emb, "vec_id", "embedding",
+        k = 1, iters = 0, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(0L -> false, 1L -> true, 2L -> false, 3L -> false))
+  }
+
   test("randomProject signs are balanced and JL preserves neighbor order") {
     // sign balance: over the 64×16 matrix the mean |sum of signs per
     // row| should be far from saturated (a broken mix that returns

@@ -142,8 +142,13 @@ class GraphRankSpec extends AnyFunSuite {
     val df = edges.toDF("src", "dst")
     val (fixed, nFixed) = GraphRank.pageRankWithStats(df, iters = 50)
     assert(nFixed == 50)
+    // tol is RELATIVE to the first iteration's delta since r10 (the
+    // solver-standard residual criterion, so PPR's farther seeded
+    // start isn't penalized); 1e-9 relative on this graph stops well
+    // inside the bound while staying far above the double-precision
+    // delta plateau (1e-12 relative sat below it and never tripped)
     val (conv, nConv) =
-      GraphRank.pageRankWithStats(df, iters = 50, tol = 1e-12)
+      GraphRank.pageRankWithStats(df, iters = 50, tol = 1e-9)
     assert(nConv < 50, s"expected early stop, ran $nConv")
     val f = fixed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val c = conv.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

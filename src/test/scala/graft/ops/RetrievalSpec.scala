@@ -197,4 +197,37 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(1)).toSeq
     assert(got == Seq(1L)) // unscorables dropped, pool exhausts at 1
   }
+
+  test("mmrDiversify never selects zero-norm or NaN candidates") {
+    import spark.implicits._
+    // vec 2 is a zero vector: sim = dot/0 = NaN, score = NaN, and NaN
+    // sorts FIRST under desc — without the nrm > 0 guard it wins every
+    // argmax pass after the first (r9 ADVICE). vec 3 has a NaN rel.
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.0f), 0.9),
+      (2L, Seq(0.0f, 0.0f), 0.8),
+      (3L, Seq(0.0f, 1.0f), Double.NaN),
+      (4L, Seq(0.0f, 1.0f), 0.7))
+      .toDF("vec_id", "embedding", "rel")
+    val got = Retrieval.mmrDiversify(cands, "vec_id", "embedding", "rel",
+        k = 4, lambda = 0.5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 4L))
+  }
+
+  test("mmrDiversify rejects a corpus-sized candidate pool loudly") {
+    import org.apache.spark.sql.functions.{array, col, lit}
+    val pool = spark.range(0, 50).select(
+      col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.0f)).as("embedding"),
+      lit(0.5).as("rel"))
+    spark.conf.set("spark.graft.mmr.pool.max", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.mmrDiversify(pool, "vec_id", "embedding", "rel",
+          k = 2, lambda = 0.5)
+      }
+      assert(e.getMessage.contains("candidate pool exceeds"))
+    } finally spark.conf.unset("spark.graft.mmr.pool.max")
+  }
 }
