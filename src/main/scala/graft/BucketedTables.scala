@@ -62,6 +62,10 @@ object BucketedTables {
   private def tableName(sfDir: String, base: String): String =
     s"bk_${tag(sfDir)}_$base"
 
+  /** Test hook: resolve the catalog name of a layout table. */
+  private[graft] def testTableName(sfDir: String, base: String): String =
+    tableName(sfDir, base)
+
   /** Materialize the three layout tables for `sfDir` if absent.
     * Returns build seconds (0.0 when the catalog already has them —
     * the amortized steady state under the persistent hive catalog).
@@ -99,7 +103,11 @@ object BucketedTables {
       build("orders", Tables.orders(spark, sfDir),
         "o_orderkey", Seq("o_orderkey")) +
       build("orders_ck", Tables.orders(spark, sfDir),
-        "o_custkey", Seq("o_custkey"))
+        "o_custkey", Seq("o_custkey")) +
+      build("embeddings", Tables.embeddings(spark, sfDir),
+        "vec_id", Seq("vec_id")) +
+      build("documents", Tables.documents(spark, sfDir),
+        "doc_id", Seq("doc_id"))
   }
 
   private def lineitem(s: SparkSession, d: String): DataFrame = {
@@ -111,11 +119,17 @@ object BucketedTables {
   private def ordersCk(s: SparkSession, d: String): DataFrame = {
     ensure(s, d); s.table(tableName(d, "orders_ck"))
   }
+  private def embeddings(s: SparkSession, d: String): DataFrame = {
+    ensure(s, d); s.table(tableName(d, "embeddings"))
+  }
 
   private def cents(name: String) = floor(col(name) * 100 + 0.5).cast("long")
 
   private def oracleOf(n: String): Option[String] =
     graft.queries.LayerA1.queries.find(_.name == n).flatMap(_.oracle)
+
+  private def llmOracleOf(n: String): Option[String] =
+    graft.queries.LlmPipeline.queries.find(_.name == n).flatMap(_.oracle)
 
   /** The bucketed quartet — layout twins of a06/a08/a16/a19 sharing
     * their oracles verbatim. With [[configure]] applied these plans
@@ -183,6 +197,23 @@ object BucketedTables {
           (sum(cents("o_totalprice")).over(wSum).cast("double") / 100.0)
             .as("run_sum"))
       },
-      oracleOf("a19_rank_frame"))
+      oracleOf("a19_rank_frame")),
+
+    // l71 shape, corpus-table layout twin (r9 verdict #5 — the
+    // bucketed-at-rest path extended beyond the TPC-H quartet):
+    // SemDeDup's (assignment ⋈ input) zipper join is the one corpus
+    // workload exchange where BOTH sides are corpus-sized (neither
+    // broadcastable at 100 TB) and both derive from the same source —
+    // with embeddings bucketed on vec_id the two scans arrive
+    // co-partitioned and the zipper needs no exchange (the candidate
+    // join's (cluster, ti, tj) shuffle remains — that one is the
+    // algorithm's semantic exchange, not layout-removable). Shares
+    // l71's oracle verbatim; BucketedTablesSpec pins the elision.
+    QueryDef(
+      "k71_bucketed_semdedup",
+      (s, d) => graft.ops.Clustering.semDedup(
+        embeddings(s, d), "vec_id", "embedding",
+        k = 4, iters = 2, tau = 0.3, scale = 1000),
+      llmOracleOf("l71_semdedup"))
   )
 }

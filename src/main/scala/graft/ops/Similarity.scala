@@ -163,10 +163,18 @@ object Similarity {
   private def nearestListsUdf(
       bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
       nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((emb: Seq[Float]) =>
-      if (emb == null) null
-      else {
-        val cents = bc.value
+    udf((emb: Seq[Float]) => nearestLists(bc.value, emb, nProbe))
+
+  /** The probe/assignment selection kernel, callable driver-side too
+    * (ivfTopKFromPartitionedIndex resolves a query batch's probe union
+    * on the driver to fold it into a partition-pruning literal).
+    */
+  private[graft] def nearestLists(
+      cents: Array[Array[Double]], emb: Seq[Float],
+      nProbe: Int): Array[Int] =
+    if (emb == null) null
+    else {
+      {
         val n = cents.length
         if (n == 0 || emb.length != cents(0).length) null
         else {
@@ -212,7 +220,8 @@ object Similarity {
           }
           if (filled == p) bestIdx else java.util.Arrays.copyOf(bestIdx, filled)
         }
-      })
+      }
+    }
 
   private def unit(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
@@ -332,6 +341,80 @@ object Similarity {
       nProbe: Int): DataFrame =
     serveAssigned(indexed,
       indexed.sparkSession.sparkContext.broadcast(cents), queries, k, nProbe)
+
+  /** Assign a corpus against an EXISTING centroid model (the serving
+    * half of the [[ivfAssign]] split, for when the model artifact is
+    * loaded rather than trained in-session).
+    */
+  def ivfAssignWithModel(
+      corpus: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    assignWithBc(corpus,
+      corpus.sparkSession.sparkContext.broadcast(cents))
+
+  /** Persist / reload the (tiny) IVF centroid model as parquet —
+    * the artifact half that rides with a partitioned assignment.
+    */
+  def saveIvfModel(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "c").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .select(col("list_id").cast("int"), col("c").cast("array<double>"))
+      .collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1).toArray)
+
+  /** IVF serving from a LIST-PARTITIONED at-rest index directory —
+    * the 100 TB artifact layout the [[ivfAssign]] scaladoc prescribes,
+    * made executable: the assignment parquet is written
+    * `partitionBy("list_id")`, and a query batch's probe set is
+    * resolved DRIVER-SIDE against the centroid model (model-sized —
+    * k·dim doubles) and folded into one `list_id IN (…)` literal, so
+    * Catalyst partition-prunes the scan at file-listing time: a batch
+    * probing p of L lists reads ONLY those p directories. The other
+    * L − p lists never even produce a task — an input-bound saving no
+    * runtime exchange optimization can reach, and exactly how a
+    * standing ANN deployment over a 100 TB corpus serves low-QPS
+    * batches without a corpus-wide scan per batch.
+    *
+    * `queries` is collected to compute the probe union, so it must be
+    * batch-sized — enforced loudly (the mmr pool-guard pattern) via
+    * `spark.graft.ivf.batch.max` (default 10,000 queries).
+    *
+    * Output is row-identical to [[ivfTopKFromAssigned]] over the same
+    * assignment: the per-query probe join below applies each query's
+    * OWN probe list; the literal filter is a superset prune.
+    */
+  def ivfTopKFromPartitionedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      cents: Array[Array[Double]],
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val maxBatch = spark.conf.getOption("spark.graft.ivf.batch.max")
+      .map(_.toInt).getOrElse(10000)
+    val qRows = queries.select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+      .limit(maxBatch + 1).collect()
+    require(qRows.length <= maxBatch,
+      s"ivfTopKFromPartitionedIndex: query batch exceeds $maxBatch rows — " +
+        "partition-pruned serving resolves probes driver-side; for " +
+        "corpus-sized query sets use ivfTopKFromAssigned, or raise " +
+        "spark.graft.ivf.batch.max")
+    val probedLists = qRows.iterator
+      .flatMap(r => Option(nearestLists(cents, r.getSeq[Float](1), nProbe))
+        .fold(Iterator.empty: Iterator[Int])(_.iterator))
+      .toSet.toSeq.sorted
+    val indexed = spark.read.parquet(indexPath)
+      .filter(col("list_id").isin(probedLists: _*))
+    serveAssigned(indexed, spark.sparkContext.broadcast(cents),
+      queries, k, nProbe)
+  }
 
   private def serveAssigned(
       indexed: DataFrame,

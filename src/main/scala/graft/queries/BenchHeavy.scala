@@ -80,6 +80,22 @@ object BenchHeavy {
     out.getAbsolutePath
   }
 
+  /** [[cachedDir]] with a hive-style PARTITIONED layout — the at-rest
+    * shape partition-pruned serving (x16) reads back.
+    */
+  private def cachedPartitionedDir(d: String, name: String, partCol: String)(
+      derive: => org.apache.spark.sql.DataFrame): String = {
+    val tag = new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bench_$name$tag.parquet")
+    this.synchronized {
+      if (!out.exists())
+        derive.write.mode("overwrite").partitionBy(partCol)
+          .parquet(out.getAbsolutePath)
+    }
+    out.getAbsolutePath
+  }
+
   /** doc_id → deterministic read (genome id*131-strided offset). */
   private def readsFrom(docs: org.apache.spark.sql.DataFrame) = {
     val genomes = LayerB.syntheticGenomes(NGenomes, GenomeLen)
@@ -179,6 +195,37 @@ object BenchHeavy {
         val queries = Tables.embeddings(s, d).filter(col("vec_id") < 200)
         graft.ops.Similarity.ivfTopK(emb, queries,
           dim = 64, k = 10, nLists = 64, nProbe = 8, iters = 1)
+      }),
+
+    // IVF SERVING from the at-rest artifact split (r9 verdict #5 —
+    // x04's standing-deployment half): the 50k assignment persisted
+    // ONCE partitioned by list_id + the tiny centroid model, then a
+    // 16-query batch served with driver-resolved probes folded into a
+    // partition-pruning literal — the batch reads ONLY its probed
+    // lists' directories (≤ union-of-probes of 64), never the corpus.
+    // x04 measures train+assign+serve; this row measures what a
+    // standing deployment actually pays per batch.
+    QueryDef(
+      "x16_ivf_serve_partitioned",
+      (s, d) => {
+        val f = factorFor(s, d, "embeddings", EmbTarget)
+        def emb = s.read.parquet(
+          if (f <= 1) s"$d/embeddings.parquet"
+          else amplifiedDir(s, d, "embeddings", f)(
+            graft.tools.Amplify.embeddings(_, f)))
+        val centsPath = cachedDir(d, s"ivfcents_x$f")({
+          val cents = graft.ops.Similarity.ivfCentroids(
+            emb, dim = 64, nLists = 64, iters = 1)
+          import s.implicits._
+          cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+            .toDF("list_id", "c").repartition(1)
+        })
+        val cents = graft.ops.Similarity.loadIvfModel(s, centsPath)
+        val idxPath = cachedPartitionedDir(d, s"ivfidx_x$f", "list_id")(
+          graft.ops.Similarity.ivfAssignWithModel(emb, cents))
+        val queries = Tables.embeddings(s, d).filter(col("vec_id") < 16)
+        graft.ops.Similarity.ivfTopKFromPartitionedIndex(
+          s, idxPath, cents, queries, k = 10, nProbe = 8)
       }),
 
     // Line-level dedup throughput over the amplified corpus (same

@@ -206,6 +206,45 @@ class LlmOpsSpec extends AnyFunSuite {
       "probe set must broadcast-join the corpus")
   }
 
+  test("ivf partitioned-at-rest serving: partition-prunes to the probe union, output identical") {
+    val emb = plantedVectors
+    val qs = emb.filter(col("vec_id") < 4)
+    val (indexed, cents) = Similarity.ivfAssign(emb, dim = 16, nLists = 6, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_part").toString
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    val served = Similarity.ivfTopKFromPartitionedIndex(
+      spark, dir, cents, qs, k = 5, nProbe = 2)
+    val reference = Similarity.ivfTopKFromAssigned(
+      spark.read.parquet(dir), cents, qs, k = 5, nProbe = 2)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(canon(served) == canon(reference) && canon(served).nonEmpty)
+    // the scan must carry the driver-resolved list_id IN literal as a
+    // PARTITION filter — pruning at file listing, before any task runs
+    // (string match: AQE query stages hide scan nodes from collect())
+    val planStr = served.queryExecution.executedPlan.toString
+    val pf = planStr.linesIterator
+      .find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$planStr"))
+    assert(pf.contains("list_id"),
+      s"expected a list_id partition filter, got: $pf")
+  }
+
+  test("ivf partitioned-at-rest serving rejects a corpus-sized query batch loudly") {
+    val emb = plantedVectors
+    val (indexed, cents) = Similarity.ivfAssign(emb, dim = 16, nLists = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_guard").toString
+    indexed.write.mode("overwrite").partitionBy("list_id").parquet(dir)
+    spark.conf.set("spark.graft.ivf.batch.max", "3")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Similarity.ivfTopKFromPartitionedIndex(
+          spark, dir, cents, emb, k = 2, nProbe = 1)
+      }
+      assert(e.getMessage.contains("query batch exceeds"))
+    } finally spark.conf.unset("spark.graft.ivf.batch.max")
+  }
+
   test("ivfTopK partial probing: planted dup found at rank 1, recall@5 is high") {
     val emb = plantedVectors
     val qs = emb.filter(col("vec_id") >= 100)
