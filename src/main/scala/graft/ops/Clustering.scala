@@ -288,9 +288,9 @@ object Clustering {
     * Contract: zero-norm / NaN embeddings are unscorable and never
     * witness or receive a dup flag (they return is_dup = false) — the
     * oracle carries the matching WHERE. Clusters larger than
-    * `spark.graft.semdedup.cluster.cap` (default 8192) are triangle-
-    * split so one degenerate cluster can't become a single quadratic
-    * straggler task.
+    * `spark.graft.semdedup.cluster.cap` (default 2048, the measured
+    * sweet spot — KmSkewProbe) are triangle-split so one degenerate
+    * cluster can't become a single quadratic straggler task.
     *
     * Returns (vec_id, cluster, is_dup).
     */
@@ -344,8 +344,14 @@ object Clustering {
     // exactly once and per-task work is bounded by ~cap². The size
     // table is ≤ k rows (k is a model hyper-parameter) — always
     // broadcast, no stats gate needed.
+    // Default matches the LSH bucket cap: the KmSkewProbe drive (200k
+    // vectors, one 50k-member hot cluster) measured wall 30.5 s / max
+    // task 28.1 s unsplit vs 7.0 s / 4.8 s at cap 2048 (4096: 12.4 s,
+    // 8192: 23.1 s) — per-task work drops with cap², replication only
+    // grows linearly, so the smaller cap wins until tasks are
+    // scheduler-noise-sized.
     val cap = spark.conf.getOption("spark.graft.semdedup.cluster.cap")
-      .map(_.toInt).getOrElse(8192)
+      .map(_.toInt).getOrElse(2048)
     val gTab = scorable.groupBy(col("cluster"))
       .agg(count(lit(1)).as("cn"))
       .select(col("cluster"),
