@@ -130,6 +130,27 @@ object TextStats {
         Ipv4Pattern, "<IP>"),
       PhonePattern, "<PHONE>")
 
+  /** Luhn checksum over a digit string: double every second digit
+    * from the RIGHT, subtract 9 when doubling exceeds 9, valid iff
+    * the sum ≡ 0 (mod 10). Pure positional integer arithmetic — any
+    * engine folds the identical expression, so the PAN-vs-order-id
+    * decision (l80) is bit-exact across engines. Non-digit input
+    * yields null casts and a null verdict (callers pre-match digit
+    * runs by regex).
+    */
+  def luhnValid(digits: Column): Column = {
+    val n = length(digits)
+    val total = aggregate(
+      transform(sequence(lit(1), n), i => {
+        val d = digits.substr(n - i + lit(1), lit(1)).cast("int")
+        when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+          .otherwise(d)
+      }),
+      lit(0), (a, v) => a + v)
+    pmod(total, lit(10)) === 0
+  }
+
   private val nfcUdf = udf((text: String) =>
     if (text == null) null
     else java.text.Normalizer.normalize(text, java.text.Normalizer.Form.NFC))

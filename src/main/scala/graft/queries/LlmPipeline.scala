@@ -3097,6 +3097,105 @@ object LlmPipeline {
       },
       Some(Clustering.driftOracleSql(k = 4, iters = 2, dim = 64,
         scale = 1000, farThreshold = 1900000L,
-        modelSource = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)")))
+        modelSource = "(SELECT * FROM embeddings WHERE vec_id % 2 = 0)"))),
+
+    // The COMPLETE production LSH dedup pipeline in one registration
+    // (new r10): CW-minhash band pairs (the l03 machinery) → connected
+    // components over the VERIFIED pair graph → keep-best canonical
+    // per component (RefinedWeb keep-the-longest, the l47 rule).
+    // Unlike l12/l47 — whose pair set is the deterministic
+    // consecutive-id kernel — this runs dedup the way production does:
+    // candidates from banded LSH, so components are arbitrary sparse
+    // graphs. The oracle re-derives the full chain; its recursive-CTE
+    // closure is safe HERE precisely because LSH pair graphs are
+    // sparse (256 pairs / tiny components at sf0.1 — the quadratic
+    // reach-set blowup that forced l12's islands rewrite cannot occur
+    // without a dense pair set).
+    QueryDef(
+      "l79_lsh_dedup_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minhashPairsExact(docs, "doc_id", "text",
+            shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4)
+          .select(col("id_a"), col("id_b"))
+        Dedup.keepBest(docs, Dedup.connectedComponents(pairs),
+          "doc_id", "n_chars")
+      },
+      Some(s"""WITH RECURSIVE ${duckCwBandCtes()},
+              |cand AS (
+              |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              |    FROM banded l JOIN banded r
+              |      ON l.band = r.band AND l.band_hash = r.band_hash AND l.id < r.id),
+              |pairs AS MATERIALIZED (
+              |  SELECT c.id_a, c.id_b
+              |    FROM cand c JOIN base a ON a.id = c.id_a
+              |                JOIN base b ON b.id = c.id_b
+              |   WHERE ${duckJaccardSets("a.shs", "b.shs")} >= 0.4),
+              |edges AS MATERIALIZED (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |reach AS (
+              |  SELECT src AS id, src AS r FROM edges
+              |  UNION
+              |  SELECT e.src, t.r FROM edges e JOIN reach t ON e.dst = t.id),
+              |comp AS MATERIALIZED (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+              |scored AS (
+              |  SELECT c.component, c.id, d.n_chars AS score
+              |    FROM comp c JOIN documents d ON d.doc_id = c.id),
+              |best AS (
+              |  SELECT component, COUNT(*) AS n_members, MAX(score) AS best_score
+              |    FROM scored GROUP BY component),
+              |sel AS (
+              |  SELECT b.component, b.n_members, MIN(s.id) AS keep_id, b.best_score
+              |    FROM best b JOIN scored s
+              |      ON s.component = b.component AND s.score = b.best_score
+              |   GROUP BY 1, 2, 4)
+              |SELECT component, n_members, keep_id, best_score FROM sel
+              |UNION ALL
+              |SELECT doc_id AS component, 1 AS n_members, doc_id AS keep_id,
+              |       n_chars AS best_score
+              |  FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)""".stripMargin)),
+
+    // Luhn-verified credit-card scrubbing (new r10): the PII step l19
+    // deliberately leaves out — a 13–19-digit run is only a PAN if its
+    // check digit validates, and scrubbing unverified digit runs
+    // destroys order ids / timestamps real corpora are full of. The
+    // checksum is pure positional integer arithmetic (double every
+    // second digit from the right, subtract 9 over 9, sum ≡ 0 mod 10)
+    // — both engines fold the identical expression, so the decision is
+    // bit-exact. Each doc gets a deterministic synthetic 16-digit run
+    // (~10% Luhn-valid by construction); only verified runs scrub.
+    QueryDef(
+      "l80_luhn_cc_scrub",
+      (s, d) => {
+        val num = lpad((col("doc_id") * lit(7919L) % lit(1000000000000000L))
+          .cast("string"), 16, "0")
+        val t = concat(col("text"), lit(" order ref "), num, lit(" end"))
+        val valid = TextStats.luhnValid(num)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          valid.as("luhn_valid"),
+          when(valid, regexp_replace(t, "\\b\\d{16}\\b", "<CC>"))
+            .otherwise(t).as("scrubbed"))
+      },
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         lpad(CAST((doc_id * 7919) % 1000000000000000 AS VARCHAR), 16, '0') AS num,
+             |         text AS t FROM documents),
+             |v AS (
+             |  SELECT doc_id, num, t,
+             |         (list_sum(list_transform(generate_series(1, 16), i ->
+             |            CASE WHEN i % 2 = 0
+             |                 THEN CASE WHEN CAST(num[17 - i] AS INTEGER) * 2 > 9
+             |                           THEN CAST(num[17 - i] AS INTEGER) * 2 - 9
+             |                           ELSE CAST(num[17 - i] AS INTEGER) * 2 END
+             |                 ELSE CAST(num[17 - i] AS INTEGER) END)) % 10) = 0 AS luhn_valid
+             |    FROM p)
+             |SELECT doc_id, luhn_valid,
+             |       CASE WHEN luhn_valid
+             |            THEN regexp_replace(t || ' order ref ' || num || ' end',
+             |                                '\b\d{16}\b', '<CC>', 'g')
+             |            ELSE t || ' order ref ' || num || ' end' END AS scrubbed
+             |  FROM v""".stripMargin))
   )
 }

@@ -53,6 +53,23 @@ class TextStatsSpec extends AnyFunSuite {
     assert(r(4) == "none here, 1.2.3 not an ip, 12-34-56 not a phone")
   }
 
+  test("luhnValid: known-good PANs pass, off-by-one check digits fail") {
+    import org.apache.spark.sql.functions.col
+    val cases = Seq(
+      "4539578763621486" -> true,  // standard 16-digit Visa test number
+      "4539578763621487" -> false, // same, check digit bumped
+      "79927398713" -> true,       // the classic Luhn example (11 digits)
+      "79927398710" -> false,
+      "0000000000000000" -> true,  // sum 0 ≡ 0 — leading zeros fine
+      "378282246310005" -> true    // 15-digit Amex test number
+    )
+    val got = cases.map(_._1).toDF("n")
+      .select(col("n"), TextStats.luhnValid(col("n")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    for ((n, expect) <- cases)
+      assert(got(n) == expect, s"$n expected $expect")
+  }
+
   test("charEntropy: uniform, degenerate, empty, and supplementary-plane cases") {
     import spark.implicits._
     val rows = Seq("aabc", "aaaa", "", "ab", "😀😀a")
