@@ -1104,6 +1104,94 @@ object LayerA2 {
              |       CASE WHEN levenshtein(n_name, 'UNITED STATES') <= 2 THEN 'exactish'
              |            WHEN levenshtein(n_name, 'UNITED STATES') <= 8 THEN 'near'
              |            ELSE 'far' END AS band
-             |  FROM nation""".stripMargin))
+             |  FROM nation""".stripMargin)),
+
+    // A67: width_bucket equi-width histogram. Spark's native
+    // width_bucket (codegen'd) vs the oracle's re-derived arithmetic —
+    // DuckDB lacks the function, so the SQL mirrors Spark's exact
+    // evaluation order ((v−min)/((max−min)/n), both double ops, floor
+    // to long, +1; <min → 0, ≥max → n+1) for bit-equal bucket ids.
+    QueryDef(
+      "a67_width_bucket_histogram",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(expr("width_bucket(o_totalprice, 0.0, 600000.0, 12)")
+            .as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_orders")),
+      Some("""WITH b AS (
+             |  SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+             |              WHEN o_totalprice >= 600000.0 THEN 13
+             |              ELSE CAST(floor((o_totalprice - 0.0) / ((600000.0 - 0.0) / 12)) AS BIGINT) + 1
+             |         END AS bucket
+             |    FROM orders)
+             |SELECT bucket, COUNT(*) AS n_orders FROM b GROUP BY bucket""".stripMargin)),
+
+    // A68: regexp_extract_all → rows (pattern extraction as a table
+    // shape, the log/scrape-parsing staple): every integer token in
+    // the order comment, exploded with its position, filtered to
+    // multi-digit. Spark regexp_extract_all + posexplode vs DuckDB
+    // regexp_extract_all + unnest WITH ORDINALITY-equivalent.
+    QueryDef(
+      "a68_regexp_extract_rows",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            posexplode(expr("regexp_extract_all(text, '[a-z]{6,}', 0)"))
+              .as(Seq("pos", "word")))
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+            col("word"))
+          .filter(length(col("word")) >= 7),
+      Some("""WITH m AS (
+             |  SELECT doc_id, regexp_extract_all(text, '[a-z]{6,}') AS ws
+             |    FROM documents WHERE doc_id < 200),
+             |u AS (
+             |  SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+             |    FROM m)
+             |SELECT doc_id, CAST(pos AS BIGINT) AS pos, ws[pos] AS word
+             |  FROM u WHERE length(ws[pos]) >= 7""".stripMargin)),
+
+    // A69: string_agg with DISTINCT + ORDER BY (the reporting staple
+    // SQL:2023 standardizes as LISTAGG). Spark has no ordered
+    // string_agg — compose sort_array(collect_set) + concat_ws, which
+    // pins the same deterministic (distinct, ascending) contract the
+    // oracle's string_agg(DISTINCT ... ORDER BY) declares.
+    QueryDef(
+      "a69_string_agg_distinct",
+      (s, d) =>
+        Tables.customer(s, d)
+          .groupBy(col("c_nationkey"))
+          .agg(
+            concat_ws(",", sort_array(collect_set(col("c_mktsegment"))))
+              .as("segments"),
+            countDistinct(col("c_mktsegment")).as("n_segments")),
+      Some("""SELECT c_nationkey,
+             |       string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+             |       CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+             |  FROM customer GROUP BY c_nationkey""".stripMargin)),
+
+    // A70: bitwise scalar operators (&, |, xor, shifts) — the flag-
+    // word manipulation surface (the reference leans on SAM flag bits;
+    // this is the generic relational face of the same machinery).
+    // Spark and DuckDB share two's-complement BIGINT semantics.
+    QueryDef(
+      "a70_bitwise_ops",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") < 2000)
+          .select(col("o_orderkey"),
+            (col("o_orderkey").bitwiseAND(lit(255L))).as("low8"),
+            (col("o_orderkey").bitwiseOR(lit(4096L))).as("with_flag"),
+            (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("mixed"),
+            shiftleft(col("o_orderkey"), 3).cast("long").as("shl3"),
+            shiftright(col("o_orderkey"), 2).cast("long").as("shr2")),
+      Some("""SELECT o_orderkey,
+             |       o_orderkey & 255 AS low8,
+             |       o_orderkey | 4096 AS with_flag,
+             |       xor(o_orderkey, o_custkey) AS mixed,
+             |       o_orderkey << 3 AS shl3,
+             |       o_orderkey >> 2 AS shr2
+             |  FROM orders WHERE o_orderkey < 2000""".stripMargin))
   )
 }
