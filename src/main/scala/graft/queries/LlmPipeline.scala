@@ -3196,6 +3196,59 @@ object LlmPipeline {
              |            THEN regexp_replace(t || ' order ref ' || num || ' end',
              |                                '\b\d{16}\b', '<CC>', 'g')
              |            ELSE t || ' order ref ' || num || ' end' END AS scrubbed
-             |  FROM v""".stripMargin))
+             |  FROM v""".stripMargin)),
+
+    // Streaming decontamination leak-rate monitor run in BATCH mode
+    // (the oracle twin; new r10) — the ONLINE half of l74: benchmark
+    // window fingerprints ride the plan as one broadcast set, every
+    // arriving doc is scored statelessly (leaked-window count), and
+    // the only stateful operator is the windowed aggregate. The same
+    // function runs as a watermarked streaming query
+    // (QualityMonitorSpec, MemoryStream). Benchmark = the %23 doc
+    // slice, l74's convention.
+    QueryDef(
+      "h07_stream_leak_rate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val fps = Decontaminate.fingerprints(
+            docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 8)
+          .select(col("fp")).distinct()
+          .collect().map(_.getLong(0)) // eval-suite-sized by contract
+        graft.streaming.QualityMonitor.windowedLeakRate(
+          docs.select(
+            timestamp_seconds(lit(1704067200L) + col("doc_id") % 600)
+              .as("ts"),
+            col("text")),
+          "ts", "text", fps, n = 8)
+      },
+      Some(s"""WITH tok AS (
+              |  SELECT doc_id,
+              |         list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+              |                     x -> len(x) > 0) AS ts
+              |    FROM documents),
+              |win AS (
+              |  SELECT doc_id,
+              |         CAST(('0x' || substr(md5(array_to_string(ts[i : i+7], ' ')), 1, 15)) AS BIGINT) AS fp
+              |    FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS i FROM tok)),
+              |bfp AS (SELECT DISTINCT fp FROM win WHERE doc_id % 23 = 0),
+              |wl AS (
+              |  SELECT w.doc_id, COUNT(*) AS n_grams,
+              |         CAST(SUM(CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_leaked
+              |    FROM win w LEFT JOIN bfp b USING (fp) GROUP BY w.doc_id),
+              |per AS (
+              |  SELECT d.doc_id,
+              |         COALESCE(wl.n_grams, 0) AS n_grams,
+              |         COALESCE(wl.n_leaked, 0) AS n_leaked
+              |    FROM documents d LEFT JOIN wl USING (doc_id)),
+              |g AS (SELECT 1704067200 + (doc_id % 600) // 60 * 60 AS es, n_grams, n_leaked FROM per)
+              |SELECT strftime(make_timestamp(es * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+              |       COUNT(*) AS n_docs,
+              |       CAST(SUM(CASE WHEN n_leaked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_leaked,
+              |       CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+              |       CAST(SUM(n_leaked) AS BIGINT) AS n_leaked,
+              |       CASE WHEN SUM(n_grams) = 0 THEN CAST(0 AS BIGINT)
+              |            ELSE CAST((CAST(SUM(n_leaked) AS BIGINT) * 1000)
+              |                      // CAST(SUM(n_grams) AS BIGINT) AS BIGINT) END AS leak_rate_milli
+              |  FROM g GROUP BY es""".stripMargin))
   )
 }

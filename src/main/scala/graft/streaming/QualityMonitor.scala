@@ -103,6 +103,53 @@ object QualityMonitor {
     * All outputs integer-exact: mean_dist = sum div n,
     * far_rate_milli = 1000·n_far div n.
     */
+  /** Windowed decontamination leak-rate against a static benchmark
+    * fingerprint set (the ONLINE half of l74's span-excision family —
+    * the ingest tripwire that fires when a new crawl slice suddenly
+    * contains eval-suite text): per arriving document, the count of
+    * ≥n-token windows whose md5 fingerprint appears in the benchmark
+    * set; per event-time window, document/gram totals and the leak
+    * rate in exact integer milli.
+    *
+    * The benchmark fingerprint set rides the plan as ONE broadcast
+    * reference object (eval suites are model-sized — the centroid
+    * contract, not a stream-stream join), so scoring is a stateless
+    * map and the only stateful operator is the windowed scalar
+    * aggregate: O(windows) state, watermark-safe in append mode.
+    */
+  def windowedLeakRate(docs: DataFrame, tsCol: String, textCol: String,
+      benchmarkFps: Array[Long], n: Int,
+      windowDur: String = "60 seconds",
+      watermark: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val fpSetBc = spark.sparkContext.broadcast(benchmarkFps.toSet)
+    val leakUdf = udf((text: String) => {
+      val hs = graft.kernel.TextKernel.slidingWindowHashes(text, n, true)
+      val set = fpSetBc.value
+      var leaked = 0L
+      var i = 0
+      while (i < hs.length) { if (set.contains(hs(i))) leaked += 1; i += 1 }
+      Array(hs.length.toLong, leaked)
+    })
+    val scored0 = docs.select(col(tsCol).as("ts"),
+        leakUdf(col(textCol)).as("ln"))
+      .select(col("ts"), col("ln")(0).as("n_grams"), col("ln")(1).as("n_leaked"))
+    val scored = watermark.fold(scored0)(w => scored0.withWatermark("ts", w))
+    scored
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_leaked") > 0, 1L).otherwise(0L)).as("n_docs_leaked"),
+        sum(col("n_grams")).as("n_grams"),
+        sum(col("n_leaked")).as("n_leaked"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_docs"), col("n_docs_leaked"), col("n_grams"), col("n_leaked"),
+        when(col("n_grams") === 0, 0L)
+          .otherwise(expr("(n_leaked * 1000) div n_grams"))
+          .as("leak_rate_milli"))
+  }
+
   def windowedEmbeddingDrift(vecs: DataFrame, tsCol: String, vecCol: String,
       centroids: Seq[(Long, Seq[Long])], farThreshold: Long,
       windowDur: String = "60 seconds", scale: Int = 1000,

@@ -175,4 +175,53 @@ class QualityMonitorSpec extends AnyFunSuite {
       assert(got == driftExpected)
     } finally query.stop()
   }
+
+  // ---- decontamination leak-rate monitor (h07) ----
+
+  // benchmark = the single 3-gram "eval question alpha" (n = 3).
+  // doc A contains it once among 4 windows ("the eval question alpha
+  // beta x" → 4 windows, 1 leaked); doc B is clean (3 windows); doc C
+  // is the benchmark verbatim (1 window, 1 leaked); doc D is too short
+  // for any window (0 grams, counted as a doc).
+  private val leakFps: Array[Long] = Array(
+    graft.kernel.TextKernel.slidingWindowHashes("eval question alpha", 3, true).head)
+  private val leakRows = Seq(
+    (t("2026-01-01 10:00:05"), "the eval question alpha beta x"),
+    (t("2026-01-01 10:00:40"), "totally clean text here now"),
+    (t("2026-01-01 10:01:10"), "eval question alpha"),
+    (t("2026-01-01 10:01:30"), "tiny doc"))
+  // window 10:00: docs 2, leaked docs 1, grams 4+3=7, leaked 1 → 142‰
+  // window 10:01: docs 2, leaked docs 1, grams 1+0=1, leaked 1 → 1000‰
+  private val leakExpected = Set(
+    ("2026-01-01 10:00:00", 2L, 1L, 7L, 1L, 142L),
+    ("2026-01-01 10:01:00", 2L, 1L, 1L, 1L, 1000L))
+
+  test("batch leak-rate windows: hand-computed counts incl. a zero-gram doc") {
+    import spark.implicits._
+    val got = QualityMonitor.windowedLeakRate(
+        leakRows.toDF("ts", "text"), "ts", "text", leakFps, n = 3,
+        windowDur = "60 seconds")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == leakExpected)
+  }
+
+  test("leak-rate monitor runs as a streaming query with identical output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val query = QualityMonitor.windowedLeakRate(
+        input.toDF().toDF("ts", "text"), "ts", "text", leakFps, n = 3,
+        windowDur = "60 seconds")
+      .writeStream.format("memory").queryName("graft_leak_monitor")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      input.addData(leakRows.take(2))
+      query.processAllAvailable()
+      input.addData(leakRows.drop(2))
+      query.processAllAvailable()
+      val got = spark.sql("SELECT * FROM graft_leak_monitor")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == leakExpected)
+    } finally query.stop()
+  }
 }
