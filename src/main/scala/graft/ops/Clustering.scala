@@ -352,30 +352,50 @@ object Clustering {
     // scheduler-noise-sized.
     val cap = spark.conf.getOption("spark.graft.semdedup.cluster.cap")
       .map(_.toInt).getOrElse(2048)
-    val gTab = scorable.groupBy(col("cluster"))
-      .agg(count(lit(1)).as("cn"))
-      .select(col("cluster"),
-        greatest(ceil(col("cn").cast("double") / cap).cast("int"), lit(1)).as("g"))
-    val withSub = scorable.join(broadcast(gTab), "cluster")
-      .withColumn("sub", pmod(hash(col("vec_id")), col("g")))
-      .withColumn("t", explode(sequence(lit(0), col("g") - 1)))
-      .select(col("cluster"),
-        least(col("sub"), col("t")).as("ti"),
-        greatest(col("sub"), col("t")).as("tj"),
-        col("vec_id"), col("emb"), col("nrm"), col("sub"))
-    val a = withSub.select(col("cluster"), col("ti"), col("tj"),
-      col("vec_id").as("id_a"), col("emb").as("emb_a"),
-      col("nrm").as("nrm_a"), col("sub").as("sub_a"))
-    val b = withSub.select(col("cluster"), col("ti"), col("tj"),
-      col("vec_id").as("id_b"), col("emb").as("emb_b"),
-      col("nrm").as("nrm_b"), col("sub").as("sub_b"))
-    // within-cluster candidate join; a row is dup if a lower id clears tau
-    val dups = a.join(b, Seq("cluster", "ti", "tj"))
-      .filter(col("id_a") < col("id_b") &&
-        (col("ti") === col("tj") || col("sub_a") =!= col("sub_b")))
-      .filter(Similarity.dot(col("emb_a"), col("emb_b")) /
-        (col("nrm_a") * col("nrm_b")) >= tau)
-      .select(col("id_b").as("vec_id")).distinct()
+    // Cluster sizes are ≤ k rows (k is a model hyper-parameter) — the
+    // split decision is driver-side, so the COMMON case (no cluster
+    // over cap) keeps the plain 1-key join with no explode/replication
+    // plumbing at all; only a genuinely skewed corpus pays the split.
+    val sizes = scorable.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cn")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val maxCn = if (sizes.isEmpty) 0L else sizes.map(_._2).max
+    val dups = if (maxCn <= cap) {
+      val a = scorable.select(col("cluster"), col("vec_id").as("id_a"),
+        col("emb").as("emb_a"), col("nrm").as("nrm_a"))
+      val b = scorable.select(col("cluster"), col("vec_id").as("id_b"),
+        col("emb").as("emb_b"), col("nrm").as("nrm_b"))
+      // within-cluster candidate join; dup if a lower id clears tau
+      a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(Similarity.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")) >= tau)
+        .select(col("id_b").as("vec_id")).distinct()
+    } else {
+      import spark.implicits._
+      val gTab = broadcast(sizes.toSeq.map { case (c, n) =>
+        (c, math.max(1L, (n + cap - 1) / cap).toInt)
+      }.toDF("cluster", "g"))
+      val withSub = scorable.join(gTab, "cluster")
+        .withColumn("sub", pmod(hash(col("vec_id")), col("g")))
+        .withColumn("t", explode(sequence(lit(0), col("g") - 1)))
+        .select(col("cluster"),
+          least(col("sub"), col("t")).as("ti"),
+          greatest(col("sub"), col("t")).as("tj"),
+          col("vec_id"), col("emb"), col("nrm"), col("sub"))
+      val a = withSub.select(col("cluster"), col("ti"), col("tj"),
+        col("vec_id").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("nrm_a"), col("sub").as("sub_a"))
+      val b = withSub.select(col("cluster"), col("ti"), col("tj"),
+        col("vec_id").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("nrm_b"), col("sub").as("sub_b"))
+      a.join(b, Seq("cluster", "ti", "tj"))
+        .filter(col("id_a") < col("id_b") &&
+          (col("ti") === col("tj") || col("sub_a") =!= col("sub_b")))
+        .filter(Similarity.dot(col("emb_a"), col("emb_b")) /
+          (col("nrm_a") * col("nrm_b")) >= tau)
+        .select(col("id_b").as("vec_id")).distinct()
+    }
     vecs.join(dups.withColumn("is_dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
