@@ -108,12 +108,12 @@ object Bench {
     // registration order and trips the retry earliest. Update these
     // when a committed change legitimately moves a number.
     val rollingBest: Map[String, Double] = Map(
-      "a01_parquet_scan" -> 0.101, "a04_filter" -> 0.071,
-      "a06_join_agg" -> 0.310, "a08_self_join" -> 0.313,
+      "a01_parquet_scan" -> 0.061, "a04_filter" -> 0.071,
+      "a06_join_agg" -> 0.297, "a08_self_join" -> 0.247,
       "a11_groupby_agg" -> 0.174, "a16_window_count" -> 0.233,
       "a19_rank_frame" -> 0.197,
-      "k06_bucketed_join_agg" -> 0.243, "k08_bucketed_self_join" -> 0.152,
-      "k16_bucketed_window_count" -> 0.104, "k19_bucketed_rank_frame" -> 0.108)
+      "k06_bucketed_join_agg" -> 0.184, "k08_bucketed_self_join" -> 0.091,
+      "k16_bucketed_window_count" -> 0.074, "k19_bucketed_rank_frame" -> 0.099)
     // Best-of-N timed passes: steady-state minimum, robust to GC /
     // scheduler noise on a shared box.
     var times = Vector.empty[(String, Double)]

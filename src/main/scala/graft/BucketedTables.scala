@@ -73,7 +73,33 @@ object BucketedTables {
     * file: the scan then reports per-bucket sort order and SortExec is
     * elided wherever the in-bucket sort matches.
     */
+  /** Once-per-(session, sfDir) memo for [[ensure]]: each accessor call
+    * re-ran a tableExists metastore roundtrip PER LAYOUT TABLE during
+    * query construction — harmless at 3 tables, but the r10 corpus
+    * additions took it to 5 and the quartet's sub-second timings grew
+    * ~1.3× from pure catalog RPC (k19 0.108 → 0.173 s, caught by the
+    * bench canary retry). Same WeakHashMap-keyed shape as
+    * Tables.cache; the value is the first call's build seconds.
+    */
+  private val ensured = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]]()
+
   def ensure(spark: SparkSession, sfDir: String, buckets: Int = 32): Double = {
+    val per = ensured.synchronized {
+      Option(ensured.get(spark)).getOrElse {
+        val fresh = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+        ensured.put(spark, fresh)
+        fresh
+      }
+    }
+    Option(per.get(sfDir)).map(_.doubleValue).getOrElse {
+      val secs = ensureUncached(spark, sfDir, buckets)
+      per.put(sfDir, secs)
+      secs
+    }
+  }
+
+  private def ensureUncached(spark: SparkSession, sfDir: String, buckets: Int): Double = {
     def build(base: String, src: => DataFrame, key: String,
         sortCols: Seq[String]): Double = {
       val t = tableName(sfDir, base)
