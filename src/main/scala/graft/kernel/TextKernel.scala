@@ -348,9 +348,22 @@ object TextKernel {
   def winnowMd5FingerprintCount(text: String, k: Int,
       w: Int): java.lang.Long = {
     if (text == null) return null
+    java.lang.Long.valueOf(winnowMd5Fingerprints(text, k, w).length.toLong)
+  }
+
+  /** The winnowed fingerprint SET itself (distinct per-window k-gram
+    * md5Hash60 minima, the [[winnowMd5FingerprintCount]] semantics
+    * with the set materialized, sorted ascending for determinism) —
+    * the MOSS document-similarity primitive (Schleimer et al. 2003):
+    * two documents sharing ≥T winnowed fingerprints share ≥T
+    * guaranteed-detected substrings of length ≥ k + w − 1. null →
+    * empty.
+    */
+  def winnowMd5Fingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null) return Array.empty
     val cps = text.codePoints().toArray
     val n = cps.length - (k - 1)
-    if (n <= 0) return java.lang.Long.valueOf(0L)
+    if (n <= 0) return Array.empty
     val grams = new Array[Long](n)
     var i = 0
     while (i < n) { grams(i) = md5Hash60(new String(cps, i, k)); i += 1 }
@@ -368,7 +381,12 @@ object TextKernel {
         s += 1
       }
     }
-    java.lang.Long.valueOf(set.size.toLong)
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    java.util.Arrays.sort(out)
+    out
   }
 
   /** Stride-1 sliding L-token window fingerprints — one hash per

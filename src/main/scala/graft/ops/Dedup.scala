@@ -916,4 +916,54 @@ object Dedup {
       graft.kernel.TextKernel.winnowMd5FingerprintCount(t, k, w))
     u(text)
   }
+
+  /** MOSS-style winnowing document-similarity pairs (Schleimer et al.
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting"):
+    * each document reduces to its winnowed fingerprint SET (distinct
+    * per-window k-gram md5 minima — TextKernel.winnowMd5Fingerprints);
+    * a pair is reported when the two sets share ≥ `minShared`
+    * fingerprints, i.e. share that many guaranteed-detected substrings
+    * of length ≥ k + w − 1. The code-reuse / template-detection
+    * complement to the shingle-Jaccard families: winnowing localizes
+    * MATCHED REGIONS, so it catches partial containment (a paragraph
+    * lifted into an otherwise-unrelated doc) that whole-doc Jaccard
+    * dilutes below threshold.
+    *
+    * Scale shape: the fingerprint exchange carries (doc_id, fp) keys
+    * only — text never shuffles; fingerprints whose document frequency
+    * exceeds `maxDf` are dropped BEFORE the pair join (standard MOSS
+    * practice — boilerplate shared by everything carries no signal),
+    * which bounds every fp bucket's pair fan-out at maxDf², so no
+    * degenerate fingerprint can produce a quadratic task (the LSH
+    * hot-bucket lesson enforced by construction rather than by a
+    * split).
+    *
+    * Returns (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def winnowSimilarityPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxDf: Int = 8): DataFrame = {
+    require(minShared >= 1 && maxDf >= 2,
+      "minShared >= 1 and maxDf >= 2 (a pair needs two sharers)")
+    val fpUdf = udf((t: String) =>
+      graft.kernel.TextKernel.winnowMd5Fingerprints(t, k, w))
+    val fps = docs.select(col(idCol).cast("long").as("id"),
+        explode(fpUdf(col(textCol))).as("fp"))
+    val rare = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf && col("df") >= 2)
+      .select("fp")
+    val kept = fps.join(rare, "fp")
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -3249,6 +3249,38 @@ object LlmPipeline {
               |       CASE WHEN SUM(n_grams) = 0 THEN CAST(0 AS BIGINT)
               |            ELSE CAST((CAST(SUM(n_leaked) AS BIGINT) * 1000)
               |                      // CAST(SUM(n_grams) AS BIGINT) AS BIGINT) END AS leak_rate_milli
-              |  FROM g GROUP BY es""".stripMargin))
+              |  FROM g GROUP BY es""".stripMargin)),
+
+    // MOSS winnowing similarity pairs (new r10) — the sixth dedup
+    // family: winnowed fingerprint sets (k=8, w=4 — the l07 counting
+    // row's set, materialized) matched across documents; a pair means
+    // ≥minShared guaranteed-detected shared substrings of length
+    // ≥ k+w−1. Catches partial containment (a lifted paragraph) that
+    // whole-doc Jaccard dilutes. df-pruning (2 ≤ df ≤ 8) bounds every
+    // fingerprint bucket BEFORE the pair join — boilerplate can't
+    // create a quadratic task by construction.
+    QueryDef(
+      "l81_winnow_similarity",
+      (s, d) => Dedup.winnowSimilarityPairs(
+        Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDf = 8),
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |         list_transform(generate_series(1, greatest(length(text) - 7, 0)), i ->
+             |           CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS grams
+             |    FROM documents),
+             |f AS (
+             |  SELECT doc_id,
+             |         CASE WHEN len(grams) <= 4 THEN list_distinct(grams)
+             |              ELSE list_distinct(list_transform(
+             |                     generate_series(1, len(grams) - 3), s2 ->
+             |                       list_min(grams[s2 : s2 + 3]))) END AS fset
+             |    FROM g),
+             |u AS (SELECT doc_id AS id, unnest(fset) AS fp FROM f),
+             |rare AS (SELECT fp FROM u GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND 8),
+             |kept AS (SELECT u.id, u.fp FROM u JOIN rare USING (fp))
+             |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
+             |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+             | GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
   )
 }

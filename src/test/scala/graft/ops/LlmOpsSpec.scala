@@ -457,6 +457,39 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.values.forall(v => v._2 >= 1))
   }
 
+  test("winnowSimilarityPairs: lifted paragraph detected, boilerplate df-pruned") {
+    import spark.implicits._
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val boiler = "standard footer text appended to every single document here"
+    val docs = Seq(
+      // 0 and 1 share the lifted paragraph inside otherwise-unrelated text
+      (0L, s"alpha bravo charlie delta echo $para"),
+      (1L, s"zulu yankee xray whiskey victor $para"),
+      // 2 is unrelated
+      (2L, "completely different content with nothing shared at all ok"),
+      // 3..12 all share ONLY the boilerplate → its fingerprints exceed
+      // maxDf=8 and must be pruned: no boilerplate-only pairs
+      // prefixes end in DISTINCT digits so no two docs share a
+      // boundary-crossing 8-gram (e.g. "seven"/"eleven" share "ven"
+      // and would legitimately pair — the algorithm catching real
+      // shared substrings, not a bug)
+      (3L, s"unique prefix number 3 $boiler"), (4L, s"unique prefix number 4 $boiler"),
+      (5L, s"unique prefix number 5 $boiler"), (6L, s"unique prefix number 6 $boiler"),
+      (7L, s"unique prefix number 7 $boiler"), (8L, s"unique prefix number 8 $boiler"),
+      (9L, s"unique prefix number 9 $boiler"), (10L, s"unique prefix number 10 $boiler"),
+      (11L, s"unique prefix number 11 $boiler"), (12L, s"unique prefix number 12 $boiler")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowSimilarityPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "lifted paragraph must pair 0-1")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc paired")
+    // boilerplate appears in 10 docs > maxDf 8 → pruned; 3..12 share
+    // nothing else, so no pair among them
+    assert(!pairs.exists(p => p._1 >= 3L && p._2 >= 3L),
+      s"boilerplate-only pairs leaked: $pairs")
+  }
+
   test("winnowFingerprintCountExact kernel matches the original column formulation") {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
