@@ -228,6 +228,28 @@ object BenchHeavy {
           s, idxPath, cents, queries, k = 10, nProbe = 8)
       }),
 
+    // Winnowing similarity pairs at 50k docs (the l81 family's
+    // throughput row): the fingerprint pass is the map-side cost (one
+    // md5 per k-gram per doc), the exchange carries (doc_id, fp) keys
+    // only, and the 2 ≤ df ≤ maxDf prune bounds every pair bucket —
+    // the family's whole scale claim as one wall number. Amplified
+    // replicas are 8-char-salted, so cross-replica grams diverge and
+    // the pair structure stays per-replica (no synthetic quadratics).
+    QueryDef(
+      "x17_winnow_pairs",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        graft.ops.Dedup.winnowSimilarityPairs(docs, "doc_id", "text",
+            k = 8, w = 4, minShared = 2, maxDf = 8)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("n_shared")).as("total_shared"))
+      }),
+
     // Line-level dedup throughput over the amplified corpus (same
     // cached ×-factor dir as x03): five synthesized lines per doc —
     // shared headers/footers at high df, an md5-unique line, a paired
