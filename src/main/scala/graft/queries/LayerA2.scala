@@ -1192,6 +1192,41 @@ object LayerA2 {
              |       xor(o_orderkey, o_custkey) AS mixed,
              |       o_orderkey << 3 AS shl3,
              |       o_orderkey >> 2 AS shr2
-             |  FROM orders WHERE o_orderkey < 2000""".stripMargin))
+             |  FROM orders WHERE o_orderkey < 2000""".stripMargin)),
+
+    // A71: TRY_CAST — the safe-ingest casting semantics (malformed
+    // input → NULL, never a failed job; the difference between one
+    // bad row killing a 100 TB ingest and one NULL in a quality
+    // column). Deterministic mixed-validity strings derived from keys;
+    // decimal-string → int inputs deliberately avoided (DuckDB rounds
+    // '12.5', Spark nulls it — a documented dialect corner outside
+    // this row's contract).
+    QueryDef(
+      "a71_try_cast",
+      (s, d) =>
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") < 3000)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0, col("o_orderkey").cast("string"))
+              .when(col("o_orderkey") % 3 === 1,
+                concat(lit("x"), col("o_orderkey").cast("string")))
+              .otherwise(concat(lit("  "), col("o_orderkey").cast("string"),
+                lit(" ")))
+              .as("raw"))
+          .select(col("o_orderkey"), col("raw"),
+            expr("try_cast(raw AS BIGINT)").as("as_int"),
+            expr("CAST(try_cast(CASE WHEN o_orderkey % 2 = 0 THEN '2024-01-15' " +
+              "ELSE '2024-13-45' END AS DATE) AS STRING)").as("as_date")),
+      Some("""WITH t AS (
+             |  SELECT o_orderkey,
+             |         CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey AS VARCHAR)
+             |              WHEN o_orderkey % 3 = 1 THEN 'x' || CAST(o_orderkey AS VARCHAR)
+             |              ELSE '  ' || CAST(o_orderkey AS VARCHAR) || ' ' END AS raw
+             |    FROM orders WHERE o_orderkey < 3000)
+             |SELECT o_orderkey, raw,
+             |       TRY_CAST(raw AS BIGINT) AS as_int,
+             |       CAST(TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN '2024-01-15'
+             |                          ELSE '2024-13-45' END AS DATE) AS VARCHAR) AS as_date
+             |  FROM t""".stripMargin))
   )
 }
