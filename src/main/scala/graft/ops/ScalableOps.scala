@@ -33,6 +33,26 @@ object ScalableOps {
       StructType(sorted.schema.fields :+ StructField(rnCol, LongType, nullable = false)))
   }
 
+  /** POSITIONAL JOIN (the reference engine's row-aligned zip:
+    * `a POSITIONAL JOIN b` pairs row i of a with row i of b, padding
+    * the shorter side with NULLs). DuckDB defines it over physical
+    * row order; a distributed engine has no such thing, so this form
+    * makes the order EXPLICIT: each side is numbered under its own
+    * sort key (the deterministic contract a cross-engine result
+    * needs) and aligned by a full-outer join on the row number.
+    *
+    * Scale shape: two [[globalRowNumber]] passes (range-partitioned,
+    * no 1-task sort) plus one equi-join shuffle on the dense row
+    * number — every stage fully parallel.
+    */
+  def positionalJoin(
+      a: DataFrame, aSort: Seq[Column],
+      b: DataFrame, bSort: Seq[Column]): DataFrame = {
+    val an = globalRowNumber(a, "pos_rn", aSort: _*)
+    val bn = globalRowNumber(b, "pos_rn", bSort: _*)
+    an.join(bn, Seq("pos_rn"), "full_outer").drop("pos_rn")
+  }
+
   /** Backward as-of join (the reference engine's `ASOF LEFT JOIN ...
     * ON l.key = r.key AND l.time >= r.time`): each left row picks up
     * the payload of the LATEST right row at-or-before its timestamp

@@ -1227,6 +1227,26 @@ object LayerA2 {
              |       TRY_CAST(raw AS BIGINT) AS as_int,
              |       CAST(TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN '2024-01-15'
              |                          ELSE '2024-13-45' END AS DATE) AS VARCHAR) AS as_date
-             |  FROM t""".stripMargin))
+             |  FROM t""".stripMargin)),
+
+    // A72: POSITIONAL JOIN — DuckDB's row-aligned zip, with the order
+    // made EXPLICIT (a distributed engine has no physical row order;
+    // the deterministic contract is "row i under sort key X pairs with
+    // row i under sort key Y", which is also the only form an external
+    // engine can re-derive). 25-row nation zipped against 5-row region
+    // exercises the NULL padding of the shorter side. Spark shape:
+    // two range-partitioned global row-number passes + one full-outer
+    // equi-join — no 1-task sort (ScalableOps.positionalJoin).
+    QueryDef(
+      "a72_positional_join",
+      (s, d) => graft.ops.ScalableOps.positionalJoin(
+        Tables.nation(s, d).select("n_nationkey", "n_name"),
+        Seq(col("n_nationkey")),
+        Tables.region(s, d).select("r_regionkey", "r_name"),
+        Seq(col("r_regionkey"))),
+      Some("""SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
+             |  FROM (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey) n
+             |  POSITIONAL JOIN
+             |       (SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey) r""".stripMargin))
   )
 }
