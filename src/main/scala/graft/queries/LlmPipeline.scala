@@ -3210,10 +3210,20 @@ object LlmPipeline {
       "h07_stream_leak_rate",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val fps = Decontaminate.fingerprints(
+        // benchmark fingerprints are eval-suite-sized by contract —
+        // enforce it loudly (the temperatureMix/mmr guard pattern)
+        // rather than letting a corpus-sized "benchmark" OOM the
+        // driver collect; a set too big to broadcast belongs on the
+        // decontaminateBloom path instead.
+        val maxFps = 5000000
+        val fps0 = Decontaminate.fingerprints(
             docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 8)
           .select(col("fp")).distinct()
-          .collect().map(_.getLong(0)) // eval-suite-sized by contract
+          .limit(maxFps + 1).collect().map(_.getLong(0))
+        require(fps0.length <= maxFps,
+          s"h07: benchmark fingerprint set exceeds $maxFps — use " +
+            "decontaminateBloom for benchmark sets too large to broadcast")
+        val fps = fps0
         graft.streaming.QualityMonitor.windowedLeakRate(
           docs.select(
             timestamp_seconds(lit(1704067200L) + col("doc_id") % 600)
@@ -3250,6 +3260,35 @@ object LlmPipeline {
               |            ELSE CAST((CAST(SUM(n_leaked) AS BIGINT) * 1000)
               |                      // CAST(SUM(n_grams) AS BIGINT) AS BIGINT) END AS leak_rate_milli
               |  FROM g GROUP BY es""".stripMargin)),
+
+    // Corpus vocabulary growth per source (new r10): total tokens,
+    // distinct tokens, and the integer-milli type-token ratio — the
+    // Heaps-law corpus-health signal (a source whose vocabulary stops
+    // growing is template spam; one whose TTR spikes is OCR noise).
+    // Distinct counting shuffles (source, token) KEYS only; text never
+    // moves.
+    QueryDef(
+      "l82_vocab_growth",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("source"),
+            explode(graft.ops.TextCols.toks(col("text"))).as("tok"))
+        toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct(col("tok")).as("n_distinct"))
+          .select(col("source"), col("n_tokens"), col("n_distinct"),
+            // div, not `/`: Spark's `/` on longs is DOUBLE division
+            expr("(n_distinct * 1000) div n_tokens").as("ttr_milli"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source,
+              |         unnest(list_filter(string_split_regex(lower(text), '[${graft.kernel.TextKernel.WsChars}]+'),
+              |                            x -> len(x) > 0)) AS tok
+              |    FROM documents)
+              |SELECT source, COUNT(*) AS n_tokens,
+              |       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+              |       (CAST(COUNT(DISTINCT tok) AS BIGINT) * 1000) // COUNT(*) AS ttr_milli
+              |  FROM t GROUP BY source""".stripMargin)),
 
     // MOSS winnowing similarity pairs (new r10) — the sixth dedup
     // family: winnowed fingerprint sets (k=8, w=4 — the l07 counting
