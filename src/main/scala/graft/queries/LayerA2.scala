@@ -1247,6 +1247,29 @@ object LayerA2 {
       Some("""SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name
              |  FROM (SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey) n
              |  POSITIONAL JOIN
-             |       (SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey) r""".stripMargin))
+             |       (SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey) r""".stripMargin)),
+
+    // A73: COPY TO parquet PARTITION_BY + partition-pruned read-back —
+    // at 100 TB the OUTPUT LAYOUT is the product (hive-partitioned
+    // dirs are what every downstream reader prunes on). Write supplier
+    // partitioned by nationkey, read back ONE partition: the scan must
+    // prune at file listing (the same mechanism x16 serves through),
+    // and the values must round-trip exactly. The oracle re-derives
+    // the partition's content from the source table.
+    QueryDef(
+      "a73_copy_parquet_partitioned",
+      (s, d) => {
+        val out = "/tmp/graft_a73_parquet"
+        Tables.supplier(s, d)
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite").partitionBy("s_nationkey").parquet(out)
+        s.read.parquet(out)
+          .filter(col("s_nationkey") === 3)
+          .select(col("s_suppkey"), col("s_name"),
+            col("s_nationkey").cast("long").as("s_nationkey"),
+            col("s_acctbal"))
+      },
+      Some("""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
+             |  FROM supplier WHERE s_nationkey = 3""".stripMargin))
   )
 }
