@@ -10,8 +10,15 @@ import org.apache.spark.sql.SparkSession
   */
 object WinnowScaleProbe {
   def main(args: Array[String]): Unit = {
+    // shuffle partitions scale with the target corpus: the 425M-row
+    // (doc_id, fp) exchange at 5M docs needs per-task working sets
+    // sized to the 8 GB local heap — 32 partitions OOM'd, 256 fit
+    // (the spark.sql.files.maxPartitionBytes/shuffle.partitions
+    // sizing rule every 100 TB deployment applies; on a real cluster
+    // this is AQE's initialPartitionNum doing the same thing)
+    val parts = sys.env.getOrElse("WINNOW_PARTS", "256")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -24,7 +31,7 @@ object WinnowScaleProbe {
       if (!dir.exists())
         graft.tools.Amplify.documents(
             spark.read.parquet(s"$sfDir/documents.parquet"), f)
-          .repartition(32)
+          .repartition(parts.toInt)
           .write.mode("overwrite").parquet(dir.getAbsolutePath)
       val docs = spark.read.parquet(dir.getAbsolutePath)
       val q = graft.ops.Dedup.winnowSimilarityPairs(docs, "doc_id", "text",
