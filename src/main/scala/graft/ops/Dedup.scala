@@ -938,6 +938,13 @@ object Dedup {
     * hot-bucket lesson enforced by construction rather than by a
     * split).
     *
+    * Sizing note (WinnowScaleProbe, 5M docs): the fingerprint
+    * exchange is ~85 rows/doc — size `spark.sql.shuffle.partitions`
+    * so a partition's share fits the executor heap (32 partitions
+    * OOM'd at 425M rows on an 8 GB local heap; 256 ran it, entering
+    * the spill regime at ~1.4× per-row cost). On a cluster this is
+    * AQE's initialPartitionNum.
+    *
     * Returns (id_a, id_b, n_shared), id_a < id_b.
     */
   def winnowSimilarityPairs(
