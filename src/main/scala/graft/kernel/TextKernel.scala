@@ -182,8 +182,20 @@ object TextKernel {
     * ties), returned as a sorted distinct set. Robust to local edits —
     * two documents sharing a long run share fingerprints.
     */
+  /** Per-DOCUMENT call counter over both winnowing families —
+    * lightweight instrumentation (one atomic add per doc, noise next
+    * to the per-gram digests) that lets LlmOpsSpec PIN the
+    * evaluated-exactly-once contract of winnowSimilarityPairs'
+    * fingerprint pass: Catalyst exchange reuse deduping the three
+    * consumers is plan-shape-fragile, so the op localCheckpoints and
+    * the spec asserts calls == docs. Per-JVM (local-mode tests see
+    * the true total; on a cluster it is per-executor).
+    */
+  private[graft] val winnowCalls = new java.util.concurrent.atomic.AtomicLong
+
   def winnowFingerprints(text: String, k: Int, w: Int): Array[Long] = {
-    if (text.length < k) return Array.empty
+    winnowCalls.incrementAndGet()
+    if (text == null || text.length < k) return Array.empty
     val n = text.length - k + 1
     val grams = new Array[Long](n)
     var i = 0
@@ -360,6 +372,7 @@ object TextKernel {
     * empty.
     */
   def winnowMd5Fingerprints(text: String, k: Int, w: Int): Array[Long] = {
+    winnowCalls.incrementAndGet() // one atomic add per DOC (not gram)
     if (text == null) return Array.empty
     val cps = text.codePoints().toArray
     val n = cps.length - (k - 1)

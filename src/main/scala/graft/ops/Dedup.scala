@@ -938,12 +938,37 @@ object Dedup {
     * hot-bucket lesson enforced by construction rather than by a
     * split).
     *
-    * Sizing note (WinnowScaleProbe, 5M docs): the fingerprint
-    * exchange is ~85 rows/doc — size `spark.sql.shuffle.partitions`
-    * so a partition's share fits the executor heap (32 partitions
-    * OOM'd at 425M rows on an 8 GB local heap; 256 ran it, entering
-    * the spill regime at ~1.4× per-row cost). On a cluster this is
-    * AQE's initialPartitionNum.
+    * Sizing (r10 verdict #4 — the 5M-doc WinnowScaleProbe run used to
+    * need a manual WINNOW_PARTS=256 env or it OOM'd at the session's
+    * 32 shuffle partitions): the fingerprint exchange is now
+    * AUTO-SIZED from Catalyst's size estimate of the input — winnow
+    * density is 2/(w+1) fingerprints per character (the published
+    * expected density of the scheme), so estimated exchange rows ≈
+    * input bytes × 2/(w+1); partitions = ceil(rows / 2M), clamped to
+    * [session shuffle partitions, 4096]. 2M rows/partition keeps a
+    * partition's in-flight share of the (id, fp) exchange well under
+    * an executor-heap share even with 32 concurrent tasks (the 5M-doc
+    * probe: 32 partitions = 13M rows each OOM'd an 8 GB heap; 256 =
+    * 1.7M each ran). On a cluster the same estimate is what you'd
+    * hand AQE as initialPartitionNum; computing it here makes the
+    * default safe instead of tunable.
+    *
+    * `exactHash = true` (default) is the md5Hash60 family — the
+    * engine-neutral oracle hash the l81 registration's DuckDB SQL
+    * re-derives. `false` is the FNV/mix64 production family
+    * (TextKernel.winnowFingerprints): same winnowing guarantee,
+    * ~3× cheaper per gram than md5 — the md5-oracle/FNV-production
+    * split every other dedup family has (x13, x06). The two families
+    * select DIFFERENT window minima, so their pair sets are each
+    * internally consistent but not identical — production output is
+    * not oracle-comparable (by design, like x13's).
+    *
+    * The fingerprint set is localCheckpointed: it feeds the df
+    * aggregate and BOTH sides of the pair self-join, and the per-gram
+    * digest UDF is the dominant map cost — relying on Catalyst
+    * exchange reuse to dedup the three scans is plan-shape-fragile,
+    * so the keys-only (id, fp) set is materialized exactly once
+    * (LlmOpsSpec pins the single evaluation with a UDF call counter).
     *
     * Returns (id_a, id_b, n_shared), id_a < id_b.
     */
@@ -954,13 +979,33 @@ object Dedup {
       k: Int = 8,
       w: Int = 4,
       minShared: Int = 2,
-      maxDf: Int = 8): DataFrame = {
+      maxDf: Int = 8,
+      exactHash: Boolean = true): DataFrame = {
     require(minShared >= 1 && maxDf >= 2,
       "minShared >= 1 and maxDf >= 2 (a pair needs two sharers)")
-    val fpUdf = udf((t: String) =>
-      graft.kernel.TextKernel.winnowMd5Fingerprints(t, k, w))
+    val fpUdf =
+      if (exactHash) udf((t: String) =>
+        graft.kernel.TextKernel.winnowMd5Fingerprints(t, k, w))
+      else udf((t: String) =>
+        graft.kernel.TextKernel.winnowFingerprints(t, k, w))
+    val spark = docs.sparkSession
+    val sessionParts =
+      spark.conf.getOption("spark.sql.shuffle.partitions")
+        .flatMap(v => scala.util.Try(v.toInt).toOption)
+        .getOrElse(spark.sparkContext.defaultParallelism)
+    // Catalyst's sizeInBytes for a file scan is the on-disk size —
+    // an UNDERestimate of decoded characters (parquet text compresses
+    // ~2×), so the derived partition count errs low by the same
+    // factor; the 2M-row target has ≥4× headroom against the measured
+    // OOM bound, which dominates that error.
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estRows = estBytes.toDouble * 2.0 / (w + 1).toDouble
+    val parts = math.min(4096,
+      math.max(sessionParts, math.ceil(estRows / 2e6).toInt))
     val fps = docs.select(col(idCol).cast("long").as("id"),
         explode(fpUdf(col(textCol))).as("fp"))
+      .repartition(parts, col("fp"))
+      .localCheckpoint()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)

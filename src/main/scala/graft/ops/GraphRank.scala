@@ -39,9 +39,15 @@ object GraphRank {
     * Dangling nodes (no out-edges) redistribute their mass uniformly,
     * the standard correction. Returns (id, rank) with Σ rank = 1.
     *
-    * `tol` > 0 adds the production convergence stop: iteration ends
-    * early once the L1 delta Σ|r_t − r_{t−1}| falls below
-    * `tol · delta₁` — RELATIVE to the first iteration's delta, the
+    * `relTol` > 0 adds the production convergence stop: iteration
+    * ends early once the L1 delta Σ|r_t − r_{t−1}| falls below
+    * `relTol · delta₁` — RELATIVE to the first iteration's delta, the
+    * parameter is NAMED for its relative semantics (r10 advice: it
+    * began life as an absolute bar called `tol`; the rename makes the
+    * changed meaning a compile error for callers tuned to absolute
+    * values rather than a silent behavior shift; [[hitsWithStats]]'s
+    * `tol` remains absolute — its auth vector is normalized to Σ=1
+    * so an absolute L1 bar is scale-free there),
     * standard iterative-solver residual criterion (`iters` then
     * bounds the worst case). Relative, not absolute (r9 verdict #7):
     * the contraction rate is the same `damping` for uniform and
@@ -51,19 +57,19 @@ object GraphRank {
     * 23; measured on their own initial-delta scale both stop
     * together. The delta is one extra 1-row aggregate per iteration
     * over the two rank tables the iteration already holds; with the
-    * default `tol = 0` the check is skipped entirely and exactly
+    * default `relTol = 0` the check is skipped entirely and exactly
     * `iters` iterations run — bit-for-bit the historical
     * fixed-iteration behavior the l65 oracle unrolls.
     */
   def pageRank(edges: DataFrame, iters: Int,
-      damping: Double = 0.85, tol: Double = 0.0): DataFrame =
-    pageRankWithStats(edges, iters, damping, tol)._1
+      damping: Double = 0.85, relTol: Double = 0.0): DataFrame =
+    pageRankWithStats(edges, iters, damping, relTol)._1
 
   /** [[pageRank]] plus the number of iterations actually run (==
-    * `iters` unless `tol` stopped it early) — probe/ops visibility.
+    * `iters` unless `relTol` stopped it early) — probe/ops visibility.
     */
   def pageRankWithStats(edges: DataFrame, iters: Int,
-      damping: Double = 0.85, tol: Double = 0.0): (DataFrame, Int) = {
+      damping: Double = 0.85, relTol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
@@ -119,7 +125,7 @@ object GraphRank {
             lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
         .localCheckpoint(true)
       itersRun += 1
-      if (tol > 0.0 && itersRun < iters) {
+      if (relTol > 0.0 && itersRun < iters) {
         val delta = next.as("n").join(ranks.as("p"), "id")
           .agg(sum(abs(col("n.rank") - col("p.rank"))))
           .head().getDouble(0)
@@ -128,7 +134,7 @@ object GraphRank {
         // same rate) is held to the same bar as the uniform prior.
         // <= so an already-stationary start (delta₁ = 0) stops too.
         if (firstDelta < 0) firstDelta = delta
-        converged = delta <= tol * firstDelta
+        converged = delta <= relTol * firstDelta
       }
       ranks.unpersist()
       ranks = next
@@ -147,16 +153,16 @@ object GraphRank {
     * 1/|S| on seeds and 0 elsewhere, the initial ranks equal it, and
     * dangling mass redistributes over the seed distribution (the
     * standard PPR correction). Seeds outside the graph's node set are
-    * ignored; an empty effective seed set is an error. `tol` adds the
-    * same optional L1 convergence stop as [[pageRank]].
+    * ignored; an empty effective seed set is an error. `relTol` adds
+    * the same optional relative L1 convergence stop as [[pageRank]].
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iters: Int, damping: Double = 0.85, tol: Double = 0.0): DataFrame =
-    personalizedPageRankWithStats(edges, seeds, iters, damping, tol)._1
+      iters: Int, damping: Double = 0.85, relTol: Double = 0.0): DataFrame =
+    personalizedPageRankWithStats(edges, seeds, iters, damping, relTol)._1
 
   /** [[personalizedPageRank]] plus the iteration count actually run. */
   def personalizedPageRankWithStats(edges: DataFrame, seeds: DataFrame,
-      iters: Int, damping: Double = 0.85, tol: Double = 0.0)
+      iters: Int, damping: Double = 0.85, relTol: Double = 0.0)
       : (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
@@ -203,7 +209,7 @@ object GraphRank {
             lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
         .localCheckpoint(true)
       itersRun += 1
-      if (tol > 0.0 && itersRun < iters) {
+      if (relTol > 0.0 && itersRun < iters) {
         val delta = next.as("n").join(ranks.as("p"), "id")
           .agg(sum(abs(col("n.rank") - col("p.rank"))))
           .head().getDouble(0)
@@ -212,7 +218,7 @@ object GraphRank {
         // same rate) is held to the same bar as the uniform prior.
         // <= so an already-stationary start (delta₁ = 0) stops too.
         if (firstDelta < 0) firstDelta = delta
-        converged = delta <= tol * firstDelta
+        converged = delta <= relTol * firstDelta
       }
       ranks.unpersist()
       ranks = next

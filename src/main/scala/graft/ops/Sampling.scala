@@ -132,10 +132,11 @@ object Sampling {
     * strata are languages/sources), rates ride back as a BROADCAST
     * joined thresholds table (map-side hash lookup — the literal CASE
     * chain this replaces was one nested when() per stratum, and
-    * Catalyst recurses over expression trees: at the guard's 100k
-    * strata the analyzer would blow the stack long before the guard
-    * tripped), and the mixture is a map-side filter — no shuffle,
-    * text never moves.
+    * Catalyst recurses over expression trees: unbounded strata would
+    * blow the analyzer stack long before any guard tripped), and the
+    * mixture is a map-side filter — no shuffle, text never moves.
+    * Strata are capped at 500 (loud guard): the thresholds ride as a
+    * broadcast literal table, so the stratum set must be model-sized.
     */
   def temperatureMix(
       docs: DataFrame,
@@ -147,8 +148,12 @@ object Sampling {
     // strata are languages/sources — a bounded model table. Guard the
     // driver collect loudly (the r8-advice contract-enforcement rule):
     // a high-cardinality stratumCol (say, doc_id) would otherwise pull
-    // a corpus-sized result onto the driver.
-    val maxStrata = 100000
+    // a corpus-sized result onto the driver. 500 is the honest bound:
+    // the rates ride back as a broadcast literal table, and a
+    // many-thousand-entry literal map is a plan-size smell, not a
+    // mixing stratum set (languages × sources tops out in the
+    // hundreds).
+    val maxStrata = 500
     val counts0 = docs.groupBy(col(stratumCol).as("s"))
       .agg(count(lit(1)).as("n"))
       .limit(maxStrata + 1)
@@ -169,9 +174,15 @@ object Sampling {
     }
     val spark = docs.sparkSession
     import spark.implicits._
-    val thresholds = milli.toSeq.toDF("s", "thr")
-    docs.join(broadcast(thresholds), col(stratumCol) === col("s"), "left")
-      .filter(hashBucket(col(textCol)) < coalesce(col("thr"), lit(0L)))
+    // Collision-proof join-column names (r10 advice): a caller's doc
+    // frame may legitimately carry columns named "s"/"thr" (or mix ON
+    // stratumCol == "s"), which would make the equi-join condition
+    // ambiguous. The __graft_ prefix is reserved across the ops
+    // surface; both columns are dropped before the final select.
+    val thresholds = milli.toSeq.toDF("__graft_stratum", "__graft_thr")
+    docs.join(broadcast(thresholds),
+        col(stratumCol) === col("__graft_stratum"), "left")
+      .filter(hashBucket(col(textCol)) < coalesce(col("__graft_thr"), lit(0L)))
       .select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
   }
 

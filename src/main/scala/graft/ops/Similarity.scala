@@ -398,9 +398,9 @@ object Similarity {
       nProbe: Int): DataFrame = {
     val maxBatch = spark.conf.getOption("spark.graft.ivf.batch.max")
       .map(_.toInt).getOrElse(10000)
-    val qRows = queries.select(col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding"))
-      .limit(maxBatch + 1).collect()
+    val qProj = queries.select(col("vec_id"),
+      col("embedding").cast("array<float>").as("embedding"))
+    val qRows = qProj.limit(maxBatch + 1).collect()
     require(qRows.length <= maxBatch,
       s"ivfTopKFromPartitionedIndex: query batch exceeds $maxBatch rows — " +
         "partition-pruned serving resolves probes driver-side; for " +
@@ -412,8 +412,16 @@ object Similarity {
       .toSet.toSeq.sorted
     val indexed = spark.read.parquet(indexPath)
       .filter(col("list_id").isin(probedLists: _*))
+    // Serve the COLLECTED batch, not the input frame (r10 advice): a
+    // non-deterministic `queries` (sample/limit/rand) re-evaluated
+    // inside serveAssigned could disagree with the batch the probe
+    // literal was resolved from, silently dropping neighbors for
+    // queries whose lists were pruned. createDataFrame over qRows
+    // makes both reads see the same materialized rows.
+    val servedBatch = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qProj.schema)
     serveAssigned(indexed, spark.sparkContext.broadcast(cents),
-      queries, k, nProbe)
+      servedBatch, k, nProbe)
   }
 
   private def serveAssigned(

@@ -1259,7 +1259,15 @@ object LayerA2 {
     QueryDef(
       "a73_copy_parquet_partitioned",
       (s, d) => {
-        val out = "/tmp/graft_a73_parquet"
+        // sfDir-tagged path (r10 advice): a fixed shared path let two
+        // concurrent runs (sf0.01 verify overlapping an sf0.1 sweep)
+        // overwrite each other mid-read — flaky mismatches vs the
+        // run's own oracle. Same tagging pattern as BenchHeavy's
+        // cachedDir.
+        val tag = new java.io.File(d).getAbsolutePath
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_a73_parquet$tag").getAbsolutePath
         Tables.supplier(s, d)
           .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
           .write.mode("overwrite").partitionBy("s_nationkey").parquet(out)
@@ -1270,6 +1278,36 @@ object LayerA2 {
             col("s_acctbal"))
       },
       Some("""SELECT s_suppkey, s_name, CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal
-             |  FROM supplier WHERE s_nationkey = 3""".stripMargin))
+             |  FROM supplier WHERE s_nationkey = 3""".stripMargin)),
+
+    // A74: GROUP BY ALL — the projection-derived grouping DuckDB users
+    // lean on constantly (r10 verdict #9). Spark supports the same
+    // syntax natively (3.4+), so the SAME text runs on both engines:
+    // every non-aggregate select item becomes a grouping key.
+    QueryDef(
+      "a74_group_by_all",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(GroupByAllSql)
+      },
+      Some(GroupByAllSql)),
+
+    // A75: the full 22-query TPC-H suite as ONE registration — see
+    // TpchSuite's scaladoc for the schema adaptations and the
+    // exact-arithmetic rules. One SQL text, both engines.
+    QueryDef(
+      "a75_tpch_suite",
+      (s, d) => TpchSuite.run(s, d),
+      Some(TpchSuite.Sql))
   )
+
+  /** Shared a74 text (dialect intersection, Spark ∩ DuckDB). Lazy:
+    * referenced from the `queries` val above, which initializes first
+    * in declaration order. */
+  private lazy val GroupByAllSql: String =
+    """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS yr,
+      |       CAST(SUM(CAST(ROUND(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+      |       COUNT(*) AS n
+      |  FROM lineitem
+      | GROUP BY ALL""".stripMargin
 }

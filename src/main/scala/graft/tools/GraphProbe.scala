@@ -46,12 +46,12 @@ object GraphProbe {
       val (ranks, ran) = mode match {
         case "ppr" =>
           graft.ops.GraphRank.personalizedPageRankWithStats(edges,
-            spark.range(0, n, 100).select(col("id")), iters, tol = tol)
+            spark.range(0, n, 100).select(col("id")), iters, relTol = tol)
         case "hits" =>
           (graft.ops.GraphRank.hits(edges, iters)
             .select(col("id"), col("auth").as("rank")), iters)
         case _ =>
-          graft.ops.GraphRank.pageRankWithStats(edges, iters, tol = tol)
+          graft.ops.GraphRank.pageRankWithStats(edges, iters, relTol = tol)
       }
       val top = ranks.orderBy(col("rank").desc).limit(3).collect()
       val secs = (System.nanoTime() - t0) / 1e9

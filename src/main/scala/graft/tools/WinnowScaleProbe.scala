@@ -10,13 +10,12 @@ import org.apache.spark.sql.SparkSession
   */
 object WinnowScaleProbe {
   def main(args: Array[String]): Unit = {
-    // shuffle partitions scale with the target corpus: the 425M-row
-    // (doc_id, fp) exchange at 5M docs needs per-task working sets
-    // sized to the 8 GB local heap — 32 partitions OOM'd, 256 fit
-    // (the spark.sql.files.maxPartitionBytes/shuffle.partitions
-    // sizing rule every 100 TB deployment applies; on a real cluster
-    // this is AQE's initialPartitionNum doing the same thing)
-    val parts = sys.env.getOrElse("WINNOW_PARTS", "256")
+    // Session shuffle partitions stay at the bench default 32: the op
+    // auto-sizes its own fingerprint exchange from input stats (r11 —
+    // the 425M-row exchange at 5M docs OOM'd at 32 partitions and
+    // needed a manual WINNOW_PARTS=256 before; the probe's job now is
+    // to prove NO knob is needed). Env override kept for A/B only.
+    val parts = sys.env.getOrElse("WINNOW_PARTS", "32")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

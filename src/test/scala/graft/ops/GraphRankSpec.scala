@@ -148,7 +148,7 @@ class GraphRankSpec extends AnyFunSuite {
     // inside the bound while staying far above the double-precision
     // delta plateau (1e-12 relative sat below it and never tripped)
     val (conv, nConv) =
-      GraphRank.pageRankWithStats(df, iters = 50, tol = 1e-9)
+      GraphRank.pageRankWithStats(df, iters = 50, relTol = 1e-9)
     assert(nConv < 50, s"expected early stop, ran $nConv")
     val f = fixed.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val c = conv.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -163,7 +163,7 @@ class GraphRankSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L, 2L -> 1L, 3L -> 2L)
     val (conv, nConv) = GraphRank.personalizedPageRankWithStats(
-      edges.toDF("src", "dst"), Seq(1L).toDF("id"), iters = 60, tol = 1e-13)
+      edges.toDF("src", "dst"), Seq(1L).toDF("id"), iters = 60, relTol = 1e-13)
     assert(nConv < 60, s"expected early stop, ran $nConv")
     val got = conv.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // value-equal to the driver reference unrolled the SAME number of

@@ -490,6 +490,40 @@ class LlmOpsSpec extends AnyFunSuite {
       s"boilerplate-only pairs leaked: $pairs")
   }
 
+  test("winnowSimilarityPairs: FNV production family finds the same structure") {
+    import spark.implicits._
+    val para = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, s"alpha bravo charlie delta echo $para"),
+      (1L, s"zulu yankee xray whiskey victor $para"),
+      (2L, "completely different content with nothing shared at all ok")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowSimilarityPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDf = 8, exactHash = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "lifted paragraph must pair 0-1 on FNV too")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), "unrelated doc paired")
+  }
+
+  test("winnowSimilarityPairs: fingerprint UDF evaluates exactly once per doc") {
+    // r10 verdict #5: the fingerprint set feeds the df aggregate and
+    // BOTH sides of the pair self-join — without the localCheckpoint,
+    // whether Catalyst's exchange reuse dedups the three scans of the
+    // dominant md5-per-gram map was asserted nowhere. Pin it with the
+    // kernel's per-doc call counter: exactly |docs| evaluations, not
+    // 2× or 3×.
+    import spark.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"document number $i with shared tail ${i % 4} paragraph body"))
+      .toDF("doc_id", "text")
+    val c0 = graft.kernel.TextKernel.winnowCalls.get()
+    Dedup.winnowSimilarityPairs(docs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2, maxDf = 8)
+      .write.format("noop").mode("overwrite").save()
+    val calls = graft.kernel.TextKernel.winnowCalls.get() - c0
+    assert(calls == 40L, s"fingerprint UDF ran $calls times for 40 docs")
+  }
+
   test("winnowFingerprintCountExact kernel matches the original column formulation") {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._

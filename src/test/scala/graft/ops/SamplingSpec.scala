@@ -84,6 +84,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.toSet == out.toSet)
   }
 
+  test("temperatureMix: loud guard at the 500-stratum bound; survives 's' columns") {
+    import spark.implicits._
+    // 501 distinct strata (key-column misuse) must trip the guard —
+    // the thresholds ride as a broadcast literal table, so the bound
+    // is deliberately model-sized (r10 verdict #8: 500, not 100k).
+    val wide = (1 to 501).map(i => (i.toLong, s"doc $i", s"lang$i"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMix(wide, "doc_id", "text", "lang", 100L)
+    }
+    assert(e.getMessage.contains("500"))
+    // exactly 500 strata is allowed
+    val atBound = (1 to 500).map(i => (i.toLong, s"doc $i", s"lang${i % 500}"))
+      .toDF("doc_id", "text", "lang")
+    assert(Sampling.temperatureMix(atBound, "doc_id", "text", "lang",
+      1000L).count() > 0)
+    // r10 advice: a doc frame carrying columns named s/thr — or the
+    // stratum column itself named "s" — must not make the broadcast
+    // equi-join ambiguous
+    val clash = Seq((1L, "a doc", "en", "x", 9L), (2L, "b doc", "fr", "y", 9L))
+      .toDF("doc_id", "text", "s", "thr", "extra")
+    val out = Sampling.temperatureMix(clash, "doc_id", "text", "s", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "en"), (2L, "fr")))
+  }
+
   test("temperatureMix drops NULL strata instead of NPEing") {
     import spark.implicits._
     val docs = Seq(
