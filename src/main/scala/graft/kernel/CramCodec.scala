@@ -3,21 +3,25 @@ package graft.kernel
 import java.io.InputStream
 import scala.collection.mutable
 
-/** Pure-JVM CRAM 3.0 decoder — block compression: raw, gzip, bzip2,
-  * lzma, rANS4x8 and rANSNx16; EXTERNAL / HUFFMAN / BETA / GAMMA /
+/** Pure-JVM CRAM 3.0/3.1 decoder — block compression: raw, gzip,
+  * bzip2, lzma, rANS4x8, rANSNx16, adaptive arithmetic
+  * ([[ArithDynamic]]), fqzcomp qualities ([[FqzComp]]) and tok3 read
+  * names ([[NameTok3]]); EXTERNAL / HUFFMAN / BETA / GAMMA /
   * BYTE_ARRAY_LEN / BYTE_ARRAY_STOP encodings; reference-based and
   * embedded-reference sequence reconstruction; in-slice mate
   * resolution. Decodes to [[SamCodec.SamRecord]] via SAM text so every
   * normalization rule (mate-reference '=', stop_position, tag subset)
   * is shared with the SAM/BAM paths by construction.
   *
-  * Written against the public CRAM 3.0 specification; container/slice
-  * layout, canonical-Huffman tie-breaking, the substitution-matrix bit
-  * packing, rANS frequency-table RLE and the mate/TLEN resolution
-  * semantics cross-checked against the reference's vendored htslib
-  * (reference: ext/htslib-1.22.1/cram/cram_decode.c:2077-2232,
+  * Written against the public CRAM 3.0/3.1 specifications;
+  * container/slice layout, canonical-Huffman tie-breaking, the
+  * substitution-matrix bit packing, rANS frequency-table RLE and the
+  * mate/TLEN resolution semantics cross-checked against the
+  * reference's vendored htslib (reference:
+  * ext/htslib-1.22.1/cram/cram_decode.c:2077-2232,
   * cram/cram_codecs.c:2604-2925, htscodecs/htscodecs/rANS_static.c).
-  * tok3 name-codec blocks and CRAM 2.x/4.x containers are rejected
+  * All three 3.1 encoder profiles (normal/small/archive) are covered
+  * end-to-end by Cram31Spec. CRAM 2.x/4.x containers are rejected
   * with a typed error naming the gap.
   *
   * Scale note: decoding is stream-per-file with bounded memory (one
@@ -276,13 +280,15 @@ object CramCodec {
       case 4 => if (raw.isEmpty) new Array[Byte](0) else ransDecode(raw)
       case 5 => // rANSNx16 (kernel/RansNx16, golden-tested vs htscodecs vectors)
         if (raw.isEmpty) new Array[Byte](0) else RansNx16.decode(raw, 0, raw.length, rsize)
+      case 6 => // adaptive arithmetic, CRAM 3.1 (kernel/ArithDynamic, golden-tested)
+        if (raw.isEmpty) new Array[Byte](0) else ArithDynamic.decode(raw, 0, raw.length, rsize)
+      case 7 => // fqzcomp quality model, CRAM 3.1 (kernel/FqzComp, golden-tested)
+        if (raw.isEmpty) new Array[Byte](0) else FqzComp.decode(raw, rsize)
+      case 8 => // tok3 name tokeniser, CRAM 3.1 (kernel/NameTok3, golden-tested)
+        if (raw.isEmpty) new Array[Byte](0) else NameTok3.decode(raw)
       case m =>
-        val name = m match {
-          case 6 => "adaptive arithmetic"; case 7 => "fqzcomp"; case 8 => "name tokeniser"
-          case _ => s"method $m"
-        }
-        throw new CramException(s"CRAM block compression '$name' is outside the " +
-          "supported subset (raw, gzip, bzip2, lzma, rANS4x8, rANSNx16)")
+        throw new CramException(s"CRAM block compression method $m is outside the " +
+          "supported subset (raw, gzip, bzip2, lzma, rANS4x8, rANSNx16, arith, fqzcomp, tok3)")
     }
 
   private final case class ContainerHeader(length: Int, refId: Int, start: Int,
@@ -720,6 +726,14 @@ object CramCodec {
       hdr.ds.getOrElse(key, throw new CramException(s"data series $key not declared"))
     private def arrDs(hdr: CompHeader, key: String): ArrCodec =
       hdr.dsArr.getOrElse(key, throw new CramException(s"byte series $key not declared"))
+    /** QS/BA are byte-type series (CRAM 3.0 §8.4): EXTERNAL payloads are
+      * raw bytes, NOT ITF8 — a 0xff quality (htslib's missing-qual
+      * filler) would otherwise parse as a 5-byte integer. */
+    private def byteDs(hdr: CompHeader, key: String): ByteCodec =
+      intDs(hdr, key) match {
+        case b: ByteCodec => b
+        case other => new ByteCodec { def decodeByte(ctx: DecodeCtx): Int = other.decode(ctx) }
+      }
 
     private def decodeSlice(hdr: CompHeader, sh: SliceHeader, ctx: DecodeCtx): Seq[String] = {
       val n = sh.nRecords
@@ -832,8 +846,8 @@ object CramCodec {
         copyRef(pos - 1)
         code match {
           case 'B' =>
-            val base = intDs(hdr, "BA").decode(ctx)
-            val q = intDs(hdr, "QS").decode(ctx)
+            val base = byteDs(hdr, "BA").decodeByte(ctx)
+            val q = byteDs(hdr, "QS").decodeByte(ctx)
             if (!noSeq) seq(rp) = base.toByte
             quals(rp) = q.toByte
             rp += 1; ref += 1; emit('M', 1)
@@ -850,7 +864,7 @@ object CramCodec {
             if (!noSeq) System.arraycopy(ins, 0, seq, rp, ins.length)
             rp += ins.length; emit('I', ins.length)
           case 'i' =>
-            val base = intDs(hdr, "BA").decode(ctx)
+            val base = byteDs(hdr, "BA").decodeByte(ctx)
             if (!noSeq) seq(rp) = base.toByte
             rp += 1; emit('I', 1)
           case 'b' =>
@@ -861,7 +875,7 @@ object CramCodec {
             val qs = arrDs(hdr, "QQ").decodeArr(ctx)
             System.arraycopy(qs, 0, quals, rp, qs.length)
           case 'Q' =>
-            quals(rp) = intDs(hdr, "QS").decode(ctx).toByte
+            quals(rp) = byteDs(hdr, "QS").decodeByte(ctx).toByte
           case 'S' =>
             val clip = arrDs(hdr, "SC").decodeArr(ctx)
             if (!noSeq) System.arraycopy(clip, 0, seq, rp, clip.length)
@@ -886,9 +900,9 @@ object CramCodec {
       if (cigLen > 0) { cigar.append(cigLen); cigar.append(cigOp) }
       rec.mapq = intDs(hdr, "MQ").decode(ctx)
       if ((rec.cf & 0x1) != 0) {
-        val QS = intDs(hdr, "QS")
+        val QS = byteDs(hdr, "QS")
         var k = 0
-        while (k < rl) { quals(k) = QS.decode(ctx).toByte; k += 1 }
+        while (k < rl) { quals(k) = QS.decodeByte(ctx).toByte; k += 1 }
       }
       rec.cigar = if (cigar.isEmpty) s"${rl}M" else cigar.toString
       rec.seq = if (noSeq) null else new String(seq, "US-ASCII")
@@ -954,17 +968,17 @@ object CramCodec {
       val rl = rec.readLen
       val noSeq = (rec.cf & 0x8) != 0
       if (!noSeq) {
-        val BA = intDs(hdr, "BA")
+        val BA = byteDs(hdr, "BA")
         val seq = new Array[Byte](rl)
         var k = 0
-        while (k < rl) { seq(k) = BA.decode(ctx).toByte; k += 1 }
+        while (k < rl) { seq(k) = BA.decodeByte(ctx).toByte; k += 1 }
         rec.seq = new String(seq, "US-ASCII")
       }
       if ((rec.cf & 0x1) != 0) {
-        val QS = intDs(hdr, "QS")
+        val QS = byteDs(hdr, "QS")
         val quals = new Array[Byte](rl)
         var k = 0
-        while (k < rl) { quals(k) = QS.decode(ctx).toByte; k += 1 }
+        while (k < rl) { quals(k) = QS.decodeByte(ctx).toByte; k += 1 }
         rec.quals = quals
       }
       rec.cigar = "*"

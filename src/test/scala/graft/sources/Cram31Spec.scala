@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CRAM 3.1 end-to-end: htslib-written (test_view -o version=3.1)
+  * twins of ce#1000.sam and ce#5b.sam in all three encoder profiles —
+  * normal (rANSNx16 + tok3 names), small (adds fqzcomp qualities and
+  * arith blocks) and archive (arith everywhere) — must decode
+  * field-for-field equal to the SAM original through the same
+  * `alignments` source. This drives [[graft.kernel.NameTok3]],
+  * [[graft.kernel.FqzComp]] and [[graft.kernel.ArithDynamic]] inside
+  * real containers, not just against block-level golden vectors.
+  * (reference SAM twins: ext/htslib-1.22.1/test/ce#1000.sam,
+  * ce#5b.sam with ce.fa; fixtures regenerable per FIXTURES.md.)
+  */
+class Cram31Spec extends AnyFunSuite {
+  private val spark = SparkFixture.spark
+  private val refDir = "/root/reference/ext/htslib-1.22.1/test"
+  private val fixDir = {
+    val url = getClass.getResource("/graft/cram31")
+    assert(url != null, "cram31 fixture directory missing")
+    url.getPath
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.drop("filepath").collect().map(_.toString).sorted.toSeq
+
+  test("CRAM 3.1 normal/small/archive profiles equal the SAM twin (1000 reads)") {
+    val sam = rows(spark.read.format("alignments")
+      .option("include_seq_qual", "true")
+      .load(s"$refDir/ce#1000.sam"))
+    assert(sam.nonEmpty)
+    for (p <- Seq("ce1000_v31.cram", "ce1000_v31_small.cram", "ce1000_v31_archive.cram")) {
+      // ce#1000.sam carries MD/NM; the CRAM writer strips them as
+      // recomputable, so let the reader regenerate from the reference.
+      val c = rows(spark.read.format("alignments")
+        .option("include_seq_qual", "true")
+        .option("reference_fasta", s"$refDir/ce.fa")
+        .load(s"$fixDir/$p"))
+      assert(c.length == sam.length, s"$p: ${c.length} rows vs SAM ${sam.length}")
+      assert(c == sam, s"$p != ce#1000.sam")
+    }
+  }
+
+  test("CRAM 3.1 profiles equal the SAM twin (ce#5b: clips, multi-segment)") {
+    val sam = rows(spark.read.format("alignments")
+      .option("include_seq_qual", "true")
+      .load(s"$refDir/ce#5b.sam"))
+    assert(sam.nonEmpty)
+    for (p <- Seq("ce5b_v31.cram", "ce5b_v31_small.cram", "ce5b_v31_archive.cram")) {
+      val c = rows(spark.read.format("alignments")
+        .option("include_seq_qual", "true")
+        .option("reference_fasta", s"$refDir/ce.fa")
+        .option("generate_md", "false")
+        .load(s"$fixDir/$p"))
+      assert(c == sam, s"$p != ce#5b.sam")
+    }
+  }
+}
