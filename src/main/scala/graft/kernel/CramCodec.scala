@@ -3,7 +3,7 @@ package graft.kernel
 import java.io.InputStream
 import scala.collection.mutable
 
-/** Pure-JVM CRAM 3.0/3.1 decoder — block compression: raw, gzip,
+/** Pure-JVM CRAM 2.0/2.1/3.0/3.1 decoder — block compression: raw, gzip,
   * bzip2, lzma, rANS4x8, rANSNx16, adaptive arithmetic
   * ([[ArithDynamic]]), fqzcomp qualities ([[FqzComp]]) and tok3 read
   * names ([[NameTok3]]); EXTERNAL / HUFFMAN / BETA / GAMMA /
@@ -20,9 +20,11 @@ import scala.collection.mutable
   * reference's vendored htslib (reference:
   * ext/htslib-1.22.1/cram/cram_decode.c:2077-2232,
   * cram/cram_codecs.c:2604-2925, htscodecs/htscodecs/rANS_static.c).
-  * All three 3.1 encoder profiles (normal/small/archive) are covered
-  * end-to-end by Cram31Spec. CRAM 2.x/4.x containers are rejected
-  * with a typed error naming the gap.
+  * All three 3.1 encoder profiles (normal/small/archive) and the 2.x
+  * layout (ITF8 record counters, CRC-less containers/blocks,
+  * reference: cram/cram_io.c:3810-3870, cram/cram_decode.c:995-999)
+  * are covered end-to-end by Cram31Spec. CRAM 4.x containers are
+  * rejected with a typed error naming the gap.
   *
   * Scale note: decoding is stream-per-file with bounded memory (one
   * container at a time); the reference FASTA is loaded once per reader
@@ -246,14 +248,14 @@ object CramCodec {
   private final case class Block(method: Int, contentType: Int, contentId: Int,
       data: Array[Byte])
 
-  private def readBlock(r: ByteReader): Block = {
+  private def readBlock(r: ByteReader, major: Int = 3): Block = {
     val method = r.u8()
     val ctype = r.u8()
     val cid = r.itf8()
     val csize = r.itf8()
     val rsize = r.itf8()
     val raw = r.bytes(csize)
-    r.pos += 4 // crc32 (not verified)
+    if (major >= 3) r.pos += 4 // crc32 (not verified; absent in CRAM 2.x)
     val data = decompressBlock(method, raw, rsize)
     if (data.length != rsize)
       throw new CramException(s"block decompressed to ${data.length}, expected $rsize")
@@ -319,17 +321,21 @@ object CramCodec {
     v
   }
 
-  /** Reads a container header from the stream; None at clean EOF. */
-  private def readContainerHeader(in: InputStream): Option[ContainerHeader] = {
+  /** Reads a container header from the stream; None at clean EOF.
+    * CRAM 2.x stores the record counter as ITF8 (3.x: LTF8) and has no
+    * trailing CRC32 (reference: cram/cram_io.c:3848-3870,3908). */
+  private def readContainerHeader(in: InputStream, major: Int = 3): Option[ContainerHeader] = {
     val len0 = in.read()
     if (len0 < 0) return None
     val length = len0 | (streamByte(in) << 8) | (streamByte(in) << 16) | (streamByte(in) << 24)
     val refId = streamItf8(in); val start = streamItf8(in); val span = streamItf8(in)
-    val nRec = streamItf8(in); val counter = streamLtf8(in); streamLtf8(in) // bases
+    val nRec = streamItf8(in)
+    val counter = if (major >= 3) streamLtf8(in) else streamItf8(in).toLong
+    streamLtf8(in) // bases
     val nBlocks = streamItf8(in); val nLand = streamItf8(in)
     var i = 0
     while (i < nLand) { streamItf8(in); i += 1 }
-    in.skipNBytes(4) // crc32
+    if (major >= 3) in.skipNBytes(4) // crc32
     val _ = span
     Some(ContainerHeader(length, refId, start, span, nRec, counter, nBlocks))
   }
@@ -570,10 +576,12 @@ object CramCodec {
       nRecords: Int, counter: Long, nBlocks: Int, blockIds: Array[Int],
       embRefId: Int)
 
-  private def parseSliceHeader(data: Array[Byte]): SliceHeader = {
+  private def parseSliceHeader(data: Array[Byte], major: Int = 3): SliceHeader = {
     val r = new ByteReader(data)
     val refId = r.itf8(); val start = r.itf8(); val span = r.itf8()
-    val nRec = r.itf8(); val counter = r.ltf8(); val nBlocks = r.itf8()
+    val nRec = r.itf8()
+    val counter = if (major >= 3) r.ltf8() else r.itf8().toLong
+    val nBlocks = r.itf8()
     val nIds = r.itf8()
     val ids = Array.fill(nIds)(r.itf8())
     val emb = r.itf8()
@@ -628,21 +636,24 @@ object CramCodec {
       path: String,
       generateMd: Boolean = true) extends Iterator[String] {
 
+    private var majorVers: Int = 3 // set from the file magic before any container read
+
     private val refNames: Array[String] = {
       val magic = new Array[Byte](4)
       if (in.readNBytes(magic, 0, 4) != 4 || !magic.sameElements("CRAM".getBytes("US-ASCII")))
         throw new CramException(s"not a CRAM file: $path")
       val major = in.read(); val minor = in.read()
-      if (major != 3)
+      if (major != 3 && major != 2)
         throw new CramException(
-          s"CRAM version $major.$minor is outside the supported subset (3.x): $path")
+          s"CRAM version $major.$minor is outside the supported subset (2.x, 3.x): $path")
+      majorVers = major
       in.skipNBytes(20) // file id
       // first container: SAM header text
-      val hdr = readContainerHeader(in).getOrElse(throw new CramException("empty CRAM"))
+      val hdr = readContainerHeader(in, majorVers).getOrElse(throw new CramException("empty CRAM"))
       val payload = new Array[Byte](hdr.length)
       if (in.readNBytes(payload, 0, hdr.length) != hdr.length)
         throw new CramException("truncated header container")
-      val block = readBlock(new ByteReader(payload))
+      val block = readBlock(new ByteReader(payload), majorVers)
       // block content: int32 text length + SAM text
       val br = new ByteReader(block.data)
       val textLen = br.i32le()
@@ -673,7 +684,7 @@ object CramCodec {
 
     /** Reads the next data container; false at EOF. */
     private def advance(): Boolean = {
-      readContainerHeader(in) match {
+      readContainerHeader(in, majorVers) match {
         case None => false
         case Some(ch) =>
           val payload = new Array[Byte](ch.length)
@@ -691,22 +702,22 @@ object CramCodec {
 
     private def decodeContainer(payload: Array[Byte], ch: ContainerHeader): Iterator[String] = {
       val r = new ByteReader(payload)
-      val first = readBlock(r)
+      val first = readBlock(r, majorVers)
       if (first.contentType != 1)
         throw new CramException("container does not start with a compression header")
       val hdr = parseCompHeader(first.data)
       val lines = mutable.ArrayBuffer.empty[String]
       while (r.remaining > 0) {
-        val sliceHdrBlock = readBlock(r)
+        val sliceHdrBlock = readBlock(r, majorVers)
         if (sliceHdrBlock.contentType != 2)
           throw new CramException(s"expected slice header, got type ${sliceHdrBlock.contentType}")
-        val sh = parseSliceHeader(sliceHdrBlock.data)
+        val sh = parseSliceHeader(sliceHdrBlock.data, majorVers)
         var core: BitReader = null
         val ext = mutable.Map.empty[Int, ByteReader]
         var embRef: Array[Byte] = null
         var bi = 0
         while (bi < sh.nBlocks) {
-          val b = readBlock(r)
+          val b = readBlock(r, majorVers)
           if (b.contentType == 5) core = new BitReader(b.data)
           else {
             if (b.contentId == sh.embRefId) embRef = b.data

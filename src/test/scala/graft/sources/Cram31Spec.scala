@@ -3,14 +3,16 @@ package graft.sources
 import graft.SparkFixture
 import org.scalatest.funsuite.AnyFunSuite
 
-/** CRAM 3.1 end-to-end: htslib-written (test_view -o version=3.1)
-  * twins of ce#1000.sam and ce#5b.sam in all three encoder profiles —
-  * normal (rANSNx16 + tok3 names), small (adds fqzcomp qualities and
-  * arith blocks) and archive (arith everywhere) — must decode
-  * field-for-field equal to the SAM original through the same
-  * `alignments` source. This drives [[graft.kernel.NameTok3]],
-  * [[graft.kernel.FqzComp]] and [[graft.kernel.ArithDynamic]] inside
-  * real containers, not just against block-level golden vectors.
+/** CRAM 3.1 and 2.x end-to-end: htslib-written (test_view
+  * -o version=N) twins of ce#1000.sam and ce#5b.sam — for 3.1 in all
+  * three encoder profiles: normal (rANSNx16 + tok3 names), small
+  * (adds fqzcomp qualities and arith blocks) and archive (arith
+  * everywhere) — must decode field-for-field equal to the SAM
+  * original through the same `alignments` source. This drives
+  * [[graft.kernel.NameTok3]], [[graft.kernel.FqzComp]] and
+  * [[graft.kernel.ArithDynamic]] inside real containers, not just
+  * against block-level golden vectors; the 2.x twins pin the ITF8
+  * record counters and CRC-less container/block layout.
   * (reference SAM twins: ext/htslib-1.22.1/test/ce#1000.sam,
   * ce#5b.sam with ce.fa; fixtures regenerable per FIXTURES.md.)
   */
@@ -31,7 +33,8 @@ class Cram31Spec extends AnyFunSuite {
       .option("include_seq_qual", "true")
       .load(s"$refDir/ce#1000.sam"))
     assert(sam.nonEmpty)
-    for (p <- Seq("ce1000_v31.cram", "ce1000_v31_small.cram", "ce1000_v31_archive.cram")) {
+    for (p <- Seq("ce1000_v31.cram", "ce1000_v31_small.cram", "ce1000_v31_archive.cram",
+        "ce1000_v21.cram")) {
       // ce#1000.sam carries MD/NM; the CRAM writer strips them as
       // recomputable, so let the reader regenerate from the reference.
       val c = rows(spark.read.format("alignments")
@@ -55,6 +58,31 @@ class Cram31Spec extends AnyFunSuite {
         .option("generate_md", "false")
         .load(s"$fixDir/$p"))
       assert(c == sam, s"$p != ce#5b.sam")
+    }
+  }
+
+  test("CRAM 2.0/2.1 equal the SAM twin (ce#5b), modulo the format's lossy '*' SEQ") {
+    // CRAM 2.x has no NO_SEQ record flag: a secondary read with SEQ '*'
+    // comes back reference-reconstructed (clips as N) — byte-identical
+    // to htslib's own decode of the same file, which is the contract.
+    def noSeq(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.drop("filepath", "sequence").collect().map(_.toString).sorted.toSeq
+    val samDf = spark.read.format("alignments")
+      .option("include_seq_qual", "true").load(s"$refDir/ce#5b.sam")
+    val sam = noSeq(samDf)
+    for (p <- Seq("ce5b_v21.cram", "ce5b_v20.cram")) {
+      val df = spark.read.format("alignments")
+        .option("include_seq_qual", "true")
+        .option("reference_fasta", s"$refDir/ce.fa")
+        .option("generate_md", "false")
+        .load(s"$fixDir/$p")
+      assert(noSeq(df) == sam, s"$p != ce#5b.sam (non-seq columns)")
+      // the one '*'-SEQ read reconstructs exactly as htslib does:
+      // 7S soft clip -> Ns, then reference bases
+      val sec = df.filter(org.apache.spark.sql.functions.col("flags") === 256)
+        .select("sequence").collect()
+      assert(sec.length == 1 && sec(0).getString(0).startsWith("NNNNNNNAGCCTAAG"),
+        s"$p: unexpected 2.x SEQ reconstruction")
     }
   }
 }
