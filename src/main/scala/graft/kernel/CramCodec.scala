@@ -3,7 +3,7 @@ package graft.kernel
 import java.io.InputStream
 import scala.collection.mutable
 
-/** Pure-JVM CRAM 2.0/2.1/3.0/3.1 decoder — block compression: raw, gzip,
+/** Pure-JVM CRAM 2.0-4.0 decoder — block compression: raw, gzip,
   * bzip2, lzma, rANS4x8, rANSNx16, adaptive arithmetic
   * ([[ArithDynamic]]), fqzcomp qualities ([[FqzComp]]) and tok3 read
   * names ([[NameTok3]]); EXTERNAL / HUFFMAN / BETA / GAMMA /
@@ -20,11 +20,13 @@ import scala.collection.mutable
   * reference's vendored htslib (reference:
   * ext/htslib-1.22.1/cram/cram_decode.c:2077-2232,
   * cram/cram_codecs.c:2604-2925, htscodecs/htscodecs/rANS_static.c).
-  * All three 3.1 encoder profiles (normal/small/archive) and the 2.x
+  * All three 3.1 encoder profiles (normal/small/archive), the 2.x
   * layout (ITF8 record counters, CRC-less containers/blocks,
   * reference: cram/cram_io.c:3810-3870, cram/cram_decode.c:995-999)
-  * are covered end-to-end by Cram31Spec. CRAM 4.x containers are
-  * rejected with a typed error naming the gap.
+  * and the draft 4.0 layout (varint containers, zig-zag signed ids,
+  * VARINT/CONST codecs, QO orientation, MD/NM placeholder tags,
+  * reference: cram/cram_codecs.c:644-805, cram/cram_decode.c:
+  * 2000-2031,2873) are covered end-to-end by Cram31Spec.
   *
   * Scale note: decoding is stream-per-file with bounded memory (one
   * container at a time); the reference FASTA is loaded once per reader
@@ -69,6 +71,25 @@ object CramCodec {
       while (i < n) { v = (v << 8) | u8(); i += 1 }
       v
     }
+    /** CRAM 4.x big-endian 7-bit varint (reference: htscodecs varint.h
+      * BIG_END var_get_u32; cram_io.c:5255 cram_init_varint). */
+    def u7(): Int = {
+      var v = 0; var c = 0
+      while ({ c = u8(); v = (v << 7) | (c & 0x7f); (c & 0x80) != 0 }) ()
+      v
+    }
+    def u7l(): Long = {
+      var v = 0L; var c = 0
+      while ({ c = u8(); v = (v << 7) | (c & 0x7f); (c & 0x80) != 0 }) ()
+      v
+    }
+    /** Zig-zag signed variants (var_get_s32/s64). */
+    def u7s(): Int = { val v = u7(); (v >>> 1) ^ -(v & 1) }
+    def u7ls(): Long = { val v = u7l(); (v >>> 1) ^ -(v & 1L) }
+    /** Version-aware integer reads: ITF8/LTF8 through 3.x, varint in 4.x. */
+    def vi(v4: Boolean): Int = if (v4) u7() else itf8()
+    def vis(v4: Boolean): Int = if (v4) u7s() else itf8()
+    def vl(v4: Boolean): Long = if (v4) u7l() else ltf8()
   }
 
   /** MSB-first bit reader over the core block. */
@@ -249,11 +270,12 @@ object CramCodec {
       data: Array[Byte])
 
   private def readBlock(r: ByteReader, major: Int = 3): Block = {
+    val v4 = major >= 4
     val method = r.u8()
     val ctype = r.u8()
-    val cid = r.itf8()
-    val csize = r.itf8()
-    val rsize = r.itf8()
+    val cid = r.vi(v4)
+    val csize = r.vi(v4)
+    val rsize = r.vi(v4)
     val raw = r.bytes(csize)
     if (major >= 3) r.pos += 4 // crc32 (not verified; absent in CRAM 2.x)
     val data = decompressBlock(method, raw, rsize)
@@ -327,6 +349,27 @@ object CramCodec {
   private def readContainerHeader(in: InputStream, major: Int = 3): Option[ContainerHeader] = {
     val len0 = in.read()
     if (len0 < 0) return None
+    if (major >= 4) {
+      // 4.x: every field including the length is a varint; ref id is
+      // zig-zag signed; positions are 64-bit (cram_io.c:3810-3846)
+      def u7(first: Int): Long = {
+        var v = (first & 0x7f).toLong; var c = first
+        while ((c & 0x80) != 0) { c = streamByte(in); v = (v << 7) | (c & 0x7f) }
+        v
+      }
+      val length = u7(len0).toInt
+      val refIdRaw = u7(streamByte(in))
+      val refId = ((refIdRaw >>> 1) ^ -(refIdRaw & 1L)).toInt
+      val start = u7(streamByte(in)).toInt; val span = u7(streamByte(in)).toInt
+      val nRec = u7(streamByte(in)).toInt
+      val counter = u7(streamByte(in))
+      u7(streamByte(in)) // bases
+      val nBlocks = u7(streamByte(in)).toInt; val nLand = u7(streamByte(in)).toInt
+      var i = 0
+      while (i < nLand) { u7(streamByte(in)); i += 1 }
+      in.skipNBytes(4) // crc32
+      return Some(ContainerHeader(length, refId, start, span, nRec, counter, nBlocks))
+    }
     val length = len0 | (streamByte(in) << 8) | (streamByte(in) << 16) | (streamByte(in) << 24)
     val refId = streamItf8(in); val start = streamItf8(in); val span = streamItf8(in)
     val nRec = streamItf8(in)
@@ -355,6 +398,27 @@ object CramCodec {
     def decodeByte(ctx: DecodeCtx): Int = ctx.external(id).u8()
     def bulk(ctx: DecodeCtx, n: Int): Array[Byte] = ctx.external(id).bytes(n)
   }
+  /** CRAM 4.x VARINT codec: big-endian 7-bit varint from an external
+    * block, optionally zig-zag signed, plus a stored offset
+    * (reference: cram/cram_codecs.c:644-805). */
+  private final class VarIntCodec(id: Int, offset: Long, signed: Boolean)
+      extends IntCodec with ByteCodec {
+    def decode(ctx: DecodeCtx): Int = decodeLong(ctx).toInt
+    def decodeByte(ctx: DecodeCtx): Int = decodeLong(ctx).toInt
+    def decodeLong(ctx: DecodeCtx): Long = {
+      val r = ctx.external(id)
+      var v = 0L; var c = 0
+      while ({ c = r.u8(); v = (v << 7) | (c & 0x7f); (c & 0x80) != 0 }) ()
+      (if (signed) (v >>> 1) ^ -(v & 1L) else v) + offset
+    }
+  }
+
+  /** CRAM 4.x CONST codec: a fixed value, nothing read per record. */
+  private final class ConstInt(value: Long) extends IntCodec with ByteCodec {
+    def decode(ctx: DecodeCtx): Int = value.toInt
+    def decodeByte(ctx: DecodeCtx): Int = value.toInt
+  }
+
   private final class BetaInt(offset: Int, nBits: Int) extends IntCodec {
     def decode(ctx: DecodeCtx): Int = ctx.core.bits(nBits) - offset
   }
@@ -429,40 +493,47 @@ object CramCodec {
     }
   }
 
-  private def parseIntEncoding(encId: Int, params: Array[Byte]): IntCodec = {
+  private def parseIntEncoding(encId: Int, params: Array[Byte], v4: Boolean = false): IntCodec = {
     val r = new ByteReader(params)
     encId match {
-      case 1 => new ExternalInt(r.itf8())
+      case 1 => new ExternalInt(r.vi(v4))
       case 3 =>
-        val n = r.itf8()
-        val syms = Array.fill(n)(r.itf8())
-        val nl = r.itf8()
-        val lens = Array.fill(nl)(r.itf8())
+        val n = r.vi(v4)
+        val syms = Array.fill(n)(r.vi(v4))
+        val nl = r.vi(v4)
+        val lens = Array.fill(nl)(r.vi(v4))
         new HuffmanInt(syms, lens)
-      case 6 => { val off = r.itf8(); val bits = r.itf8(); new BetaInt(off, bits) }
-      case 9 => new GammaInt(r.itf8())
+      case 6 => { val off = r.vi(v4); val bits = r.vi(v4); new BetaInt(off, bits) }
+      case 9 => new GammaInt(r.vi(v4))
+      case 41 => // VARINT_UNSIGNED (CRAM 4.x): content id + signed offset
+        new VarIntCodec(r.u7(), r.u7ls(), signed = false)
+      case 42 => // VARINT_SIGNED (CRAM 4.x): zig-zag payload
+        new VarIntCodec(r.u7(), r.u7ls(), signed = true)
+      case 43 | 44 => // CONST_BYTE / CONST_INT (CRAM 4.x): no stream reads
+        new ConstInt(r.u7ls())
       case 0 => new IntCodec { def decode(ctx: DecodeCtx): Int = 0 } // NULL
       case other => throw new CramException(
         s"integer encoding $other is outside the supported subset " +
-          "(EXTERNAL, HUFFMAN, BETA, GAMMA)")
+          "(EXTERNAL, HUFFMAN, BETA, GAMMA, VARINT, CONST)")
     }
   }
 
-  private def parseByteCodec(encId: Int, params: Array[Byte]): ByteCodec =
-    parseIntEncoding(encId, params) match {
+  private def parseByteCodec(encId: Int, params: Array[Byte], v4: Boolean = false): ByteCodec =
+    parseIntEncoding(encId, params, v4) match {
       case b: ByteCodec => b
       case _ => throw new CramException(s"encoding $encId cannot produce bytes")
     }
 
-  private def parseArrEncoding(encId: Int, params: Array[Byte]): ArrCodec = {
+  private def parseArrEncoding(encId: Int, params: Array[Byte], v4: Boolean = false): ArrCodec = {
     val r = new ByteReader(params)
     encId match {
       case 4 =>
-        val lenEnc = r.itf8(); val lenPLen = r.itf8(); val lenParams = r.bytes(lenPLen)
-        val valEnc = r.itf8(); val valPLen = r.itf8(); val valParams = r.bytes(valPLen)
-        new ByteArrayLen(parseIntEncoding(lenEnc, lenParams), parseByteCodec(valEnc, valParams))
+        val lenEnc = r.vi(v4); val lenPLen = r.vi(v4); val lenParams = r.bytes(lenPLen)
+        val valEnc = r.vi(v4); val valPLen = r.vi(v4); val valParams = r.bytes(valPLen)
+        new ByteArrayLen(parseIntEncoding(lenEnc, lenParams, v4),
+          parseByteCodec(valEnc, valParams, v4))
       case 5 =>
-        val stop = r.u8(); val id = r.itf8()
+        val stop = r.u8(); val id = r.vi(v4)
         new ByteArrayStop(stop, id)
       case other => throw new CramException(
         s"byte-array encoding $other is outside the supported subset " +
@@ -476,6 +547,7 @@ object CramCodec {
 
   private final case class CompHeader(
       rnPreserved: Boolean, apDelta: Boolean, refRequired: Boolean,
+      qsSeqOrient: Boolean, // QO=1 (default): quals already in SEQ orientation
       subMatrix: Array[Array[Char]], // [refBaseIdx][code] -> substituted base
       tdLines: Array[Array[Int]], // tag keys ((c1<<16)|(c2<<8)|type) per line
       ds: Map[String, IntCodec],
@@ -484,9 +556,10 @@ object CramCodec {
 
   private final val RefBases = "ACGTN"
 
-  private def parseCompHeader(data: Array[Byte]): CompHeader = {
+  private def parseCompHeader(data: Array[Byte], major: Int = 3): CompHeader = {
     val r = new ByteReader(data)
-    var rn = true; var ap = true; var rr = true
+    val v4 = major >= 4
+    var rn = true; var ap = true; var rr = true; var qo = true
     var sm: Array[Array[Char]] = {
       // identity-free default: code order CGTN/AGTN/ACTN/ACGN/ACGT
       val defaults = Array("CGTN", "AGTN", "ACTN", "ACGN", "ACGT")
@@ -494,8 +567,8 @@ object CramCodec {
     }
     var tdLines: Array[Array[Int]] = Array(Array.empty[Int])
     // preservation map
-    r.itf8() // size in bytes
-    val nPres = r.itf8()
+    r.vi(v4) // size in bytes
+    val nPres = r.vi(v4)
     var i = 0
     while (i < nPres) {
       val key = new String(r.bytes(2), "US-ASCII")
@@ -503,6 +576,7 @@ object CramCodec {
         case "RN" => rn = r.u8() != 0
         case "AP" => ap = r.u8() != 0
         case "RR" => rr = r.u8() != 0
+        case "QO" => qo = r.u8() != 0 // CRAM 4.x quality orientation
         case "SM" =>
           val m = Array.ofDim[Char](5, 4)
           var b = 0
@@ -517,7 +591,7 @@ object CramCodec {
           }
           sm = m
         case "TD" =>
-          val len = r.itf8()
+          val len = r.vi(v4)
           val td = r.bytes(len)
           val lines = mutable.ArrayBuffer.empty[Array[Int]]
           val cur = mutable.ArrayBuffer.empty[Int]
@@ -537,35 +611,35 @@ object CramCodec {
       i += 1
     }
     // data series encodings
-    r.itf8()
-    val nDs = r.itf8()
+    r.vi(v4)
+    val nDs = r.vi(v4)
     val ds = mutable.Map.empty[String, IntCodec]
     val dsArr = mutable.Map.empty[String, ArrCodec]
     val arrSeries = Set("RN", "IN", "SC", "BB", "QQ")
     i = 0
     while (i < nDs) {
       val key = new String(r.bytes(2), "US-ASCII")
-      val enc = r.itf8()
-      val plen = r.itf8()
+      val enc = r.vi(v4)
+      val plen = r.vi(v4)
       val params = r.bytes(plen)
-      if (arrSeries(key)) dsArr(key) = parseArrEncoding(enc, params)
-      else ds(key) = parseIntEncoding(enc, params)
+      if (arrSeries(key)) dsArr(key) = parseArrEncoding(enc, params, v4)
+      else ds(key) = parseIntEncoding(enc, params, v4)
       i += 1
     }
     // tag encodings
-    r.itf8()
-    val nTags = r.itf8()
+    r.vi(v4)
+    val nTags = r.vi(v4)
     val tags = mutable.Map.empty[Int, ArrCodec]
     i = 0
     while (i < nTags) {
-      val key = r.itf8()
-      val enc = r.itf8()
-      val plen = r.itf8()
+      val key = r.vi(v4)
+      val enc = r.vi(v4)
+      val plen = r.vi(v4)
       val params = r.bytes(plen)
-      tags(key) = parseArrEncoding(enc, params)
+      tags(key) = parseArrEncoding(enc, params, v4)
       i += 1
     }
-    CompHeader(rn, ap, rr, sm, tdLines, ds.toMap, dsArr.toMap, tags.toMap)
+    CompHeader(rn, ap, rr, qo, sm, tdLines, ds.toMap, dsArr.toMap, tags.toMap)
   }
 
   // ------------------------------------------------------------------
@@ -578,13 +652,16 @@ object CramCodec {
 
   private def parseSliceHeader(data: Array[Byte], major: Int = 3): SliceHeader = {
     val r = new ByteReader(data)
-    val refId = r.itf8(); val start = r.itf8(); val span = r.itf8()
-    val nRec = r.itf8()
-    val counter = if (major >= 3) r.ltf8() else r.itf8().toLong
-    val nBlocks = r.itf8()
-    val nIds = r.itf8()
-    val ids = Array.fill(nIds)(r.itf8())
-    val emb = r.itf8()
+    val v4 = major >= 4
+    val refId = if (v4) r.u7s() else r.itf8()
+    val start = if (v4) r.u7l().toInt else r.itf8()
+    val span = if (v4) r.u7l().toInt else r.itf8()
+    val nRec = r.vi(v4)
+    val counter = if (v4) r.u7l() else if (major >= 3) r.ltf8() else r.itf8().toLong
+    val nBlocks = r.vi(v4)
+    val nIds = r.vi(v4)
+    val ids = Array.fill(nIds)(r.vi(v4))
+    val emb = r.vi(v4)
     SliceHeader(refId, start, span, nRec, counter, nBlocks, ids, emb)
   }
 
@@ -627,6 +704,7 @@ object CramCodec {
     var quals: Array[Byte] = null
     var aend = 0
     var tagsText: List[String] = Nil
+    var forceMd: Boolean = false // CRAM 4.x MD*/NM* placeholder present
   }
 
   /** Iterator of SAM text lines over one CRAM file. */
@@ -643,9 +721,9 @@ object CramCodec {
       if (in.readNBytes(magic, 0, 4) != 4 || !magic.sameElements("CRAM".getBytes("US-ASCII")))
         throw new CramException(s"not a CRAM file: $path")
       val major = in.read(); val minor = in.read()
-      if (major != 3 && major != 2)
+      if (major < 2 || major > 4)
         throw new CramException(
-          s"CRAM version $major.$minor is outside the supported subset (2.x, 3.x): $path")
+          s"CRAM version $major.$minor is outside the supported subset (2.x-4.x): $path")
       majorVers = major
       in.skipNBytes(20) // file id
       // first container: SAM header text
@@ -705,7 +783,7 @@ object CramCodec {
       val first = readBlock(r, majorVers)
       if (first.contentType != 1)
         throw new CramException("container does not start with a compression header")
-      val hdr = parseCompHeader(first.data)
+      val hdr = parseCompHeader(first.data, majorVers)
       val lines = mutable.ArrayBuffer.empty[String]
       while (r.remaining > 0) {
         val sliceHdrBlock = readBlock(r, majorVers)
@@ -784,13 +862,30 @@ object CramCodec {
         val tl = TL.decode(ctx)
         if (tl < 0 || tl >= hdr.tdLines.length)
           throw new CramException(s"TL $tl outside the tag dictionary")
-        rec.tagsText = hdr.tdLines(tl).toList.map { key =>
-          val bytes = hdr.tags.getOrElse(key,
-            throw new CramException(f"tag 0x$key%06x has no encoding")).decodeArr(ctx)
-          tagToText(key, bytes)
+        rec.tagsText = hdr.tdLines(tl).toList.flatMap { key =>
+          if ((key & 0xFF) == '*') {
+            // CRAM 4.x auto-generated placeholder (MD*/NM*/RG*): nothing
+            // stored per record; MD/NM are regenerated from the
+            // reference, RG is outside the 21-col tag subset
+            // (reference: cram/cram_decode.c:2000-2031)
+            val name = (key >> 8) & 0xFFFF
+            if (name == (('M' << 8) | 'D') || name == (('N' << 8) | 'M'))
+              rec.forceMd = true
+            None
+          } else {
+            val bytes = hdr.tags.getOrElse(key,
+              throw new CramException(f"tag 0x$key%06x has no encoding")).decodeArr(ctx)
+            Some(tagToText(key, bytes))
+          }
         }
         if ((rec.bf & 0x4) == 0) decodeMapped(hdr, ctx, rec)
         else decodeUnmapped(hdr, ctx, rec)
+        if (!hdr.qsSeqOrient && (rec.bf & 0x10) != 0 && rec.quals != null) {
+          // QO=0: stored original orientation; flip to SEQ orientation
+          val q = rec.quals
+          var a = 0; var b = q.length - 1
+          while (a < b) { val t = q(a); q(a) = q(b); q(b) = t; a += 1; b -= 1 }
+        }
         rec.aend =
           if ((rec.bf & 0x4) != 0 || rec.cigar == "*") rec.apos
           else rec.apos + SamCodec.cigarRefLen(rec.cigar).toInt - 1
@@ -929,7 +1024,7 @@ object CramCodec {
       * (htslib's `nomd` option) disables the synthesis.
       */
     private def genMdNm(rec: CramRec, refBase: Int => Byte): Unit = {
-      if (!generateMd) return
+      if (!generateMd && !rec.forceMd) return
       if (rec.tagsText.exists(t => t.startsWith("MD:") || t.startsWith("NM:"))) return
       val seq = rec.seq
       var nm = 0L

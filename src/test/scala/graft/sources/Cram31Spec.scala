@@ -34,7 +34,8 @@ class Cram31Spec extends AnyFunSuite {
       .load(s"$refDir/ce#1000.sam"))
     assert(sam.nonEmpty)
     for (p <- Seq("ce1000_v31.cram", "ce1000_v31_small.cram", "ce1000_v31_archive.cram",
-        "ce1000_v21.cram")) {
+        "ce1000_v21.cram", "ce1000_v40.cram", "ce1000_v40_small.cram",
+        "ce1000_v40_archive.cram")) {
       // ce#1000.sam carries MD/NM; the CRAM writer strips them as
       // recomputable, so let the reader regenerate from the reference.
       val c = rows(spark.read.format("alignments")
@@ -51,7 +52,8 @@ class Cram31Spec extends AnyFunSuite {
       .option("include_seq_qual", "true")
       .load(s"$refDir/ce#5b.sam"))
     assert(sam.nonEmpty)
-    for (p <- Seq("ce5b_v31.cram", "ce5b_v31_small.cram", "ce5b_v31_archive.cram")) {
+    for (p <- Seq("ce5b_v31.cram", "ce5b_v31_small.cram", "ce5b_v31_archive.cram",
+        "ce5b_v40.cram")) {
       val c = rows(spark.read.format("alignments")
         .option("include_seq_qual", "true")
         .option("reference_fasta", s"$refDir/ce.fa")

@@ -165,17 +165,17 @@ class SourcesSpec extends AnyFunSuite {
 
   test("CRAM outside the supported subset fails loudly (version, not SAM-text parse)") {
     // htslib auto-detects SAM/BAM/CRAM (reference src/SAMReader.cpp:134).
-    // Supported CRAM 2.x/3.x is exercised in CramSpec/Cram31Spec; other
+    // Supported CRAM 2.x-4.x is exercised in CramSpec/Cram31Spec; other
     // versions must error with a typed message, never fall through to
     // SAM-text parsing.
     def rootMsg(t: Throwable): String =
       (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
         .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
-    val v4 = "/tmp/graft_cram_v4.cram"
-    java.nio.file.Files.write(java.nio.file.Paths.get(v4),
-      "CRAM".getBytes ++ Array[Byte](4, 0) ++ Array.fill[Byte](20)(0))
+    val v5 = "/tmp/graft_cram_v5.cram"
+    java.nio.file.Files.write(java.nio.file.Paths.get(v5),
+      "CRAM".getBytes ++ Array[Byte](5, 0) ++ Array.fill[Byte](20)(0))
     val e1 = intercept[Exception](
-      spark.read.format("alignments").load(v4).collect())
+      spark.read.format("alignments").load(v5).collect())
     assert(rootMsg(e1).contains("outside the supported subset"))
     // extension-detected non-CRAM content: the magic check must name the file
     val byExt = "/tmp/graft_cram_ext.cram"
