@@ -985,7 +985,38 @@ object LayerB {
              |   CAST(2398 AS BIGINT), CAST(14 AS BIGINT), CAST(165 AS BIGINT), CAST(150 AS BIGINT)),
              |  ('CHROMOSOME_IV',  CAST(19 AS BIGINT), CAST(31196 AS BIGINT), CAST(2361 AS BIGINT),
              |   CAST(68 AS BIGINT), CAST(1 AS BIGINT), CAST(76 AS BIGINT), CAST(58 AS BIGINT))
-             |) AS t(reference, n, sum_pos, sum_flags, sum_mapq, sum_nm, sum_cigar_len, sum_md_len)""".stripMargin))
+             |) AS t(reference, n, sum_pos, sum_flags, sum_mapq, sum_nm, sum_cigar_len, sum_md_len)""".stripMargin)),
+
+    // 2B: every CRAM container version htslib can write (2.1, 3.1 in
+    // all three encoder profiles, draft 4.0 ditto) decodes the same
+    // 1000 reads to identical aggregates — one glob read, grouped by
+    // the version token in the filename. Exercises tok3/arith/fqzcomp
+    // (3.1/4.0 small+archive), the 2.x ITF8/CRC-less layout and the
+    // 4.0 varint layout in the driver's own gate; Cram31Spec pins full
+    // row equality of each file against the SAM twin.
+    QueryDef(
+      "b35_read_cram_versions",
+      (s, d) =>
+        s.read.format("alignments")
+          .option("reference_fasta", "/root/reference/ext/htslib-1.22.1/test/ce.fa")
+          .option("include_filepath", "true")
+          .load("/root/repo/src/test/resources/graft/cram31/ce1000_*.cram")
+          .withColumn("version",
+            regexp_extract(col("filepath"), "ce1000_(v[0-9]+(_[a-z]+)?)\\.cram$", 1))
+          .groupBy("version").agg(
+            count(lit(1)).as("n"),
+            sum("position").as("sum_pos"),
+            sum("flags").as("sum_flags"),
+            sum("mapq").as("sum_mapq"),
+            sum("tag_nm").as("sum_nm"),
+            sum(length(col("cigar"))).as("sum_cigar_len"),
+            sum(length(col("tag_md"))).as("sum_md_len")),
+      Some("""SELECT t.version, CAST(1000 AS BIGINT) AS n, CAST(92208 AS BIGINT) AS sum_pos,
+             |  CAST(7024 AS BIGINT) AS sum_flags, CAST(1088 AS BIGINT) AS sum_mapq,
+             |  CAST(1531 AS BIGINT) AS sum_nm, CAST(4051 AS BIGINT) AS sum_cigar_len,
+             |  CAST(5798 AS BIGINT) AS sum_md_len
+             |FROM (VALUES ('v21'), ('v31'), ('v31_archive'), ('v31_small'),
+             |             ('v40'), ('v40_archive'), ('v40_small')) AS t(version)""".stripMargin))
   )
 
   /** Deterministic pseudo-random genomes (LCG — stable across JVMs). */
