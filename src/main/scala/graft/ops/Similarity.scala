@@ -110,6 +110,37 @@ object Similarity {
     }.reduce(_ + _)
   }
 
+  /** Kernel twin of [[lshBucket]]: the nBits×dim plane matrix lives in
+    * the closure and projection is a tight double loop, replacing an
+    * O(nBits·dim) Catalyst expression tree (640 nodes at 10×64) whose
+    * generated code blew past JIT-friendly sizes and ran interpreted —
+    * the l10 sweep straggler. Accumulation is the same strict
+    * left-to-right float→double order and the same >= 0 bit rule, so
+    * buckets are bit-identical to the expression form (spec-pinned);
+    * null/short embeddings yield bucket 0 exactly as the expression's
+    * null-propagating sum does.
+    */
+  def lshBucketKernel(nBits: Int, dim: Int, seed: Long)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val planes = Array.tabulate(nBits, dim)((b, d) => lshPlaneComponent(b, d, seed))
+    udf((emb: Seq[Double]) => {
+      if (emb == null || emb.length < dim) 0L
+      else {
+        var bucket = 0L
+        var b = 0
+        while (b < nBits) {
+          val p = planes(b)
+          var s = 0.0
+          var d = 0
+          while (d < dim) { s += emb(d) * p(d); d += 1 }
+          if (s >= 0) bucket += (1L << b)
+          b += 1
+        }
+        bucket
+      }
+    })
+  }
+
   /** LSH-bucketed approximate near-duplicate pairs: corpus shuffles on
     * the bucket key; pairs form only within a bucket and are verified
     * with the exact cosine. Multi-probe = nTables independent bucketings
@@ -127,7 +158,8 @@ object Similarity {
       // per-table seed gives independent hyperplane sets
       normed.select(
         col("vec_id"), col("embedding"), col("nrm"),
-        lshBucket(col("embedding"), nBits, dim, seed = t.toLong).as("bucket"),
+        lshBucketKernel(nBits, dim, seed = t.toLong)(
+          col("embedding").cast("array<double>")).as("bucket"),
         lit(t).as("table_id"))
     }.reduce(_ unionAll _)
     val left = tables.select(col("table_id"), col("bucket"),

@@ -92,6 +92,17 @@ class LlmOpsSpec extends AnyFunSuite {
     (bases ++ dups).toDF("vec_id", "embedding")
   }
 
+  test("lshBucketKernel buckets are bit-identical to the expression form") {
+    val exprBuckets = plantedVectors.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), nBits = 8, dim = 16, seed = 3L).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val kernBuckets = plantedVectors.select(col("vec_id"),
+      Similarity.lshBucketKernel(8, 16, 3L)(
+        col("embedding").cast("array<double>")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(exprBuckets.nonEmpty && exprBuckets == kernBuckets)
+  }
+
   test("lshNearDupPairs recalls planted near-identical vectors") {
     val pairs = Similarity.lshNearDupPairs(plantedVectors, dim = 16,
       nBits = 8, nTables = 4, threshold = 0.95)
