@@ -225,6 +225,8 @@ object ArithDynamic {
     if ((flags & 0x08) != 0) { // X_STRIPE
       val r = new Meta(in, off + 1, off + len)
       val ulen = r.u7()
+      if (ulen < 0 || ulen > (1 << 28))
+        throw new ArithException(s"arith: implausible stripe size $ulen")
       val n = r.u8()
       if (n < 1) throw new ArithException("arith: stripe with zero streams")
       val clen = new Array[Int](n)
@@ -264,6 +266,9 @@ object ArithDynamic {
       if (!noSz) r.u7()
       else if (outLenHint >= 0) outLenHint
       else throw new ArithException("arith: NOSZ stream needs an expected size")
+    // bound allocations on corrupt headers (typed error, not OOM)
+    if (osz < 0 || osz > (1 << 28))
+      throw new ArithException(s"arith: implausible uncompressed size $osz")
 
     // PACK metadata: symbol count, map (when <=16 syms), packed length
     var packMap: Array[Byte] = null

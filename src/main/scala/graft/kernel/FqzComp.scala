@@ -159,6 +159,10 @@ object FqzComp {
     val len = c.u7()
     if (outLenHint >= 0 && len != outLenHint)
       throw new ArithException(s"fqz: stream says $len bytes, block header says $outLenHint")
+    // bound allocations on corrupt headers (typed error, not OOM);
+    // 1<<28 comfortably exceeds any legal CRAM slice's quality block
+    if (len < 0 || len > (1 << 28))
+      throw new ArithException(s"fqz: implausible uncompressed size $len")
 
     // global parameter block
     val vers = c.u8()

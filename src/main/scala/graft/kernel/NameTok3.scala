@@ -116,7 +116,12 @@ object NameTok3 {
     val ulen = u32le(in, 0)
     val nreads = u32le(in, 4)
     val useArith = (in(8) & 0xff) != 0
-    if (ulen < 0 || nreads < 0)
+    // bound allocations on corrupt headers: a flipped bit must yield a
+    // typed error, not an executor-killing multi-GB allocation. The
+    // format caps blocks at 1M names; names are NUL-terminated so
+    // ulen >= nreads; 1<<28 comfortably exceeds any legal block.
+    if (ulen < 0 || nreads < 0 || ulen > (1 << 28) ||
+        nreads > 1000000 || nreads > ulen + 1)
       throw new Tok3Exception(s"tok3: implausible header ulen=$ulen nreads=$nreads")
 
     val desc = Array.fill(MAX_TBLOCKS)(new Desc)
