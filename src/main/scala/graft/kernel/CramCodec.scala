@@ -811,6 +811,20 @@ object CramCodec {
       lines.iterator
     }
 
+    /** Data-series codecs resolved once per slice — the string-keyed
+      * map lookups were per-record/per-feature before (tens of
+      * millions of hash probes on a multi-million-read file). */
+    private final class SliceCodecs(hdr: CompHeader) {
+      lazy val FN = intDs(hdr, "FN"); lazy val FC = intDs(hdr, "FC")
+      lazy val FP = intDs(hdr, "FP"); lazy val MQ = intDs(hdr, "MQ")
+      lazy val BS = intDs(hdr, "BS"); lazy val DL = intDs(hdr, "DL")
+      lazy val RS = intDs(hdr, "RS"); lazy val HC = intDs(hdr, "HC")
+      lazy val PD = intDs(hdr, "PD")
+      lazy val BA = byteDs(hdr, "BA"); lazy val QS = byteDs(hdr, "QS")
+      lazy val IN = arrDs(hdr, "IN"); lazy val BB = arrDs(hdr, "BB")
+      lazy val QQ = arrDs(hdr, "QQ"); lazy val SC = arrDs(hdr, "SC")
+    }
+
     private def intDs(hdr: CompHeader, key: String): IntCodec =
       hdr.ds.getOrElse(key, throw new CramException(s"data series $key not declared"))
     private def arrDs(hdr: CompHeader, key: String): ArrCodec =
@@ -826,6 +840,7 @@ object CramCodec {
 
     private def decodeSlice(hdr: CompHeader, sh: SliceHeader, ctx: DecodeCtx): Seq[String] = {
       val n = sh.nRecords
+      val dsc = new SliceCodecs(hdr)
       val recs = new Array[CramRec](n)
       val BF = intDs(hdr, "BF"); val CF = intDs(hdr, "CF")
       val RL = intDs(hdr, "RL"); val AP = intDs(hdr, "AP")
@@ -878,8 +893,8 @@ object CramCodec {
             Some(tagToText(key, bytes))
           }
         }
-        if ((rec.bf & 0x4) == 0) decodeMapped(hdr, ctx, rec)
-        else decodeUnmapped(hdr, ctx, rec)
+        if ((rec.bf & 0x4) == 0) decodeMapped(hdr, dsc, ctx, rec)
+        else decodeUnmapped(dsc, ctx, rec)
         if (!hdr.qsSeqOrient && (rec.bf & 0x10) != 0 && rec.quals != null) {
           // QO=0: stored original orientation; flip to SEQ orientation
           val q = rec.quals
@@ -899,9 +914,9 @@ object CramCodec {
     /** Feature-based decode: bases+cigar reconstructed against the
       * reference (or embedded reference) slice.
       */
-    private def decodeMapped(hdr: CompHeader, ctx: DecodeCtx, rec: CramRec): Unit = {
-      val FN = intDs(hdr, "FN"); val FC = intDs(hdr, "FC"); val FP = intDs(hdr, "FP")
-      val fn = FN.decode(ctx)
+    private def decodeMapped(hdr: CompHeader, dsc: SliceCodecs, ctx: DecodeCtx,
+        rec: CramRec): Unit = {
+      val fn = dsc.FN.decode(ctx)
       val rl = rec.readLen
       val seq = new Array[Byte](rl)
       val quals = new Array[Byte](rl)
@@ -946,19 +961,19 @@ object CramCodec {
       var prevPos = 0
       var f = 0
       while (f < fn) {
-        val code = FC.decode(ctx).toChar
-        val pos = prevPos + FP.decode(ctx)
+        val code = dsc.FC.decode(ctx).toChar
+        val pos = prevPos + dsc.FP.decode(ctx)
         prevPos = pos
         copyRef(pos - 1)
         code match {
           case 'B' =>
-            val base = byteDs(hdr, "BA").decodeByte(ctx)
-            val q = byteDs(hdr, "QS").decodeByte(ctx)
+            val base = dsc.BA.decodeByte(ctx)
+            val q = dsc.QS.decodeByte(ctx)
             if (!noSeq) seq(rp) = base.toByte
             quals(rp) = q.toByte
             rp += 1; ref += 1; emit('M', 1)
           case 'X' =>
-            val code2 = intDs(hdr, "BS").decode(ctx)
+            val code2 = dsc.BS.decode(ctx)
             if (!noSeq) {
               val rb = refBase(ref)
               val idx = RefBases.indexOf(rb.toChar.toUpper) match { case -1 => 4; case x => x }
@@ -966,37 +981,37 @@ object CramCodec {
             }
             rp += 1; ref += 1; emit('M', 1)
           case 'I' =>
-            val ins = arrDs(hdr, "IN").decodeArr(ctx)
+            val ins = dsc.IN.decodeArr(ctx)
             if (!noSeq) System.arraycopy(ins, 0, seq, rp, ins.length)
             rp += ins.length; emit('I', ins.length)
           case 'i' =>
-            val base = byteDs(hdr, "BA").decodeByte(ctx)
+            val base = dsc.BA.decodeByte(ctx)
             if (!noSeq) seq(rp) = base.toByte
             rp += 1; emit('I', 1)
           case 'b' =>
-            val bases = arrDs(hdr, "BB").decodeArr(ctx)
+            val bases = dsc.BB.decodeArr(ctx)
             if (!noSeq) System.arraycopy(bases, 0, seq, rp, bases.length)
             rp += bases.length; ref += bases.length; emit('M', bases.length)
           case 'q' =>
-            val qs = arrDs(hdr, "QQ").decodeArr(ctx)
+            val qs = dsc.QQ.decodeArr(ctx)
             System.arraycopy(qs, 0, quals, rp, qs.length)
           case 'Q' =>
-            quals(rp) = byteDs(hdr, "QS").decodeByte(ctx).toByte
+            quals(rp) = dsc.QS.decodeByte(ctx).toByte
           case 'S' =>
-            val clip = arrDs(hdr, "SC").decodeArr(ctx)
+            val clip = dsc.SC.decodeArr(ctx)
             if (!noSeq) System.arraycopy(clip, 0, seq, rp, clip.length)
             rp += clip.length; emit('S', clip.length)
           case 'D' =>
-            val len = intDs(hdr, "DL").decode(ctx)
+            val len = dsc.DL.decode(ctx)
             ref += len; emit('D', len)
           case 'N' =>
-            val len = intDs(hdr, "RS").decode(ctx)
+            val len = dsc.RS.decode(ctx)
             ref += len; emit('N', len)
           case 'H' =>
-            val len = intDs(hdr, "HC").decode(ctx)
+            val len = dsc.HC.decode(ctx)
             emit('H', len)
           case 'P' =>
-            val len = intDs(hdr, "PD").decode(ctx)
+            val len = dsc.PD.decode(ctx)
             emit('P', len)
           case other => throw new CramException(s"read feature '$other' not supported")
         }
@@ -1004,11 +1019,10 @@ object CramCodec {
       }
       copyRef(rl)
       if (cigLen > 0) { cigar.append(cigLen); cigar.append(cigOp) }
-      rec.mapq = intDs(hdr, "MQ").decode(ctx)
+      rec.mapq = dsc.MQ.decode(ctx)
       if ((rec.cf & 0x1) != 0) {
-        val QS = byteDs(hdr, "QS")
         var k = 0
-        while (k < rl) { quals(k) = QS.decodeByte(ctx).toByte; k += 1 }
+        while (k < rl) { quals(k) = dsc.QS.decodeByte(ctx).toByte; k += 1 }
       }
       rec.cigar = if (cigar.isEmpty) s"${rl}M" else cigar.toString
       rec.seq = if (noSeq) null else new String(seq, "US-ASCII")
@@ -1070,21 +1084,19 @@ object CramCodec {
     private var embRefForRec: Array[Byte] = null
     private var embRefStart = 0
 
-    private def decodeUnmapped(hdr: CompHeader, ctx: DecodeCtx, rec: CramRec): Unit = {
+    private def decodeUnmapped(dsc: SliceCodecs, ctx: DecodeCtx, rec: CramRec): Unit = {
       val rl = rec.readLen
       val noSeq = (rec.cf & 0x8) != 0
       if (!noSeq) {
-        val BA = byteDs(hdr, "BA")
         val seq = new Array[Byte](rl)
         var k = 0
-        while (k < rl) { seq(k) = BA.decodeByte(ctx).toByte; k += 1 }
+        while (k < rl) { seq(k) = dsc.BA.decodeByte(ctx).toByte; k += 1 }
         rec.seq = new String(seq, "US-ASCII")
       }
       if ((rec.cf & 0x1) != 0) {
-        val QS = byteDs(hdr, "QS")
         val quals = new Array[Byte](rl)
         var k = 0
-        while (k < rl) { quals(k) = QS.decodeByte(ctx).toByte; k += 1 }
+        while (k < rl) { quals(k) = dsc.QS.decodeByte(ctx).toByte; k += 1 }
         rec.quals = quals
       }
       rec.cigar = "*"
