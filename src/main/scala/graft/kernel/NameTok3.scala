@@ -167,6 +167,13 @@ object NameTok3 {
       } else { // entropy-coded payload
         val expected = peekUlen(in, o, in.length)
         val (clen, nb) = varU32(in, o, in.length)
+        // corrupt varints can wrap negative: a negative clen would walk
+        // the descriptor cursor backwards (infinite loop), a huge
+        // expected would OOM before the post-decode length check
+        if (clen < 0 || clen > in.length - o)
+          throw new Tok3Exception(s"tok3: stream length $clen overruns input")
+        if (expected < 0 || expected > (1 << 28))
+          throw new Tok3Exception(s"tok3: implausible stream size $expected")
         val data =
           if (useArith) ArithDynamic.decode(in, o + nb, in.length - (o + nb), -1)
           else RansNx16.decode(in, o + nb, in.length - (o + nb), -1)
