@@ -865,7 +865,13 @@ object CramCodec {
             rec.name = new String(arrDs(hdr, "RN").decodeArr(ctx), "US-ASCII")
           rec.mateRefId = intDs(hdr, "NS").decode(ctx)
           rec.matePos = intDs(hdr, "NP").decode(ctx)
-          rec.tlen = intDs(hdr, "TS").decode(ctx).toLong
+          // TS is 64-bit in CRAM 4.x; take the full varint when the
+          // codec carries one (positions keep the 32-bit subset — BAM
+          // itself caps there; documented in the class scaladoc)
+          rec.tlen = intDs(hdr, "TS") match {
+            case v: VarIntCodec => v.decodeLong(ctx)
+            case c => c.decode(ctx).toLong
+          }
           rec.tlenSet = true
           // restore mate-derived flags stripped at encode time
           if ((rec.mateFlags & 0x1) != 0) rec.bf |= 0x1 | 0x20
