@@ -26,7 +26,10 @@ import scala.collection.mutable
   * and the draft 4.0 layout (varint containers, zig-zag signed ids,
   * VARINT/CONST codecs, QO orientation, MD/NM placeholder tags,
   * reference: cram/cram_codecs.c:644-805, cram/cram_decode.c:
-  * 2000-2031,2873) are covered end-to-end by Cram31Spec.
+  * 2000-2031,2873) are covered end-to-end by Cram31Spec. 4.x subset
+  * note: alignment/mate positions are decoded through the 32-bit
+  * path (BAM's own coordinate cap); template length takes the full
+  * 64-bit varint.
   *
   * Scale note: decoding is stream-per-file with bounded memory (one
   * container at a time); the reference FASTA is loaded once per reader
