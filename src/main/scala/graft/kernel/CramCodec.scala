@@ -673,7 +673,28 @@ object CramCodec {
   // ------------------------------------------------------------------
 
   /** Plain (optionally gzipped) FASTA → name → upper-case base array. */
+  /** Process-wide reference cache: at cluster scale an executor runs
+    * many CRAM tasks against the same FASTA (a mammalian genome is
+    * ~3 GB parsed) — re-reading it per task would dominate decode and
+    * multiply memory. Soft references let the JVM reclaim entries
+    * under pressure; keyed by path, matching htslib's per-process
+    * REF_CACHE behaviour.
+    */
+  private val fastaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Map[String, Array[Byte]]]]
+  private[graft] val fastaLoads = new java.util.concurrent.atomic.AtomicLong // spec hook
+
+  def loadFastaCached(path: String, open: String => InputStream): Map[String, Array[Byte]] = {
+    val cached = Option(fastaCache.get(path)).flatMap(r => Option(r.get))
+    cached.getOrElse {
+      val loaded = loadFasta(open(path))
+      fastaCache.put(path, new java.lang.ref.SoftReference(loaded))
+      loaded
+    }
+  }
+
   def loadFasta(stream: InputStream): Map[String, Array[Byte]] = {
+    fastaLoads.incrementAndGet()
     val src = scala.io.Source.fromInputStream(stream, "US-ASCII")
     val out = mutable.Map.empty[String, Array[Byte]]
     var name: String = null

@@ -286,7 +286,8 @@ class SamPartitionReader(
       new graft.kernel.CramCodec.Reader(
         stream,
         referenceFasta.map { f =>
-          graft.kernel.CramCodec.loadFasta(FileSourceCommon.openStream(f))
+          // process-wide soft cache: one parse per executor, not per task
+          graft.kernel.CramCodec.loadFastaCached(f, FileSourceCommon.openStream)
         },
         part.path, generateMd)
     else null

@@ -63,6 +63,17 @@ class Cram31Spec extends AnyFunSuite {
     }
   }
 
+  test("reference FASTA parses once per process across many CRAM tasks") {
+    val loads0 = graft.kernel.CramCodec.fastaLoads.get()
+    val df = spark.read.format("alignments")
+      .option("reference_fasta", s"$refDir/ce.fa")
+      .load(s"$fixDir/ce1000_v31.cram", s"$fixDir/ce1000_v31_small.cram",
+        s"$fixDir/ce1000_v31_archive.cram", s"$fixDir/ce1000_v40.cram")
+    assert(df.count() == 4000)
+    val loads = graft.kernel.CramCodec.fastaLoads.get() - loads0
+    assert(loads <= 1, s"FASTA parsed $loads times for 4 tasks (cache miss per task)")
+  }
+
   test("CRAM 2.0/2.1 equal the SAM twin (ce#5b), modulo the format's lossy '*' SEQ") {
     // CRAM 2.x has no NO_SEQ record flag: a secondary read with SEQ '*'
     // comes back reference-reconstructed (clips as N) — byte-identical
