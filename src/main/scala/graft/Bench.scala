@@ -194,8 +194,10 @@ object Bench {
             }.toMap
         }.getOrElse(Map.empty)
     // Best-of-N timed passes: steady-state minimum, robust to GC /
-    // scheduler noise on a shared box.
-    var times = Vector.empty[(String, Double)]
+    // scheduler noise on a shared box. `times` min-merges on re-entry
+    // so the escalation re-run below can only improve a row, never
+    // duplicate or regress it.
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var errors = Vector.empty[(String, String)]
     var retries = Vector.empty[(String, (Double, Double))] // first → final
     def timeSet(defs: Seq[QueryDef], reps: Int): Unit = defs.foreach { q =>
@@ -233,7 +235,11 @@ object Bench {
             val first = best
             var extra = 0
             while (best > rb * 1.5 && extra < 3) {
-              Thread.sleep(200)
+              // settle in seconds, not milliseconds (r11 verdict #1:
+              // 200 ms was too short for post-sweep page-cache/JIT/
+              // thermal state — retries converged to 2.2× rolling-best
+              // and the canary recorded the warming-box number anyway)
+              Thread.sleep(1000)
               System.gc()
               best = math.min(best, once())
               extra += 1
@@ -241,13 +247,36 @@ object Bench {
             retries :+= (q.name -> (first, best))
           }
         }
-        times :+= (q.name -> best)
+        times(q.name) = math.min(times.getOrElse(q.name, Double.MaxValue), best)
       } catch {
         case e: Throwable =>
           errors :+= (q.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }
     }
     timeSet(layerA, reps = 3)
+    // Escalation (r11 verdict #1: "the canary must escalate, not
+    // capitulate"). The r11 record carried warming-box Layer-A rows at
+    // 1.4–2.2× rolling-best because the per-row retry loop (3× with a
+    // sub-second settle) cannot outwait page-cache/JIT/thermal state
+    // left by the preceding sweep. If any Layer-A row lands >1.25× its
+    // committed quiet number: re-check the quiet gate, settle for
+    // SECONDS, and re-run the whole Layer-A sub-suite (min-merged) —
+    // up to twice. Rows still elevated after that are marked `suspect`
+    // in the JSON rather than recorded as if they were the real number.
+    def elevatedLayerA(): Seq[String] = layerA.map(_.name).filter { n =>
+      rollingBest.get(n).exists(rb => times.get(n).exists(_ > rb * 1.25))
+    }
+    var escalations = 0
+    while (elevatedLayerA().nonEmpty && escalations < 2) {
+      escalations += 1
+      var w = 0
+      while ((foreignJvms().nonEmpty || busyForeign().nonEmpty) && w < 60) {
+        Thread.sleep(5000); w += 5
+      }
+      Thread.sleep(5000)
+      System.gc()
+      timeSet(layerA, reps = 3)
+    }
     timeSet(heavy, reps = 2)
     // Bucketed-at-rest quartet (standing path, r8 verdict #1): layout
     // build is ingest-side cost reported separately; the quartet times
@@ -270,6 +299,62 @@ object Bench {
       }
       timeSet(bucketed, reps = 3)
     }
+    // ===== sf1 Layer-A tier (r11 verdict #8) =====
+    // The 2× DuckDB gate was proven only at sf0.1; this records the
+    // same 7 queries at a derived sf1 (ScaleUp ×10: key-shifted
+    // disjoint replicas, the linear scaling TPC-H itself uses) so the
+    // Layer-A scale story is a committed artifact, like y05/y06/y09
+    // did for the heavy suite. DuckDB's sf1 denominators below were
+    // measured on the same derived files with the committed oracle
+    // SQL (best-of-3, quiet box — see BASELINE.md "sf1 Layer-A tier");
+    // both engines' numbers land in the JSON. Derive-once contract
+    // mirrors BenchHeavy.amplifiedDir; only at the driver's sf0.1 tier
+    // (a derived input dir would compound amplifications).
+    val sf1On = sys.env.getOrElse("SPARK_GRAFT_SF1", "true") != "false" &&
+      new java.io.File(sfDir).getName == "sf0.1"
+    // tools/duck_sf100.py on the identical derived files: 32 threads,
+    // CTAS sink (the generous-to-DuckDB choice — a Python fetchall sink
+    // would charge it 17 s just to materialize a08's 10M rows, SCALE.md
+    // round-5), best-of-3 after warm-up. Re-measure when the derivation
+    // or the oracle SQL changes.
+    val duckdbSf1: Map[String, Double] = Map(
+      "a01_parquet_scan" -> 0.018, "a04_filter" -> 0.041,
+      "a06_join_agg" -> 0.098, "a08_self_join" -> 0.215,
+      "a11_groupby_agg" -> 0.052, "a16_window_count" -> 0.098,
+      "a19_rank_frame" -> 0.276)
+    var sf1Times = Vector.empty[(String, Double)]
+    var sf1Errors = Vector.empty[(String, String)]
+    if (sf1On) {
+      val sf1Dir = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft_bench_sf1_" +
+          new java.io.File(sfDir).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_"))
+      this.synchronized {
+        if (!new java.io.File(sf1Dir, "lineitem.parquet").exists())
+          graft.tools.ScaleUp.deriveTables(spark, sfDir,
+            sf1Dir.getAbsolutePath, 10,
+            Some(Set("customer", "orders", "lineitem")))
+      }
+      val d1 = sf1Dir.getAbsolutePath
+      layerA.foreach { q => // warm-up pass, same contract as the main suite
+        try q.impl(spark, d1).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        System.gc()
+      }
+      layerA.foreach { q =>
+        try {
+          System.gc()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            q.impl(spark, d1).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          sf1Times :+= (q.name -> (1 to 3).map(_ => once()).min)
+        } catch {
+          case e: Throwable => sf1Errors :+= (q.name ->
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      }
+    }
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -287,7 +372,26 @@ object Bench {
     val aj = ambientJvms.map(jq).mkString("[", ",", "]")
     val rj = retries.map { case (k, (f, fin)) =>
       s"${jq(k)}:{${jq("first")}:$f,${jq("final")}:$fin}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"bucketed_total":$bucketedTotal,"bucketed_build_sec":$bucketedBuild,"ambient_jvms":$aj,"quiet_wait_sec":$quietWaited,"canary_retries":$rj,"queries":$qs,"errors":$es,"sf":${jq(sfDir)}}""")
+    // Suspect rows (r11 verdict #1): a recorded time still above its
+    // committed rolling-best after every retry/escalation is flagged,
+    // never silently recorded as the real number. Layer-A rows use the
+    // tight 1.25× bound (they got the escalation re-runs); other
+    // tracked rows the 1.5× canary bound.
+    val suspect = times.collect {
+      case (k, v) if rollingBest.get(k).exists(rb =>
+        v > rb * (if (layerANames(k)) 1.25 else 1.5)) => k
+    }.toSeq
+    val sj = suspect.map(jq).mkString("[", ",", "]")
+    val sf1Section = if (sf1On) {
+      val q1 = sf1Times.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+      val e1 = sf1Errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+      val dq = duckdbSf1.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+      val t1 = sf1Times.map(_._2).sum
+      val dt = duckdbSf1.values.sum
+      s""","sf1_layer_a":{"total":$t1,"duckdb_total":$dt,"queries":$q1,"duckdb":$dq,"errors":$e1}"""
+    } else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"bucketed_total":$bucketedTotal,"bucketed_build_sec":$bucketedBuild,"ambient_jvms":$aj,"quiet_wait_sec":$quietWaited,"escalations":$escalations,"suspect":$sj,"canary_retries":$rj,"queries":$qs,"errors":$es$sf1Section,"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }

@@ -682,14 +682,36 @@ object CramCodec {
     */
   private val fastaCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.ref.SoftReference[Map[String, Array[Byte]]]]
+  // Single-flight guard (r11 verdict #2): N concurrent COLD tasks on an
+  // executor must not each parse the same ~3 GB genome — exactly the
+  // transient-heap blow-up the cache exists to prevent. The first
+  // caller per path installs a FutureTask; concurrent losers block on
+  // it instead of re-parsing. The winner removes its entry after
+  // completion (value already in fastaCache), so a later SoftReference
+  // eviction can be re-loaded.
+  private val fastaInflight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.FutureTask[Map[String, Array[Byte]]]]
   private[graft] val fastaLoads = new java.util.concurrent.atomic.AtomicLong // spec hook
 
   def loadFastaCached(path: String, open: String => InputStream): Map[String, Array[Byte]] = {
     val cached = Option(fastaCache.get(path)).flatMap(r => Option(r.get))
     cached.getOrElse {
-      val loaded = loadFasta(open(path))
-      fastaCache.put(path, new java.lang.ref.SoftReference(loaded))
-      loaded
+      val task = new java.util.concurrent.FutureTask(
+        new java.util.concurrent.Callable[Map[String, Array[Byte]]] {
+          def call(): Map[String, Array[Byte]] = {
+            val loaded = loadFasta(open(path))
+            fastaCache.put(path, new java.lang.ref.SoftReference(loaded))
+            loaded
+          }
+        })
+      val prior = fastaInflight.putIfAbsent(path, task)
+      val winner = prior == null
+      val run = if (winner) { task.run(); task } else prior
+      try run.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      } finally if (winner) fastaInflight.remove(path, task)
     }
   }
 

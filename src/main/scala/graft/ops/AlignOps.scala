@@ -385,6 +385,11 @@ object AlignOps {
   /** align_bowtie2 harness: pipes FASTA/FASTQ through an external
     * bowtie2 process per partition (reference: src/Bowtie2Aligner.hpp
     * pipe-deadlock-avoidant design → ProcessBuilder + reader thread).
+    * Input format follows the reference's batch rules
+    * (src/Bowtie2Aligner.cpp:380-455, 533-543): FASTQ when any query
+    * in the batch carries a non-empty `quality1`, else FASTA (`-f`);
+    * a `sequence2` column switches to paired mode — records stream as
+    * `--interleaved -` R1/R2 pairs with `/1`//`/2` id suffixes.
     * Errors when the binary is absent — probe with bowtie2_available()
     * (reference: src/align_bowtie2.cpp:257-259).
     */
@@ -405,11 +410,41 @@ object AlignOps {
     val rc = new ProcessBuilder(bt2Build, "-q", fasta, s"$tmp/index")
       .inheritIO().start().waitFor()
     require(rc == 0, s"bowtie2-build failed with exit code $rc")
-    val rdd = queries.select("read_id", "sequence1").rdd.mapPartitions { rows =>
+    val qCols = queries.columns.toSet
+    val paired = qCols.contains("sequence2")
+    val hasQualCol = qCols.contains("quality1")
+    val sel = Seq("read_id", "sequence1") ++
+      (if (paired) Seq("sequence2") else Nil) ++
+      (if (hasQualCol) Seq("quality1") else Nil) ++
+      (if (hasQualCol && paired) Seq("quality2") else Nil)
+    val rdd = queries.select(sel.head, sel.tail: _*).rdd.mapPartitions { rows =>
+      // buffer the batch: the FASTA/FASTQ decision needs the whole
+      // batch (reference has_quality_scores scans every record before
+      // the process starts) — partitions here play the role of the
+      // reference's SequenceRecordBatch
+      val batch = rows.toArray
+      def qual(r: Row, field: String): String =
+        if (!hasQualCol) "" else {
+          val i = r.fieldIndex(field)
+          if (r.isNullAt(i)) "" else r.getString(i)
+        }
+      val useFastq = hasQualCol && batch.exists(r => qual(r, "quality1").nonEmpty)
+      val fmtArgs = if (useFastq) Seq.empty else Seq("-f")
+      val inArgs = if (paired) Seq("--interleaved", "-") else Seq("-U", "-")
       val out = new scala.collection.mutable.ArrayBuffer[Row]()
-      val res = PipeHarness.pipeFasta(
-        Seq(bt2, "-x", s"$tmp/index", "-f", "-U", "-", "--quiet", "--no-head"),
-        rows.map(r => (r.getString(0), r.getString(1))),
+      def writeRec(w: java.io.Writer, id: String, seq: String, q: String): Unit =
+        if (useFastq) { w.write("@" + id + "\n" + seq + "\n+\n" + q + "\n") }
+        else { w.write(">" + id + "\n" + seq + "\n") }
+      val res = PipeHarness.pipe(
+        Seq(bt2, "-x", s"$tmp/index") ++ fmtArgs ++ inArgs ++
+          Seq("--quiet", "--no-head"),
+        w => batch.foreach { r =>
+          val id = r.getString(0)
+          if (paired) {
+            writeRec(w, id + "/1", r.getString(1), qual(r, "quality1"))
+            writeRec(w, id + "/2", r.getString(2), qual(r, "quality2"))
+          } else writeRec(w, id, r.getString(1), qual(r, "quality1"))
+        },
         line => {
           val rec = graft.kernel.SamCodec.parseLine(line, includeSeqQual = false)
           out += Row(rec.readId, rec.flags, rec.reference, rec.position,

@@ -12,14 +12,16 @@ import org.apache.spark.sql.types._
   * means; pinned end-to-end by l21's generative oracle). AUDIO
   * payloads are decoded for real too (kernel/AudioCodec.scala —
   * `javax.sound.sampled`, pure JDK: WAV/AIFF/AU PCM → format + exact
-  * sample statistics; pinned by l22). VIDEO has no JDK codec and
-  * requires native libraries that are OUT OF SCOPE in this
-  * environment — `fakeDecode` below is the clearly-marked
-  * deterministic FALLBACK for it (and for undecodable image/audio
-  * bytes). Everything around it — the schema, the binary payload
-  * handling, the partition-batched mapPartitions shape, and the
-  * metadata struct — is the real distributed plumbing a real codec
-  * binds into (one codec setup per task, not per row).
+  * sample statistics; pinned by l22). VIDEO is decoded for real as of
+  * r12 (kernel/VideoCodec.scala — pure-JVM AVI/RIFF box walk; MJPEG
+  * and motion-PNG frame payloads decode through ImageCodec, so
+  * keyframe extraction and perceptual dHash reuse the image kernel;
+  * pinned by l83's generative oracle). `fakeDecode` below remains
+  * only as the deterministic fallback for UNDECODABLE payloads of any
+  * kind. The surrounding shape — schema, binary payload handling, the
+  * partition-batched mapPartitions, the metadata struct — is the real
+  * distributed plumbing any further native codec binds into (one
+  * codec setup per task, not per row).
   */
 object Multimodal {
 
@@ -59,14 +61,14 @@ object Multimodal {
       duration_ms: Option[Long], mean_amp: Option[Double], peak_abs: Option[Int],
       feature: Array[Double])
 
-  /** STUB for the one kind the JDK has no codec for (video), and the
-    * fallback for undecodable image/audio bytes. A real implementation
-    * would replace this body with the native codec call; the
-    * partition-batched iterator shape (no per-row JNI setup, bounded
-    * memory) is the part under test.
+  /** Fallback for UNDECODABLE payloads only (every declared kind —
+    * image, audio, video — has a real pure-JVM decoder as of r12): a
+    * deterministic byte-level feature so corrupt media still yields a
+    * row rather than an error, mirroring how the curation rules treat
+    * undecodable text.
     */
   private def fakeDecode(payload: Array[Byte]): Array[Double] = {
-    // ??? real audio/video codec goes here — fake: normalized 4-bin byte histogram
+    // normalized 4-bin byte histogram — byte-level, no codec
     val bins = new Array[Double](4)
     if (payload != null) {
       var i = 0
@@ -110,14 +112,17 @@ object Multimodal {
           val aud =
             if (m.kind == "audio") graft.kernel.AudioCodec.decode(m.payload)
             else None
-          (img, aud) match {
-            case (Some(d), _) =>
+          val vid =
+            if (m.kind == "video") graft.kernel.VideoCodec.probe(m.payload)
+            else None
+          (img, aud, vid) match {
+            case (Some(d), _, _) =>
               MediaFeatures(m.media_id, m.kind, nBytes, checksum,
                 Some(d.width), Some(d.height),
                 Some(d.meanR), Some(d.meanG), Some(d.meanB),
                 None, None, None, None, None, None,
                 Array(d.meanR / 255.0, d.meanG / 255.0, d.meanB / 255.0))
-            case (_, Some(a)) =>
+            case (_, Some(a), _) =>
               val n = a.nFrames * a.channels
               val mean = if (n == 0) 0.0 else a.sumSamples.toDouble / n
               MediaFeatures(m.media_id, m.kind, nBytes, checksum,
@@ -125,6 +130,19 @@ object Multimodal {
                 Some(a.channels), Some(a.sampleRate), Some(a.nFrames),
                 Some(a.durationMs), Some(mean), Some(a.peakAbs),
                 Array(mean / 32768.0, a.peakAbs / 32768.0))
+            case (_, _, Some(v)) =>
+              // real container decode: dims + frame count + duration
+              // from avih; channel means from the FIRST keyframe (the
+              // thumbnail convention), decoded through ImageCodec
+              val first = graft.kernel.VideoCodec.frames(m.payload)
+                .headOption.flatMap(graft.kernel.ImageCodec.decode)
+              MediaFeatures(m.media_id, m.kind, nBytes, checksum,
+                Some(v.width), Some(v.height),
+                first.map(_.meanR), first.map(_.meanG), first.map(_.meanB),
+                None, None, Some(v.nFrames.toLong), Some(v.durationMs),
+                None, None,
+                first.map(d => Array(d.meanR / 255.0, d.meanG / 255.0,
+                  d.meanB / 255.0)).getOrElse(Array.empty[Double]))
             case _ =>
               MediaFeatures(m.media_id, m.kind, nBytes, checksum,
                 None, None, None, None, None,
@@ -263,6 +281,58 @@ object Multimodal {
       .withColumn("group_n", count(lit(1)).over(w))
       .withColumn("is_dup", col("media_id") =!= min(col("media_id")).over(w))
       .select(col("media_id"), col("sig"), col("group_n"), col("is_dup"))
+  }
+
+  /** Deterministic motion-PNG AVI media table: one short clip per
+    * documents row (doc_id < limit), container layout and every frame
+    * pixel a generative formula of (id, frame, x, y) — the l21/l56
+    * fixture pattern extended with a frame axis. PNG frames are
+    * lossless, so l83's DuckDB oracle re-derives the per-frame dHash
+    * from the formula alone while the Spark side round-trips through
+    * a REAL AVI encode (VideoCodec) + RIFF walk + PNG decode.
+    * `contentMod` folds ids onto shared payloads (planted duplicate
+    * clips for the dedup fixtures — the syntheticImages convention).
+    */
+  def syntheticVideos(docs: DataFrame, limit: Long,
+      contentMod: Long = 0L): DataFrame = {
+    val mk = udf((rawId: Long) => {
+      val id = if (contentMod > 0) rawId % contentMod else rawId
+      val w = (3 + id % 6).toInt
+      val h = (3 + id % 4).toInt
+      val nf = (2 + id % 3).toInt
+      graft.kernel.VideoCodec.encodeMpngAvi(w, h, nf, 40000L, (f, x, y) => {
+        val r = ((id * 7 + f * 41 + x * 13 + y * 31) % 256).toInt
+        val g = ((id * 11 + f * 43 + x * 17 + y * 5) % 256).toInt
+        val b = ((id * 3 + f * 47 + x * 29 + y * 23) % 256).toInt
+        (r << 16) | (g << 8) | b
+      })
+    })
+    docs.filter(col("doc_id") < limit)
+      .select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        mk(col("doc_id")).as("payload"))
+  }
+
+  // public: Catalyst's generated (de)serializer code must access it
+  case class FrameHash(frame_no: Int, dhash: Long)
+
+  /** Per-video keyframe perceptual hashes: RIFF-walk each payload,
+    * keep every `everyN`-th frame, dHash56 each through the REAL
+    * image decode. Returns (media_id, frame_no, dhash) — one row per
+    * sampled keyframe; non-decodable payloads/frames are dropped.
+    * Map-only: frames never leave their task; only (long, int, long)
+    * rows reach downstream shuffles, so the l56 banded-LSH dedup
+    * machinery consumes this directly at corpus scale.
+    */
+  def videoKeyframeDHash(media: DataFrame, everyN: Int = 1): DataFrame = {
+    require(everyN >= 1, "everyN must be >= 1")
+    val fx = udf((p: Array[Byte]) =>
+      graft.kernel.VideoCodec.frames(p).zipWithIndex.collect {
+        case (fb, i) if i % everyN == 0 =>
+          graft.kernel.ImageCodec.dHash56(fb).map(FrameHash(i, _))
+      }.flatten)
+    media.select(col("media_id"), explode(fx(col("payload"))).as("fh"))
+      .select(col("media_id"), col("fh.frame_no").as("frame_no"),
+        col("fh.dhash").as("dhash"))
   }
 
   /** Perceptual near-duplicate image pairs: dHash56, banded into

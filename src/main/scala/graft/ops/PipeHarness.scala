@@ -24,6 +24,18 @@ object PipeHarness {
     * reference tolerates).
     */
   def pipeFasta(cmd: Seq[String], records: Iterator[(String, String)],
+      onLine: String => Unit, stderrTailBytes: Int = 8192): PipeResult =
+    pipe(cmd, w => records.foreach { case (id, seq) =>
+      w.write('>'); w.write(id); w.write('\n'); w.write(seq); w.write('\n')
+    }, onLine, stderrTailBytes)
+
+  /** General form: `feed` writes the child's whole stdin (FASTA,
+    * FASTQ, interleaved pairs — the caller picks the record format,
+    * matching the reference's write_queries_* family in
+    * src/Bowtie2Aligner.cpp:389-455). Same three-legged deadlock-free
+    * structure as pipeFasta.
+    */
+  def pipe(cmd: Seq[String], feed: java.io.Writer => Unit,
       onLine: String => Unit, stderrTailBytes: Int = 8192): PipeResult = {
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
 
@@ -35,9 +47,7 @@ object PipeHarness {
         new java.io.OutputStreamWriter(proc.getOutputStream,
           java.nio.charset.StandardCharsets.US_ASCII))
       try {
-        records.foreach { case (id, seq) =>
-          w.write('>'); w.write(id); w.write('\n'); w.write(seq); w.write('\n')
-        }
+        feed(w)
         w.close()
       } catch { case _: java.io.IOException => () }
     }, "graft-pipe-writer")

@@ -524,6 +524,24 @@ object BenchHeavy {
           precomputedStats = Some(stats))
       }),
 
+    // x07's 500k twin (r11 verdict #4): HEAVY_BASELINE's x07 DuckDB
+    // denominator is measured at the ×100/500k corpus while x07
+    // benches at DocTarget 50k — the committed ratio paired numbers
+    // from different scales. This row runs the identical scoreAuto
+    // serving shape at the 500k tier, giving the baseline row a
+    // same-scale numerator; x07 keeps the 50k tier with a 50k
+    // denominator re-measured in HEAVY_BASELINE alongside.
+    QueryDef(
+      "y07_lm_score_500k",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", 500000L)
+        val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
+          graft.tools.Amplify.documents(_, f)))
+        val model = graft.ops.LmScore.trainStupidBackoff(
+          graft.ops.Sampling.hashSample(docs, "text", 0.5), "text").cache()
+        graft.ops.LmScore.scoreAuto(docs, model, "doc_id", "text")
+      }),
+
     // The composed ingest pipeline at 500k amplified docs (l76's
     // user-story chain at 10× the gate corpus): curation rules gate →
     // decontamination by span excision (FNV production hash; benchmark

@@ -1298,7 +1298,52 @@ object LayerA2 {
     QueryDef(
       "a75_tpch_suite",
       (s, d) => TpchSuite.run(s, d),
-      Some(TpchSuite.Sql))
+      Some(TpchSuite.Sql)),
+
+    // A76: COUNT(DISTINCT x) OVER (PARTITION BY ...) — DuckDB supports
+    // DISTINCT aggregates as window functions (duckdb window_executor);
+    // Spark does not. The idiomatic composition is
+    // size(collect_set(x)) over the same partition: collect_set
+    // dedups and ignores NULLs exactly as COUNT(DISTINCT) does, and
+    // the frameless partition aggregate stays a single hash-window
+    // pass (no sort) under the installed FramelessWindow strategy.
+    QueryDef(
+      "a76_window_count_distinct",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+        Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          size(collect_set(col("l_suppkey")).over(w)).cast("bigint").as("n_supp"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey) AS n_supp
+             |  FROM lineitem""".stripMargin)),
+
+    // A77: histogram(x) map-typed aggregate (DuckDB's histogram()
+    // returns MAP(x, count)). Spark has no map-typed aggregate; the
+    // composition is a two-level aggregate — groupBy(key, x) count,
+    // then map_from_entries over the key-sorted entry list. The map
+    // itself is built (the operator under test); the dumped comparison
+    // column is its entries array, because the cross-engine hash
+    // compares canonicalized STRUCT lists deterministically while raw
+    // MAP column representations differ between readers. Counts cast
+    // to BIGINT both sides (DuckDB histogram counts are UBIGINT).
+    QueryDef(
+      "a77_histogram_agg",
+      (s, d) => {
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linenumber"))
+          .agg(count(lit(1)).as("value"))
+          .groupBy(col("l_returnflag"))
+          .agg(map_from_entries(sort_array(collect_list(
+            struct(col("l_linenumber").as("key"), col("value"))))).as("h"))
+          .select(col("l_returnflag"), map_entries(col("h")).as("hist"))
+      },
+      Some("""SELECT l_returnflag,
+             |       list_sort(list_transform(map_entries(histogram(l_linenumber)),
+             |                 e -> struct_pack(key := e.key,
+             |                                  value := CAST(e.value AS BIGINT)))) AS hist
+             |  FROM lineitem GROUP BY l_returnflag""".stripMargin))
   )
 
   /** Shared a74 text (dialect intersection, Spark ∩ DuckDB). Lazy:

@@ -3320,6 +3320,61 @@ object LlmPipeline {
              |kept AS (SELECT u.id, u.fp FROM u JOIN rare USING (fp))
              |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_shared
              |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
-             | GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin))
+             | GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin)),
+
+    // Video keyframe perceptual dedup (r11 verdict #6 — the last
+    // faked modality made real): motion-PNG AVI clips generated from
+    // a (id, frame, x, y) pixel formula (VideoCodec encode), RIFF-
+    // walked back to frames, each dHash56'd through the REAL image
+    // decode, then exact keyframe-level dedup over (frame_no, dhash).
+    // PNG frames are lossless, so the oracle re-derives every hash
+    // from the formula alone — the l56 pattern plus a frame axis.
+    // contentMod=60 plants exact duplicate clips under distinct ids.
+    QueryDef(
+      "l83_video_keyframe_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // repartition BEFORE the codec UDFs: the testdata scan is one
+        // row group = one task, which would serialize all 450 AVI
+        // encodes + PNG decodes on a single core (the l21/l56 fixture
+        // generators are light enough not to care; a video clip is
+        // ~3× an image's ImageIO work)
+        val media = Multimodal.syntheticVideos(
+          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+          150, contentMod = 60)
+        val fh = Multimodal.videoKeyframeDHash(media, everyN = 1)
+        val w = Window.partitionBy(col("frame_no"), col("dhash"))
+        fh.select(col("media_id"), col("frame_no").cast("bigint").as("frame_no"),
+            col("dhash"))
+          .withColumn("group_n", count(lit(1)).over(w))
+          .withColumn("is_dup", col("media_id") =!= min(col("media_id")).over(w))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id AS media_id, doc_id % 60 AS cid,
+             |         3 + (doc_id % 60) % 6 AS w, 3 + (doc_id % 60) % 4 AS h,
+             |         2 + (doc_id % 60) % 3 AS nf
+             |    FROM documents WHERE doc_id < 150),
+             |fr AS (
+             |  SELECT media_id, cid, w, h,
+             |         unnest(generate_series(0, nf - 1)) AS f
+             |    FROM g),
+             |hsh AS (
+             |  SELECT media_id, CAST(f AS BIGINT) AS frame_no,
+             |         CAST(list_sum(flatten(list_transform(generate_series(0, 7), x2 ->
+             |           list_transform(generate_series(0, 6), y2 ->
+             |             CASE WHEN
+             |               (299 * ((cid * 7 + f * 41 + (((x2 + 1) * w) // 9) * 13 + ((y2 * h) // 7) * 31) % 256)
+             |                + 587 * ((cid * 11 + f * 43 + (((x2 + 1) * w) // 9) * 17 + ((y2 * h) // 7) * 5) % 256)
+             |                + 114 * ((cid * 3 + f * 47 + (((x2 + 1) * w) // 9) * 29 + ((y2 * h) // 7) * 23) % 256)) // 1000
+             |               >
+             |               (299 * ((cid * 7 + f * 41 + ((x2 * w) // 9) * 13 + ((y2 * h) // 7) * 31) % 256)
+             |                + 587 * ((cid * 11 + f * 43 + ((x2 * w) // 9) * 17 + ((y2 * h) // 7) * 5) % 256)
+             |                + 114 * ((cid * 3 + f * 47 + ((x2 * w) // 9) * 29 + ((y2 * h) // 7) * 23) % 256)) // 1000
+             |             THEN CAST(1 AS BIGINT) << (x2 * 7 + y2) ELSE CAST(0 AS BIGINT) END)))) AS BIGINT) AS dhash
+             |    FROM fr)
+             |SELECT media_id, frame_no, dhash,
+             |       COUNT(*) OVER (PARTITION BY frame_no, dhash) AS group_n,
+             |       media_id <> MIN(media_id) OVER (PARTITION BY frame_no, dhash) AS is_dup
+             |  FROM hsh""".stripMargin))
   )
 }

@@ -29,7 +29,6 @@ object ScaleUp {
     // optional 4th arg: comma-separated table subset (skip re-deriving
     // the multi-GB fact tables when only adding new ones)
     val only = args.lift(3).map(_.split(",").toSet)
-    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,7 +37,17 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    deriveTables(spark, src, dst, n, only)
+    spark.stop()
+  }
 
+  /** Callable core of the derivation (r11 verdict #8: `graft.Bench`
+    * derives its sf1 Layer-A tier in-process — it must not spin or
+    * stop a SparkSession of its own).
+    */
+  def deriveTables(spark: SparkSession, src: String, dst: String, n: Int,
+      only: Option[Set[String]]): Unit = {
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val reps = spark.range(n).toDF("rep")
     // The sf0.1 files are single-row-group = ONE scan partition, so an
     // un-repartitioned crossJoin expands the whole n× replica set in a
@@ -103,6 +112,5 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
       println(s"[scaleup] embeddings -> $dst/embeddings.parquet (x$n, rotated+label-shifted)")
     }
-    spark.stop()
   }
 }

@@ -74,6 +74,41 @@ class Cram31Spec extends AnyFunSuite {
     assert(loads <= 1, s"FASTA parsed $loads times for 4 tasks (cache miss per task)")
   }
 
+  test("cold FASTA cache is single-flight under genuinely concurrent first loads") {
+    // r11 verdict #2: the old get→miss→load→put path let N latch-started
+    // cold tasks EACH parse the genome (N × ~3 GB transient heap at
+    // mammalian scale). Copy the fixture to a fresh path (cold key),
+    // release 8 threads simultaneously, and slow the open() so every
+    // loser arrives while the winner is still parsing — with the old
+    // code this pinned loads == 8.
+    val fresh = java.io.File.createTempFile("graft_sf_race", ".fa")
+    fresh.deleteOnExit()
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$refDir/ce.fa"),
+      fresh.toPath, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val loads0 = graft.kernel.CramCodec.fastaLoads.get()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val open: String => java.io.InputStream = { p =>
+      Thread.sleep(200) // widen the parse window the losers race into
+      new java.io.FileInputStream(p)
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            start.await()
+            graft.kernel.CramCodec.loadFastaCached(fresh.getAbsolutePath, open).size
+          }
+        })
+      }
+      start.countDown()
+      val sizes = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      assert(sizes.distinct.size == 1 && sizes.head > 0)
+    } finally pool.shutdownNow()
+    val loads = graft.kernel.CramCodec.fastaLoads.get() - loads0
+    assert(loads == 1, s"FASTA parsed $loads times under 8 concurrent cold loads")
+  }
+
   test("CRAM 2.0/2.1 equal the SAM twin (ce#5b), modulo the format's lossy '*' SEQ") {
     // CRAM 2.x has no NO_SEQ record flag: a secondary read with SEQ '*'
     // comes back reference-reconstructed (clips as N) — byte-identical
