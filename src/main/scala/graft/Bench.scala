@@ -277,6 +277,87 @@ object Bench {
       System.gc()
       timeSet(layerA, reps = 3)
     }
+    // ===== derived-SF Layer-A tiers (r11 verdict #8) =====
+    // The 2× DuckDB gate was proven only at sf0.1; these record the
+    // same 7 queries at ScaleUp-derived sf1/sf10 (×10/×100 key-shifted
+    // disjoint replicas, the linear scaling TPC-H itself uses) so the
+    // Layer-A scale story is a committed artifact in BOTH directions
+    // of the documented crossover (SCALE.md round-5: DuckDB leads at
+    // sf1 where per-stage overhead still dominates; Spark leads at
+    // sf10). DuckDB denominators below were measured on the identical
+    // derived files with the committed oracle SQL — tools/duck_sf100
+    // .py: 32 threads, CTAS sink (the generous-to-DuckDB choice — a
+    // Python fetchall sink would charge it 17 s just to materialize
+    // a08's 10M rows at sf1), best-of-3 after warm-up. Re-measure when
+    // the derivation or oracle SQL changes. Tiers run HERE, right
+    // after the Layer-A record and before the heavy suite churns the
+    // page cache (the first cut ran them last and recorded a
+    // churn-contaminated 5.2 s sf1). Only at the driver's sf0.1 tier
+    // (a derived input dir would compound amplifications); sf1
+    // derives on demand (~6M rows, seconds), sf10 (60M rows) is
+    // measured only when its dir already exists — deriving it is a
+    // one-time tools/ScaleUp action, not a per-bench cost.
+    val tiersOn = sys.env.getOrElse("SPARK_GRAFT_TIERS", "true") != "false" &&
+      new java.io.File(sfDir).getName == "sf0.1"
+    val duckdbSf1: Map[String, Double] = Map(
+      "a01_parquet_scan" -> 0.018, "a04_filter" -> 0.041,
+      "a06_join_agg" -> 0.098, "a08_self_join" -> 0.215,
+      "a11_groupby_agg" -> 0.052, "a16_window_count" -> 0.098,
+      "a19_rank_frame" -> 0.276)
+    val duckdbSf10: Map[String, Double] = Map(
+      "a01_parquet_scan" -> 0.098, "a04_filter" -> 0.182,
+      "a06_join_agg" -> 0.685, "a08_self_join" -> 2.029,
+      "a11_groupby_agg" -> 0.393, "a16_window_count" -> 1.231,
+      "a19_rank_frame" -> 0.872)
+    def tierDir(tag: String): java.io.File =
+      new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bench_${tag}_" +
+          new java.io.File(sfDir).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_"))
+    def timeTier(d1: String): (Vector[(String, Double)], Vector[(String, String)]) = {
+      var ts = Vector.empty[(String, Double)]
+      var es = Vector.empty[(String, String)]
+      layerA.foreach { q => // warm-up pass, same contract as the main suite
+        try q.impl(spark, d1).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        System.gc()
+      }
+      layerA.foreach { q =>
+        try {
+          System.gc()
+          def once(): Double = {
+            val t0 = System.nanoTime()
+            q.impl(spark, d1).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          ts :+= (q.name -> (1 to 3).map(_ => once()).min)
+        } catch {
+          case e: Throwable => es :+= (q.name ->
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+      }
+      (ts, es)
+    }
+    var sf1Times = Vector.empty[(String, Double)]
+    var sf1Errors = Vector.empty[(String, String)]
+    var sf10Times = Vector.empty[(String, Double)]
+    var sf10Errors = Vector.empty[(String, String)]
+    var sf10On = false
+    if (tiersOn) {
+      val d1 = tierDir("sf1")
+      this.synchronized {
+        if (!new java.io.File(d1, "lineitem.parquet").exists())
+          graft.tools.ScaleUp.deriveTables(spark, sfDir, d1.getAbsolutePath,
+            10, Some(Set("customer", "orders", "lineitem")))
+      }
+      val r1 = timeTier(d1.getAbsolutePath)
+      sf1Times = r1._1; sf1Errors = r1._2
+      val d10 = tierDir("sf10")
+      sf10On = new java.io.File(d10, "lineitem.parquet").exists()
+      if (sf10On) {
+        val r10 = timeTier(d10.getAbsolutePath)
+        sf10Times = r10._1; sf10Errors = r10._2
+      }
+    }
     timeSet(heavy, reps = 2)
     // Bucketed-at-rest quartet (standing path, r8 verdict #1): layout
     // build is ingest-side cost reported separately; the quartet times
@@ -298,62 +379,6 @@ object Bench {
         System.gc()
       }
       timeSet(bucketed, reps = 3)
-    }
-    // ===== sf1 Layer-A tier (r11 verdict #8) =====
-    // The 2× DuckDB gate was proven only at sf0.1; this records the
-    // same 7 queries at a derived sf1 (ScaleUp ×10: key-shifted
-    // disjoint replicas, the linear scaling TPC-H itself uses) so the
-    // Layer-A scale story is a committed artifact, like y05/y06/y09
-    // did for the heavy suite. DuckDB's sf1 denominators below were
-    // measured on the same derived files with the committed oracle
-    // SQL (best-of-3, quiet box — see BASELINE.md "sf1 Layer-A tier");
-    // both engines' numbers land in the JSON. Derive-once contract
-    // mirrors BenchHeavy.amplifiedDir; only at the driver's sf0.1 tier
-    // (a derived input dir would compound amplifications).
-    val sf1On = sys.env.getOrElse("SPARK_GRAFT_SF1", "true") != "false" &&
-      new java.io.File(sfDir).getName == "sf0.1"
-    // tools/duck_sf100.py on the identical derived files: 32 threads,
-    // CTAS sink (the generous-to-DuckDB choice — a Python fetchall sink
-    // would charge it 17 s just to materialize a08's 10M rows, SCALE.md
-    // round-5), best-of-3 after warm-up. Re-measure when the derivation
-    // or the oracle SQL changes.
-    val duckdbSf1: Map[String, Double] = Map(
-      "a01_parquet_scan" -> 0.018, "a04_filter" -> 0.041,
-      "a06_join_agg" -> 0.098, "a08_self_join" -> 0.215,
-      "a11_groupby_agg" -> 0.052, "a16_window_count" -> 0.098,
-      "a19_rank_frame" -> 0.276)
-    var sf1Times = Vector.empty[(String, Double)]
-    var sf1Errors = Vector.empty[(String, String)]
-    if (sf1On) {
-      val sf1Dir = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft_bench_sf1_" +
-          new java.io.File(sfDir).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_"))
-      this.synchronized {
-        if (!new java.io.File(sf1Dir, "lineitem.parquet").exists())
-          graft.tools.ScaleUp.deriveTables(spark, sfDir,
-            sf1Dir.getAbsolutePath, 10,
-            Some(Set("customer", "orders", "lineitem")))
-      }
-      val d1 = sf1Dir.getAbsolutePath
-      layerA.foreach { q => // warm-up pass, same contract as the main suite
-        try q.impl(spark, d1).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        System.gc()
-      }
-      layerA.foreach { q =>
-        try {
-          System.gc()
-          def once(): Double = {
-            val t0 = System.nanoTime()
-            q.impl(spark, d1).write.format("noop").mode("overwrite").save()
-            (System.nanoTime() - t0) / 1e9
-          }
-          sf1Times :+= (q.name -> (1 to 3).map(_ => once()).min)
-        } catch {
-          case e: Throwable => sf1Errors :+= (q.name ->
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      }
     }
     def jq(s: String): String =
       "\"" + s.flatMap {
@@ -382,16 +407,18 @@ object Bench {
         v > rb * (if (layerANames(k)) 1.25 else 1.5)) => k
     }.toSeq
     val sj = suspect.map(jq).mkString("[", ",", "]")
-    val sf1Section = if (sf1On) {
-      val q1 = sf1Times.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-      val e1 = sf1Errors.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
-      val dq = duckdbSf1.toSeq.sortBy(_._1)
+    def tierSection(tag: String, ts: Vector[(String, Double)],
+        es2: Vector[(String, String)], duck: Map[String, Double]): String = {
+      val q1 = ts.map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
+      val e1 = es2.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
+      val dq = duck.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jq(k)}:$v" }.mkString("{", ",", "}")
-      val t1 = sf1Times.map(_._2).sum
-      val dt = duckdbSf1.values.sum
-      s""","sf1_layer_a":{"total":$t1,"duckdb_total":$dt,"queries":$q1,"duckdb":$dq,"errors":$e1}"""
-    } else ""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"bucketed_total":$bucketedTotal,"bucketed_build_sec":$bucketedBuild,"ambient_jvms":$aj,"quiet_wait_sec":$quietWaited,"escalations":$escalations,"suspect":$sj,"canary_retries":$rj,"queries":$qs,"errors":$es$sf1Section,"sf":${jq(sfDir)}}""")
+      s""","$tag":{"total":${ts.map(_._2).sum},"duckdb_total":${duck.values.sum},"queries":$q1,"duckdb":$dq,"errors":$e1}"""
+    }
+    val tierSections =
+      (if (tiersOn) tierSection("sf1_layer_a", sf1Times, sf1Errors, duckdbSf1) else "") +
+      (if (sf10On) tierSection("sf10_layer_a", sf10Times, sf10Errors, duckdbSf10) else "")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","layer_a_total":$layerATotal,"heavy_total":$heavyTotal,"bucketed_total":$bucketedTotal,"bucketed_build_sec":$bucketedBuild,"ambient_jvms":$aj,"quiet_wait_sec":$quietWaited,"escalations":$escalations,"suspect":$sj,"canary_retries":$rj,"queries":$qs,"errors":$es$tierSections,"sf":${jq(sfDir)}}""")
     spark.stop()
   }
 }

@@ -123,14 +123,31 @@ object LayerA1 {
           .join(broadcast(c), col("c_custkey") === col("o_custkey"), "leftsemi")
           .select("o_orderkey")
         val ordersBytes = Tables.orders(s, d).queryExecution.optimizedPlan.stats.sizeInBytes
+        // Three regimes on the ORDER-KEY-SET size (r12 re-probe,
+        // tools/A06Probe at the re-derived sf10 with a 32g heap):
+        //  - tiny (sf0.1): broadcast-inner on the key set — one
+        //    map-side BHJ + partial agg, no exchange of lineitem.
+        //  - mid (sf10, ~3M keys = 24 MB broadcast): broadcast the key
+        //    set as a SEMI filter, then aggregate the ~1/5 surviving
+        //    rows grouping on l_orderkey — the exchange carries only
+        //    partial-agg rows. Measured 2.51 s min / 2.86 s avg vs the
+        //    old double-SHUFFLE_HASH's 2.67 / 4.61 (its full-lineitem
+        //    exchange thrashes the page cache; the r7 numbers that
+        //    picked SHJ were measured under an 8g heap).
+        //  - huge (sf100+, key set outgrows a sane broadcast): SHJ on
+        //    the orderkey, size-gated so sf1000+ degrades to SMJ.
+        // The mid gate is pessimistic: FULL orders row count × 8 bytes
+        // (as if every key survived the segment filter) must fit 256MB.
+        val ordersRowsEst = ordersBytes / 128 // ~128 B/row in orders
         val joined =
           if (ordersBytes < BigInt(64L << 20))
             Tables.lineitem(s, d).join(broadcast(ok), col("l_orderkey") === col("o_orderkey"))
+          else if (ordersRowsEst * 8 < BigInt(256L << 20))
+            Tables.lineitem(s, d)
+              .join(broadcast(ok), col("l_orderkey") === col("o_orderkey"), "leftsemi")
+              .select(col("l_orderkey").as("o_orderkey"),
+                col("l_extendedprice"), col("l_discount"))
           else
-            // build side is the key set `ok`; gate the hint on it so a
-            // corpus where even the KEY SET outgrows per-partition
-            // memory (derived sf1000+) degrades to sort-merge instead
-            // of dying in the hash build
             shjIfFits(Tables.lineitem(s, d), ok)
               .join(shjIfFits(ok, ok), col("l_orderkey") === col("o_orderkey"))
         joined

@@ -1343,8 +1343,48 @@ object LayerA2 {
              |       list_sort(list_transform(map_entries(histogram(l_linenumber)),
              |                 e -> struct_pack(key := e.key,
              |                                  value := CAST(e.value AS BIGINT)))) AS hist
-             |  FROM lineitem GROUP BY l_returnflag""".stripMargin))
+             |  FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // A78: UNION (ALL) BY NAME — DuckDB matches union branches by
+    // column NAME (filling absent columns with NULL); Spark's
+    // unionByName(allowMissingColumns = true) is the same operator.
+    // Branches deliberately swap column order and drop one column.
+    QueryDef(
+      "a78_union_by_name",
+      (s, d) => {
+        val x = Tables.customer(s, d).select(
+          col("c_custkey").as("k"), col("c_nationkey").as("nk"),
+          col("c_acctbal").as("bal"))
+        val y = Tables.supplier(s, d).select(
+          col("s_nationkey").as("nk"), col("s_suppkey").as("k"))
+        x.unionByName(y, allowMissingColumns = true)
+      },
+      Some("""SELECT c_custkey AS k, c_nationkey AS nk, c_acctbal AS bal
+             |  FROM customer
+             |UNION ALL BY NAME
+             |SELECT s_nationkey AS nk, s_suppkey AS k FROM supplier""".stripMargin)),
+
+    // A79: named WINDOW clause (SQL:2003) — one SQL text, both
+    // engines; two window functions share the same named spec, so the
+    // planner evaluates them in a single window pass.
+    QueryDef(
+      "a79_named_window",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("a79_orders")
+        s.sql(NamedWindowSql.replace("FROM orders", "FROM a79_orders"))
+      },
+      Some(NamedWindowSql))
   )
+
+  /** Shared a79 text (dialect intersection). Lazy: referenced from the
+    * `queries` val above, which initializes first in declaration order. */
+  private lazy val NamedWindowSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(RANK() OVER w AS BIGINT) AS rnk,
+      |       COUNT(*) OVER w AS running_n
+      |  FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin
 
   /** Shared a74 text (dialect intersection, Spark ∩ DuckDB). Lazy:
     * referenced from the `queries` val above, which initializes first

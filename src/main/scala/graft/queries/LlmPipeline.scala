@@ -925,6 +925,41 @@ object LlmPipeline {
              |   AND epoch_us(e.ts) < epoch_us(c.ts) + 300000000
              | WHERE c.event_type = 'click' AND e.event_type = 'error'""".stripMargin)),
 
+    // 2H: streaming exact-ID dedup run in BATCH mode — the batch twin
+    // of EventStreams.dedupeWithinWatermark (the streaming variant,
+    // dropDuplicatesWithinWatermark + watermark-bounded state, is
+    // driven in EventStreamsSpec with a MemoryStream). A %7 slice of
+    // the feed is replayed (identical rows — the close-in-time
+    // duplicate arrivals the watermark horizon is sized for), then
+    // per-day windows report total vs surviving-unique counts.
+    // dropDuplicates keeps an arbitrary row per key, but duplicates
+    // are exact copies, so every surviving (event_id, ts) — and hence
+    // the window assignment — is deterministic.
+    QueryDef(
+      "h08_stream_dedup_rate",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("event_id"), col("ts"))
+        val feed = ev.unionAll(ev.filter(pmod(col("event_id"), lit(7)) === 0))
+        val totals = feed.groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n_total"))
+        val uniq = feed.dropDuplicates("event_id")
+          .groupBy(window(col("ts"), "1 day").as("w"))
+          .agg(count(lit(1)).as("n_unique"))
+        totals.join(uniq, "w")
+          .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+              .as("window_start"),
+            col("n_total"), col("n_unique"))
+      },
+      Some("""WITH feed AS (
+             |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+             |  UNION ALL
+             |  SELECT event_id, CAST(ts AS TIMESTAMP) FROM events WHERE event_id % 7 = 0)
+             |SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S')
+             |         AS window_start,
+             |       COUNT(*) AS n_total,
+             |       COUNT(DISTINCT event_id) AS n_unique
+             |  FROM feed GROUP BY 1""".stripMargin)),
+
     // Mergeable theta (KMV) distinct sketches — kernel/Sketches.scala.
     // All four sketch queries run in the UNSATURATED regime (distinct
     // values < k), where the sketch algebra is EXACT by construction,
