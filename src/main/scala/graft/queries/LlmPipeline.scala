@@ -3410,6 +3410,87 @@ object LlmPipeline {
              |SELECT media_id, frame_no, dhash,
              |       COUNT(*) OVER (PARTITION BY frame_no, dhash) AS group_n,
              |       media_id <> MIN(media_id) OVER (PARTITION BY frame_no, dhash) AS is_dup
-             |  FROM hsh""".stripMargin))
+             |  FROM hsh""".stripMargin)),
+
+    // WARC → html_to_text ingest (the raw front door of a web-scale
+    // corpus): a per-record-gzip WARC fixture generated
+    // deterministically from documents (the b-row pattern: fixture
+    // derived from the tables, oracle re-derives from the tables and
+    // never touches the file), read back through the `warc` DataSource
+    // (HTTP split: status/content-type from the header block, payload
+    // = body), then boilerplate-stripped by the SHARED Html.Steps
+    // regex chain — column expressions in Spark, the identical
+    // regexp_replace chain in DuckDB (Html.htmlToTextSql), so the
+    // extraction itself is cross-engine-verified, not just the
+    // container round-trip. Driver-side fixture write is 120 rows
+    // (bounded by the doc_id filter + limit guard).
+    QueryDef(
+      "l84_warc_html_ingest",
+      (s, d) => {
+        val path = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_l84_" + new java.io.File(d).getAbsolutePath
+            .replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz")
+        this.synchronized {
+          if (!path.exists()) {
+            val rows = Tables.documents(s, d).filter(col("doc_id") < 120)
+              .select(col("doc_id"), col("text")).limit(200).collect()
+            val out = new java.io.FileOutputStream(path)
+            try graft.kernel.WarcCodec.write(out,
+              rows.sortBy(_.getLong(0)).iterator.map { r =>
+                val id = r.getLong(0)
+                val html = WarcHtmlParts(0) + id + WarcHtmlParts(1) + id +
+                  WarcHtmlParts(2) + id + WarcHtmlParts(3) + r.getString(1) +
+                  WarcHtmlParts(4)
+                val http = WarcHttpHeader + html
+                (Seq(
+                  "WARC-Type" -> "response",
+                  "WARC-Target-URI" -> s"https://example.org/doc/$id",
+                  "WARC-Date" -> "2026-01-01T00:00:00Z",
+                  "WARC-Record-ID" -> s"<urn:graft:$id>",
+                  "Content-Type" -> "application/http;msgtype=response"),
+                  http.getBytes("UTF-8"))
+              }, gzipPerRecord = true)
+            finally out.close()
+          }
+        }
+        s.read.format("warc").load(path.getAbsolutePath)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("bigint").as("doc_id"),
+            col("warc_type"), col("http_status"), col("http_content_type"),
+            col("content_length"),
+            graft.ops.Html.htmlToText(decode(col("payload"), "UTF-8"))
+              .as("text_out"))
+      },
+      Some {
+        val p = WarcHtmlParts.map(_.replace("'", "''"))
+        s"""WITH g AS (
+           |  SELECT doc_id,
+           |         '${p(0)}' || doc_id || '${p(1)}' || doc_id || '${p(2)}' ||
+           |         doc_id || '${p(3)}' || text || '${p(4)}' AS html
+           |    FROM documents WHERE doc_id < 120)
+           |SELECT doc_id, 'response' AS warc_type, CAST(200 AS INTEGER) AS http_status,
+           |       'text/html; charset=utf-8' AS http_content_type,
+           |       CAST(${WarcHttpHeader.length} + strlen(html) AS BIGINT) AS content_length,
+           |       ${graft.ops.Html.htmlToTextSql("html")} AS text_out
+           |  FROM g""".stripMargin
+      })
   )
+
+  /** l84's shared HTML template (Scala fixture writer and DuckDB oracle
+    * concatenate the same five literals around doc_id/text), plus the
+    * fixed HTTP header block whose byte length the oracle needs for
+    * content_length. The template deliberately plants the hazards the
+    * extractor must survive: a `<` inside script code, an HTML comment,
+    * and a named entity in visible text.
+    */
+  private lazy val WarcHtmlParts: IndexedSeq[String] = IndexedSeq(
+    "<html><head><title>Doc ",
+    "</title><style>body { color: red; }</style>" +
+      "<script>if (1 < 2) { var x = 1; }</script></head><body><h1>Doc ",
+    "</h1><!-- crawl ",
+    " --><p>Q&amp;A: ",
+    "</p></body></html>")
+  private lazy val WarcHttpHeader: String =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
 }
