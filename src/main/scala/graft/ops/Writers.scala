@@ -425,4 +425,68 @@ object Writers {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // COPY WARC (LLM-pipeline surface — pairs with the `warc` source)
+  // ------------------------------------------------------------------
+
+  /** Row → WARC record: `target_uri` + binary `payload` mandatory;
+    * `warc_type`/`content_type`/`warc_date`/`record_id` override the
+    * defaults when present as columns. Raw record writer — HTTP
+    * wrapping (if wanted) is the caller's payload to build.
+    */
+  private def warcRecord(r: Row, names: Set[String]): (Seq[(String, String)], Array[Byte]) = {
+    def opt(c: String, dflt: String): String =
+      if (names(c) && !r.isNullAt(r.fieldIndex(c))) r.getAs[String](c) else dflt
+    val payload = r.getAs[Array[Byte]]("payload")
+    (Seq(
+      "WARC-Type" -> opt("warc_type", "resource"),
+      "WARC-Target-URI" -> r.getAs[String]("target_uri"),
+      "WARC-Date" -> opt("warc_date", "1970-01-01T00:00:00Z"),
+      "WARC-Record-ID" -> opt("record_id", "<urn:graft:record>"),
+      "Content-Type" -> opt("content_type", "application/octet-stream")),
+      if (payload == null) Array.empty[Byte] else payload)
+  }
+
+  /** Single-file COPY WARC (driver-streamed, bounded memory). A `.gz`
+    * path writes one gzip member per record (Common Crawl convention).
+    */
+  def copyWarc(df: DataFrame, path: String): Unit = {
+    val names = df.schema.fieldNames.toSet
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.setWriteChecksum(false)
+    val out = fs.create(p, true)
+    val gz = path.endsWith(".gz")
+    try {
+      val it = df.toLocalIterator()
+      graft.kernel.WarcCodec.write(out,
+        new Iterator[(Seq[(String, String)], Array[Byte])] {
+          def hasNext = it.hasNext
+          def next() = warcRecord(it.next(), names)
+        }, gzipPerRecord = gz)
+    } finally out.close()
+  }
+
+  /** Sharded COPY WARC: one file per non-empty partition — the shape a
+    * 100 TB export actually uses (crawl convention: many ~1 GB
+    * .warc.gz files). `pathTemplate` must contain {SHARD}.
+    */
+  def copyWarcSharded(df: DataFrame, pathTemplate: String): Unit = {
+    requireShardToken(pathTemplate)
+    val names = df.schema.fieldNames.toSet
+    val conf = serializableConf(df)
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val path = shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId())
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf.value)
+        fs.setWriteChecksum(false)
+        val out = fs.create(p, true)
+        try graft.kernel.WarcCodec.write(out,
+          rows.map(warcRecord(_, names)), gzipPerRecord = path.endsWith(".gz"))
+        finally out.close()
+      }
+    }
+  }
 }

@@ -3477,6 +3477,43 @@ object LlmPipeline {
       })
   )
 
+  /** l85 appended separately below (COPY WARC round-trip). */
+  val copyQueries: Seq[QueryDef] = Seq(
+    // COPY WARC → warc-source read-back round-trip: the export side of
+    // the l84 ingest pair. documents rows become resource records
+    // (headers built from columns, payload = UTF-8 text) written as
+    // SHARDED per-record-gzip files by the executors — the a73/a40
+    // COPY pattern applied to the crawl container. The read-back must
+    // reproduce (doc_id, text) exactly; oracle = the documents table
+    // itself, which never touches the files.
+    QueryDef(
+      "l85_warc_copy_roundtrip",
+      (s, d) => {
+        val dir = new java.io.File(sys.props("java.io.tmpdir"),
+          "graft_l85_" + new java.io.File(d).getAbsolutePath
+            .replaceAll("[^A-Za-z0-9]", "_"))
+        dir.mkdirs()
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+          .select(
+            concat(lit("https://example.org/doc/"), col("doc_id")).as("target_uri"),
+            lit("resource").as("warc_type"),
+            lit("text/plain; charset=utf-8").as("content_type"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .repartition(4)
+        graft.ops.Writers.copyWarcSharded(docs,
+          dir.getAbsolutePath + "/part-{SHARD}.warc.gz")
+        s.read.format("warc").load(dir.getAbsolutePath + "/part-*.warc.gz")
+          .select(
+            regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+              .cast("bigint").as("doc_id"),
+            col("warc_type"), col("content_type"),
+            decode(col("payload"), "UTF-8").as("text"))
+      },
+      Some("""SELECT doc_id, 'resource' AS warc_type,
+             |       'text/plain; charset=utf-8' AS content_type, text
+             |  FROM documents WHERE doc_id < 200""".stripMargin))
+  )
+
   /** l84's shared HTML template (Scala fixture writer and DuckDB oracle
     * concatenate the same five literals around doc_id/text), plus the
     * fixed HTTP header block whose byte length the oracle needs for
