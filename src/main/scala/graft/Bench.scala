@@ -176,7 +176,7 @@ object Bench {
       "x15_ingest_pipeline" -> 6.48, "x16_ivf_serve_partitioned" -> 1.91,
       "x17_winnow_pairs" -> 3.26,
       "y05_line_dedup_500k" -> 2.61, "y06_dup_spans_500k" -> 5.81,
-      "y09_bm25_topk_500k" -> 5.05,
+      "y07_lm_score_500k" -> 4.01, "y09_bm25_topk_500k" -> 5.05,
       "k06_bucketed_join_agg" -> 0.184, "k08_bucketed_self_join" -> 0.091,
       "k16_bucketed_window_count" -> 0.074, "k19_bucketed_rank_frame" -> 0.099,
       "k71_bucketed_semdedup" -> 1.33)

@@ -63,7 +63,7 @@ class WarcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRe
   override def name(): String = s"warc(${options.get("path")})"
   override def schema(): StructType = WarcTable.schema(includeFilepath)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(opts)
 }
@@ -94,6 +94,40 @@ class WarcScan(options: Map[String, String], required: StructType)
         new WarcPartitionReader(p.asInstanceOf[WarcFilePartition], req)
     }
   }
+
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(options, this)
+}
+
+/** Streaming crawl ingest: each micro-batch picks up WARC files that
+  * arrived since the last one — the continuous-corpus front door
+  * (a crawler drops finished .warc.gz shards into a directory; the
+  * ingest DAG streams them through html_to_text → quality → dedup).
+  * Same file-snapshot offset contract as the fastx stream: a committed
+  * (start, end] range always maps to end.files − start.files, so
+  * replay after failure re-reads the identical file set.
+  */
+class WarcMicroBatchStream(options: Map[String, String], scan: WarcScan)
+    extends streaming.MicroBatchStream {
+
+  private def currentFiles: Seq[String] =
+    FileSourceCommon.expandPathsLenient(FileSourceCommon.pathSpec(options, "warc"))
+
+  override def initialOffset(): streaming.Offset = FileSnapshotOffset(Seq.empty)
+  override def latestOffset(): streaming.Offset = FileSnapshotOffset(currentFiles.sorted)
+  override def deserializeOffset(json: String): streaming.Offset =
+    FileSnapshotOffset.fromJson(json)
+
+  override def planInputPartitions(
+      start: streaming.Offset, end: streaming.Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[FileSnapshotOffset].files.toSet
+    end.asInstanceOf[FileSnapshotOffset].files
+      .filterNot(seen).sorted.map(WarcFilePartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = scan.createReaderFactory()
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class WarcPartitionReader(part: WarcFilePartition, required: StructType)
