@@ -164,22 +164,27 @@ object Bench {
       "a06_join_agg" -> 0.297, "a08_self_join" -> 0.247,
       "a11_groupby_agg" -> 0.174, "a16_window_count" -> 0.233,
       "a19_rank_frame" -> 0.197,
+      // r12 refresh: the r11 constants for several heavy rows were
+      // themselves contaminated-box samples (y06 committed 5.81 vs the
+      // r11 judge's independent 1.20 s) — every entry below is this
+      // round's closing quiet run +~5% headroom, with the amplified
+      // bench dirs warm (the state a driver round also sees).
       "l12_dedup_clusters" -> 0.80, "l18_repetition_signals" -> 0.17,
-      "l20_semantic_dedup" -> 0.66,
-      "x01_align_throughput" -> 0.25, "x02_rype_throughput" -> 0.40,
-      "x03_minhash" -> 3.11, "x04_ivf_ann" -> 1.57,
-      "x05_line_dedup" -> 1.41, "x06_dup_spans" -> 0.84,
-      "x07_lm_score" -> 1.06, "x08_dedup_incremental" -> 3.26,
-      "x09_bm25_topk" -> 1.53, "x10_image_dhash" -> 0.71,
+      "l20_semantic_dedup" -> 0.52,
+      "x01_align_throughput" -> 0.21, "x02_rype_throughput" -> 0.27,
+      "x03_minhash" -> 2.21, "x04_ivf_ann" -> 1.18,
+      "x05_line_dedup" -> 0.95, "x06_dup_spans" -> 0.66,
+      "x07_lm_score" -> 0.99, "x08_dedup_incremental" -> 2.60,
+      "x09_bm25_topk" -> 1.18, "x10_image_dhash" -> 0.65,
       "x11_pagerank" -> 4.60, "x12_tokenize_pack" -> 3.95,
       "x13_exact_substr" -> 0.84, "x14_semdedup" -> 2.65,
-      "x15_ingest_pipeline" -> 6.48, "x16_ivf_serve_partitioned" -> 1.91,
-      "x17_winnow_pairs" -> 3.26,
-      "y05_line_dedup_500k" -> 2.61, "y06_dup_spans_500k" -> 5.81,
+      "x15_ingest_pipeline" -> 6.48, "x16_ivf_serve_partitioned" -> 1.26,
+      "x17_winnow_pairs" -> 1.83,
+      "y05_line_dedup_500k" -> 1.44, "y06_dup_spans_500k" -> 1.65,
       "y07_lm_score_500k" -> 4.01, "y09_bm25_topk_500k" -> 5.05,
       "k06_bucketed_join_agg" -> 0.184, "k08_bucketed_self_join" -> 0.091,
       "k16_bucketed_window_count" -> 0.074, "k19_bucketed_rank_frame" -> 0.099,
-      "k71_bucketed_semdedup" -> 1.33)
+      "k71_bucketed_semdedup" -> 1.21)
     val rollingBest: Map[String, Double] =
       rollingBestCommitted ++ sys.env.get("SPARK_GRAFT_ROLLING_BEST")
         .map { path =>
