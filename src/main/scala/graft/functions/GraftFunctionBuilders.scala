@@ -150,6 +150,16 @@ object GraftFunctionBuilders {
         case Seq() => Literal(MiintRegistry.bowtie2Available())
         case other => throw new IllegalArgumentException(
           s"bowtie2_available expects 0 arguments, got ${other.length}")
+      }),
+    // html_to_text as raw catalyst: the same ops/Html.Steps chain the
+    // Column API builds, nested RegExpReplace — codegen'd, no UDF
+    Fn("html_to_text",
+      "html_to_text(html) - strip scripts/styles/comments/tags, decode entities, collapse whitespace",
+      arity1("html_to_text") { arg =>
+        import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringTrim}
+        StringTrim(graft.ops.Html.Steps.foldLeft(arg) { case (e, (p, r)) =>
+          RegExpReplace(e, Literal(p), Literal(r))
+        })
       }))
 
   val all: Seq[Fn] = cigarFns ++ sequenceFns ++ flagFns ++ otherFns

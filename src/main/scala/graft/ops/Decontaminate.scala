@@ -31,6 +31,31 @@ object Decontaminate {
   private val ngramsUdf = udf((text: String, n: Int) =>
     TextKernel.wordNgrams(text, n))
 
+  /** Embedding-space (semantic) decontamination: flag corpus vectors
+    * whose cosine to ANY benchmark vector reaches `tau` — the check
+    * n-gram overlap misses when the leak is a paraphrase (SemDeDup /
+    * Phi-style decontamination). Returns every corpus row as
+    * (id, max_cos, contaminated).
+    *
+    * Scale shape: the benchmark side is model-sized (eval suites) and
+    * is BROADCAST; the corpus side streams map-only through the
+    * broadcast nested-loop scoring, and the per-vector max folds in
+    * the partial (map-side) aggregate — the exchange carries one
+    * partial row per corpus vector, never the corpus×benchmark
+    * cross product.
+    */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, embCol: String, tau: Double): DataFrame = {
+    val bench = broadcast(
+      benchmark.select(col(embCol).as("__bench_emb")))
+    corpus.select(col(idCol).as("id"), col(embCol).as("__emb"))
+      .join(bench)
+      .groupBy(col("id"))
+      .agg(max(Similarity.cosine(col("__emb"), col("__bench_emb"))).as("max_cos"))
+      .select(col("id"), col("max_cos"),
+        (col("max_cos") >= tau).as("contaminated"))
+  }
+
   /** (doc_id, fp): per-document distinct n-gram fingerprints. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =

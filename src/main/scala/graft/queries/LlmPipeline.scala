@@ -3477,6 +3477,37 @@ object LlmPipeline {
       })
   )
 
+  /** Embedding-space decontamination (l86): the paraphrase-leak check
+    * the n-gram overlap family (l23/l33/l74) misses — every corpus
+    * vector scored by max cosine against a broadcast benchmark slice,
+    * flagged at tau. Oracle re-derives the exact double arithmetic
+    * (the l05 convention: same left-to-right dot fold both engines,
+    * 6-dp round).
+    */
+  val semanticQueries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "l86_semantic_decontamination",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        graft.ops.Decontaminate.semanticDecontaminate(
+            emb, emb.filter(col("vec_id") % 97 === 0), "vec_id", "embedding",
+            tau = 0.8)
+          .select(col("id"), round(col("max_cos"), 6).as("max_cos"),
+            col("contaminated"))
+      },
+      Some(s"""WITH bench AS (
+              |  SELECT embedding AS bemb FROM embeddings WHERE vec_id % 97 = 0),
+              |scored AS (
+              |  SELECT c.vec_id AS id,
+              |         MAX(${duckDot("c.embedding", "bemb")} /
+              |             (sqrt(${duckDot("c.embedding", "c.embedding")}) *
+              |              sqrt(${duckDot("bemb", "bemb")}))) AS max_cos
+              |    FROM embeddings c, bench GROUP BY c.vec_id)
+              |SELECT id, ROUND(max_cos, 6) AS max_cos,
+              |       max_cos >= 0.8 AS contaminated
+              |  FROM scored""".stripMargin))
+  )
+
   /** l85 appended separately below (COPY WARC round-trip). */
   val copyQueries: Seq[QueryDef] = Seq(
     // COPY WARC → warc-source read-back round-trip: the export side of
