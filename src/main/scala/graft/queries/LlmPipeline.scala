@@ -3508,6 +3508,34 @@ object LlmPipeline {
               |  FROM scored""".stripMargin))
   )
 
+  /** BPE lossless round-trip (l87): train real merges, encode with
+    * the SentencePiece word-start marker, decode through pure column
+    * expressions — the decoded text must equal the tokenizer's
+    * normalized form, which the oracle re-derives INDEPENDENTLY with
+    * a lower+whitespace-collapse that never touches the tokenizer.
+    * One corrupted piece (dropped char, duplicated symbol, bad merge)
+    * across any of the corpus' distinct words fails the hash.
+    */
+  val bpeRoundTripQueries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "l87_bpe_roundtrip",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        // 100 merges: the round-trip property is merge-count-
+        // independent (every merge table partitions each word), and
+        // training is the row's dominant cost at the sweep tier
+        val merges = BpeTrainer.trainMergesAuto(docs, "text", 100, minFreq = 2)
+        BpeTrainer.encodeMarked(docs, "doc_id", "text", merges)
+          .select(col("doc_id"),
+            BpeTrainer.decodeMarked(col("bpe_tokens")).as("decoded"))
+      },
+      Some(s"""SELECT doc_id,
+              |       trim(regexp_replace(lower(text),
+              |                           '[${graft.kernel.TextKernel.WsChars}]+',
+              |                           ' ', 'g')) AS decoded
+              |  FROM documents""".stripMargin))
+  )
+
   /** l85 appended separately below (COPY WARC round-trip). */
   val copyQueries: Seq[QueryDef] = Seq(
     // COPY WARC → warc-source read-back round-trip: the export side of
