@@ -26,6 +26,35 @@ object Sampling {
   def hashBucket(key: Column): Column =
     coalesce(conv(substring(md5(key), 1, 8), 16, 10).cast("long") % 10000, lit(0L))
 
+  /** Deterministic fixed-QUOTA sample: exactly min(k, |group|) rows
+    * per group, selected by md5-hash order with id tie-break — the
+    * reproducible form of per-stratum reservoir sampling (identical
+    * selection on every run and every engine; rate-based hashSample
+    * cannot promise an exact count). Scale shape: the per-group top-k
+    * rides the O(k)-state [[graft.functions.TopKAgg]] — map-side
+    * partial keeps k candidates per group per task, so the exchange
+    * carries O(k · groups · partitions) rows, never the corpus; no
+    * per-group sort, no full-window materialization.
+    *
+    * The hash is the md5-60 family truncated to 52 bits: the
+    * aggregate scores in DOUBLE, and 60 bits past the 53-bit mantissa
+    * would order differently from an oracle's integer compare.
+    *
+    * Returns (grp, id, rk) with rk 1..k in (hash DESC, id ASC) order.
+    */
+  def quotaSample(docs: DataFrame, groupCol: String, idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"quota k must be >= 1, got $k")
+    val h = shiftright(Dedup.md5Hash60(col(idCol).cast("string")), 8)
+    docs.select(col(groupCol).as("grp"), col(idCol).as("id"), h.as("h"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.TopKAgg.topKBy(col("h").cast("double"), col("id"), k)
+        .as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), col("col.id").as("id"),
+        (col("pos") + 1).cast("long").as("rk"))
+  }
+
   /** Keep rows whose hash bucket falls under rate (0.0-1.0), resolved
     * at 1/10000 granularity.
     */

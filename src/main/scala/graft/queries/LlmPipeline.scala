@@ -3505,7 +3505,26 @@ object LlmPipeline {
               |    FROM embeddings c, bench GROUP BY c.vec_id)
               |SELECT id, ROUND(max_cos, 6) AS max_cos,
               |       max_cos >= 0.8 AS contaminated
-              |  FROM scored""".stripMargin))
+              |  FROM scored""".stripMargin)),
+
+    // Deterministic fixed-quota per-stratum sample (l88): exactly
+    // min(k, |group|) docs per language by md5-hash order — the
+    // reproducible reservoir. Spark side rides the O(k)-state TopKAgg
+    // (exchange = k candidates per group per task, never the corpus);
+    // the oracle re-derives the hash order with a plain window.
+    QueryDef(
+      "l88_quota_sample",
+      (s, d) => Sampling.quotaSample(
+        Tables.documents(s, d), "lang", "doc_id", k = 50),
+      Some("""WITH h AS (
+             |  SELECT lang AS grp, doc_id AS id,
+             |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) // 256 AS h
+             |    FROM documents),
+             |r AS (
+             |  SELECT grp, id,
+             |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h DESC, id) AS rk
+             |    FROM h)
+             |SELECT grp, id, rk FROM r WHERE rk <= 50""".stripMargin))
   )
 
   /** BPE lossless round-trip (l87): train real merges, encode with
