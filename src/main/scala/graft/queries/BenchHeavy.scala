@@ -394,6 +394,29 @@ object BenchHeavy {
           .groupBy(col("dhash")).agg(count(lit(1)).as("n"))
       }),
 
+    // Video keyframe-dHash throughput (r12 — the x10 contract for the
+    // video path): 50k motion-PNG AVI clips (2-4 frames each) derived
+    // once into a cached parquet, then RIFF-walk + per-frame PNG
+    // decode + dHash + exact keyframe-group dedup. Measures the whole
+    // container path (box walk, frame extraction, ImageIO decode) per
+    // round; l83 is the correctness twin. contentMod folds ids so
+    // hash groups exist without a pathological collision cluster.
+    QueryDef(
+      "x18_video_keyframes",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget)
+        val docs =
+          if (f <= 1) Tables.documents(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+            graft.tools.Amplify.documents(_, f)))
+        val media = s.read.parquet(cachedDir(d, s"vidmedia_x$f")(
+          graft.ops.Multimodal.syntheticVideos(docs, Long.MaxValue,
+            contentMod = 20000)))
+        graft.ops.Multimodal.videoKeyframeDHash(media, everyN = 1)
+          .groupBy(col("frame_no"), col("dhash")).agg(count(lit(1)).as("n"))
+      }),
+
     // Link-graph PageRank at 500k nodes / 1.5M edges, 5 iterations —
     // tracks the one-shuffle-per-iteration claim (GraphRank scaladoc)
     // as a wall-time number. The hub edge (src % 1024) skews in-degree
