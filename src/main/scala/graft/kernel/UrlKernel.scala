@@ -81,6 +81,67 @@ object UrlKernel {
     }
   }
 
+  /** Path part of a URL ("/" when empty); null when unparseable. */
+  def path(url: String): String = url match {
+    case null => null
+    case _ => url.trim match {
+      case UrlRe(_, _, p, _) => if (p == null || p.isEmpty) "/" else p
+      case _ => null
+    }
+  }
+
+  /** robots.txt rules applicable to `agent`: ordered (allow, prefix)
+    * directives from every group whose User-agent matches `agent` or
+    * `*` (RFC 9309 grouping: consecutive User-agent lines open one
+    * group; comments stripped; empty Disallow = allow-all = no rule).
+    * Wildcards/$ anchors are NOT interpreted (prefix-match subset —
+    * the common case; documented).
+    */
+  def robotsRules(txt: String, agent: String): Array[(Boolean, String)] = {
+    if (txt == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
+    var applies = false
+    var inAgentRun = false
+    for (raw <- txt.split("\r?\n")) {
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val i = line.indexOf(':')
+        if (i > 0) {
+          val k = line.substring(0, i).trim.toLowerCase
+          val v = line.substring(i + 1).trim
+          k match {
+            case "user-agent" =>
+              if (!inAgentRun) applies = false // a new group starts
+              inAgentRun = true
+              if (v == "*" || v.equalsIgnoreCase(agent)) applies = true
+            case "allow" | "disallow" =>
+              inAgentRun = false
+              if (applies && v.nonEmpty) out += ((k == "allow", v))
+            case _ => inAgentRun = false
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** RFC 9309 decision: longest matching prefix wins; Allow wins a
+    * length tie; no matching rule = allowed.
+    */
+  def robotsAllowed(rules: Array[(Boolean, String)], urlPath: String): Boolean = {
+    if (urlPath == null) return true
+    var bestLen = -1
+    var bestAllow = true
+    for ((allow, prefix) <- rules if urlPath.startsWith(prefix)) {
+      if (prefix.length > bestLen ||
+          (prefix.length == bestLen && allow && !bestAllow)) {
+        bestLen = prefix.length
+        bestAllow = allow
+      }
+    }
+    bestAllow
+  }
+
   /** Registrable domain of a host: the last two labels, or the last
     * three when the two-label suffix is a known ccSLD (shop.co.uk →
     * shop.co.uk, www.site.example.com → example.com). Hosts with

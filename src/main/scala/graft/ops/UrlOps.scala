@@ -33,6 +33,39 @@ object UrlOps {
   /** Registrable domain of a host (public-suffix-aware heuristic). */
   def registeredDomain(c: Column): Column = regDomainUdf(c)
 
+  /** robots.txt compliance gate (RFC 9309 prefix subset): join each
+    * URL's host to its robots.txt content and decide allow/deny by
+    * longest-matching-prefix (Allow wins ties; hosts with no robots
+    * row are allowed). Adds a `robots_allowed` column.
+    *
+    * Scale shape: the robots table is one small row per HOST
+    * (crawl-politeness state is host-cardinality, not page-
+    * cardinality) — broadcast; the decision itself is a map-only UDF
+    * with a per-task memo of parsed rule sets keyed by the robots
+    * text, so each host's file parses once per task, not once per
+    * page.
+    */
+  def robotsFilter(df: DataFrame, urlCol: String, robots: DataFrame,
+      hostCol: String = "host", txtCol: String = "robots_txt",
+      agent: String = "*"): DataFrame = {
+    val decideFn = new ((String, String) => Boolean) with Serializable {
+      @transient private lazy val memo =
+        new java.util.concurrent.ConcurrentHashMap[String, Array[(Boolean, String)]]()
+      def apply(txt: String, url: String): Boolean = {
+        if (txt == null) return true
+        val rules = memo.computeIfAbsent(txt, UrlKernel.robotsRules(_, agent))
+        UrlKernel.robotsAllowed(rules, UrlKernel.path(url))
+      }
+    }
+    val decideUdf = udf(decideFn)
+    df.join(broadcast(robots.select(col(hostCol).as("__r_host"),
+        col(txtCol).as("__r_txt"))),
+        urlHost(col(urlCol)) === col("__r_host"), "left")
+      .withColumn("robots_allowed",
+        coalesce(decideUdf(col("__r_txt"), col(urlCol)), lit(true)))
+      .drop("__r_host", "__r_txt")
+  }
+
   /** Adds norm_url, host, domain columns derived from `urlCol`. */
   def withUrlColumns(df: DataFrame, urlCol: String): DataFrame =
     df.withColumn("norm_url", normalizeUrl(col(urlCol)))

@@ -3524,7 +3524,46 @@ object LlmPipeline {
              |  SELECT grp, id,
              |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h DESC, id) AS rk
              |    FROM h)
-             |SELECT grp, id, rk FROM r WHERE rk <= 50""".stripMargin))
+             |SELECT grp, id, rk FROM r WHERE rk <= 50""".stripMargin)),
+
+    // robots.txt compliance gate (l89): per-host robots content is
+    // GENERATED from the host number (three user-agent groups — a
+    // non-matching specific agent, the applicable '*' group with an
+    // Allow/Disallow longest-match tie case and a host-varying rule,
+    // and a trailing blanket-deny group for a different agent), URLs
+    // from documents hit five path shapes. The REAL parser + RFC 9309
+    // longest-match decision runs Spark-side; the oracle knows the
+    // generative rule table and re-derives each decision as a CASE —
+    // any parser grouping/precedence bug flips a decision and fails
+    // the hash.
+    QueryDef(
+      "l89_robots_gate",
+      (s, d) => {
+        val hostNo = pmod(col("doc_id"), lit(20))
+        val urls = Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("https://h"), hostNo.cast("string"), lit(".example.org"),
+            element_at(array(lit("/private/ok/page"), lit("/private/secret"),
+              lit("/x0/a"), lit("/public/a"), lit("/x1/b")),
+              (pmod(col("doc_id"), lit(5)) + 1).cast("int"))).as("url"))
+        val robots = s.range(20).select(
+          concat(lit("h"), col("id").cast("string"), lit(".example.org")).as("host"),
+          concat(
+            lit("User-agent: crawler\nDisallow: /never\n\n" +
+              "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /x"),
+            pmod(col("id"), lit(3)).cast("string"),
+            lit("\n\nUser-agent: other\nDisallow: /\n")).as("robots_txt"))
+        graft.ops.UrlOps.robotsFilter(urls, "url", robots)
+          .select(col("doc_id"), col("robots_allowed"))
+      },
+      Some("""SELECT doc_id,
+             |       CASE doc_id % 5
+             |         WHEN 0 THEN true
+             |         WHEN 1 THEN false
+             |         WHEN 2 THEN (doc_id % 20) % 3 <> 0
+             |         WHEN 3 THEN true
+             |         ELSE (doc_id % 20) % 3 <> 1
+             |       END AS robots_allowed
+             |  FROM documents""".stripMargin))
   )
 
   /** BPE lossless round-trip (l87): train real merges, encode with

@@ -85,4 +85,56 @@ class UrlOpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(out == Set(3L))
   }
+
+  test("robotsRules: grouping, agent match, comments, empty Disallow") {
+    import graft.kernel.UrlKernel.{robotsRules, robotsAllowed}
+    val txt =
+      """# header comment
+        |User-agent: googlebot
+        |User-agent: mybot
+        |Disallow: /both   # trailing comment
+        |
+        |User-agent: *
+        |Disallow: /a
+        |Allow: /a/ok
+        |Disallow:
+        |
+        |User-agent: other
+        |Disallow: /
+        |""".stripMargin
+    // '*' agent: only the middle group applies; empty Disallow = no rule
+    assert(robotsRules(txt, "anybot").toSeq ==
+      Seq((false, "/a"), (true, "/a/ok")))
+    // a named agent matches BOTH its consecutive-user-agent group and '*'
+    assert(robotsRules(txt, "mybot").toSeq ==
+      Seq((false, "/both"), (false, "/a"), (true, "/a/ok")))
+    assert(robotsRules(txt, "other").toSeq ==
+      Seq((false, "/a"), (true, "/a/ok"), (false, "/")))
+    assert(robotsRules(null, "*").isEmpty)
+  }
+
+  test("robotsAllowed: longest match wins, Allow wins ties, no rule = allow") {
+    import graft.kernel.UrlKernel.robotsAllowed
+    val rules = Array((false, "/a"), (true, "/a/ok"), (false, "/a/ok/no"))
+    assert(!robotsAllowed(rules, "/a/x"))
+    assert(robotsAllowed(rules, "/a/ok/page"))
+    assert(!robotsAllowed(rules, "/a/ok/no/deep"))
+    assert(robotsAllowed(rules, "/elsewhere"))
+    assert(robotsAllowed(Array.empty, "/a"))
+    // Allow wins a same-length tie regardless of rule order
+    assert(robotsAllowed(Array((false, "/t"), (true, "/t")), "/t/x"))
+    assert(robotsAllowed(Array((true, "/t"), (false, "/t")), "/t/x"))
+  }
+
+  test("robotsFilter: hosts without a robots row are allowed") {
+    import spark.implicits._
+    val urls = Seq((1L, "https://a.org/private/x"), (2L, "https://b.org/private/x"))
+      .toDF("doc_id", "url")
+    val robots = Seq(("a.org", "User-agent: *\nDisallow: /private\n"))
+      .toDF("host", "robots_txt")
+    val out = UrlOps.robotsFilter(urls, "url", robots)
+      .select("doc_id", "robots_allowed").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(out == Map(1L -> false, 2L -> true))
+  }
 }
