@@ -3563,7 +3563,25 @@ object LlmPipeline {
              |         WHEN 3 THEN true
              |         ELSE (doc_id % 20) % 3 <> 1
              |       END AS robots_allowed
-             |  FROM documents""".stripMargin))
+             |  FROM documents""".stripMargin)),
+
+    // Aho–Corasick multi-keyword tagging (l90): one O(|text|) scan for
+    // the whole term list. Oracle re-derives each count with the SQL
+    // replace-arithmetic (non-overlapping == all-positions for these
+    // borderless terms); a failure-link or output-merge bug changes a
+    // count and fails the hash.
+    QueryDef(
+      "l90_keyword_tags",
+      (s, d) => graft.ops.KeywordTag.tagKeywords(
+        Tables.documents(s, d), "doc_id", "text",
+        Seq("table", "spark", "window", "fast", "the")),
+      Some("""WITH t(term) AS (VALUES ('table'),('spark'),('window'),('fast'),('the')),
+             |hits AS (
+             |  SELECT doc_id, term,
+             |         CAST((strlen(lower(text)) - strlen(replace(lower(text), term, '')))
+             |              // strlen(term) AS BIGINT) AS n
+             |    FROM documents, t)
+             |SELECT doc_id, term, n FROM hits WHERE n > 0""".stripMargin))
   )
 
   /** BPE lossless round-trip (l87): train real merges, encode with
