@@ -3581,7 +3581,29 @@ object LlmPipeline {
              |         CAST((strlen(lower(text)) - strlen(replace(lower(text), term, '')))
              |              // strlen(term) AS BIGINT) AS n
              |    FROM documents, t)
-             |SELECT doc_id, term, n FROM hits WHERE n > 0""".stripMargin))
+             |SELECT doc_id, term, n FROM hits WHERE n > 0""".stripMargin)),
+
+    // Streaming heavy-hitters per event-time window (h09): the
+    // Misra–Gries aggregate (mergeable TypedImperativeAggregate,
+    // O(k) state — the l29 sketch) under a window groupBy, i.e. the
+    // per-window trending-items monitor a feed pipeline runs; the
+    // identical agg works under a watermarked streaming window
+    // (spec twin). Oracle is exact because event_type cardinality is
+    // far below k (the unsaturated-regime convention of l26–l31).
+    QueryDef(
+      "h09_stream_heavy_hitters",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(Sketches.freqItems(col("event_type"), 64).as("fi"))
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"), expr("inline(fi)"))
+          .select(col("window_start"), col("item").as("event_type"),
+            col("count_min").as("n")),
+      Some("""SELECT strftime(time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)),
+             |                '%Y-%m-%d %H:%M:%S') AS window_start,
+             |       event_type, COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2""".stripMargin))
   )
 
   /** BPE lossless round-trip (l87): train real merges, encode with
