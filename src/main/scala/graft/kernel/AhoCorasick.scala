@@ -13,16 +13,41 @@ package graft.kernel
   * needing non-overlapping counts (the SQL `replace`-based oracle
   * convention) should use borderless terms or dedup positions.
   *
-  * The goto maps are BOXED (`Character → Integer`) on purpose: with
-  * `HashMap[Char, Int]` Scala auto-unboxes a missing key's null to 0
-  * — every miss silently aliased the root state and the trie never
-  * grew (caught by the l90 oracle on first contact).
+  * The frozen transition tables are per-state SORTED parallel
+  * (char[], int[]) arrays probed by binary search: no per-char boxing
+  * (a HashMap[Char, Int] transition made the scan no faster than the
+  * per-term indexOf loop it exists to beat — and Scala silently
+  * unboxes a missing boxed-Int key's null to 0, aliasing every miss
+  * to the root state; caught by the l90 oracle), ~1–2 compares for
+  * typical 1–2-transition states, and memory O(edges) rather than the
+  * O(states × alphabet) of a dense DFA (a 100k-term blocklist stays
+  * megabytes).
   */
 final class AhoCorasick private (
     val terms: Array[String],
-    gotoMap: Array[java.util.HashMap[Character, Integer]],
+    chars: Array[Array[Char]], // per-state sorted transition chars
+    nexts: Array[Array[Int]], // parallel target states
     fail: Array[Int],
     outs: Array[Array[Int]]) extends Serializable {
+
+  private def step(state: Int, c: Char): Int = {
+    var s = state
+    while (true) {
+      val cs = chars(s)
+      var lo = 0
+      var hi = cs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val mc = cs(mid)
+        if (mc == c) return nexts(s)(mid)
+        else if (mc < c) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (s == 0) return 0
+      s = fail(s)
+    }
+    0 // unreachable
+  }
 
   /** Per-term occurrence counts over `text` (all end positions). */
   def countMatches(text: String): Array[Int] = {
@@ -32,13 +57,7 @@ final class AhoCorasick private (
     var i = 0
     val n = text.length
     while (i < n) {
-      val c = Character.valueOf(Character.toLowerCase(text.charAt(i)))
-      var nxt = gotoMap(s).get(c)
-      while (nxt == null && s != 0) {
-        s = fail(s)
-        nxt = gotoMap(s).get(c)
-      }
-      s = if (nxt == null) 0 else nxt.intValue()
+      s = step(s, Character.toLowerCase(text.charAt(i)))
       val o = outs(s)
       var j = 0
       while (j < o.length) { counts(o(j)) += 1; j += 1 }
@@ -57,7 +76,7 @@ object AhoCorasick {
     val terms = rawTerms.iterator.filter(t => t != null && t.nonEmpty)
       .map(_.toLowerCase).distinct.toArray
     val gotoBuf = scala.collection.mutable.ArrayBuffer(
-      new java.util.HashMap[Character, Integer]())
+      new java.util.TreeMap[Character, Integer]())
     val outBuf = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[Int])
     // goto trie
@@ -68,7 +87,7 @@ object AhoCorasick {
         val nxt = gotoBuf(s).get(c)
         s = if (nxt != null) nxt.intValue()
         else {
-          gotoBuf += new java.util.HashMap[Character, Integer]()
+          gotoBuf += new java.util.TreeMap[Character, Integer]()
           outBuf += scala.collection.mutable.ArrayBuffer.empty[Int]
           gotoBuf(s).put(c, Integer.valueOf(gotoBuf.length - 1))
           gotoBuf.length - 1
@@ -96,6 +115,18 @@ object AhoCorasick {
         outBuf(t) ++= outBuf(fail(t))
       }
     }
-    new AhoCorasick(terms, gotoBuf.toArray, fail, outBuf.map(_.toArray).toArray)
+    // freeze: TreeMap iteration is key-sorted → sorted parallel arrays
+    val chars = new Array[Array[Char]](nStates)
+    val nexts = new Array[Array[Int]](nStates)
+    for (s <- 0 until nStates) {
+      val m = gotoBuf(s)
+      val cs = new Array[Char](m.size)
+      val ns = new Array[Int](m.size)
+      var i = 0
+      m.forEach { (c, t) => cs(i) = c.charValue(); ns(i) = t.intValue(); i += 1 }
+      chars(s) = cs
+      nexts(s) = ns
+    }
+    new AhoCorasick(terms, chars, nexts, fail, outBuf.map(_.toArray).toArray)
   }
 }
