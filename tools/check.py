@@ -61,7 +61,9 @@ def main(outdir, sfdir):
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+            # derived-SF tables are DIRECTORIES of part files
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     # Verify.scala emits each oracle under both bare and '<name>.parquet'
     # keys (driver-compat, ADVICE r2); locally use the bare ones only.
