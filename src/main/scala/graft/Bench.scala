@@ -178,7 +178,7 @@ object Bench {
       "x09_bm25_topk" -> 1.18, "x10_image_dhash" -> 0.65,
       "x11_pagerank" -> 4.60, "x12_tokenize_pack" -> 3.95,
       "x13_exact_substr" -> 0.84, "x14_semdedup" -> 2.65,
-      "x18_video_keyframes" -> 1.70,
+      "x18_video_keyframes" -> 1.70, "x19_warc_ingest" -> 2.25,
       "x15_ingest_pipeline" -> 6.48, "x16_ivf_serve_partitioned" -> 1.26,
       "x17_winnow_pairs" -> 1.83,
       "y05_line_dedup_500k" -> 1.44, "y06_dup_spans_500k" -> 1.65,

@@ -417,6 +417,42 @@ object BenchHeavy {
           .groupBy(col("frame_no"), col("dhash")).agg(count(lit(1)).as("n"))
       }),
 
+    // WARC ingest throughput (r12): scan a 500k-record per-record-gzip
+    // WARC export (derived once from the amplified corpus — the shape
+    // WarcProbe measured) through html_to_text into a token-count
+    // aggregate — the first stage of a crawl ingest, re-measured per
+    // round. l84/l85 are the correctness twins.
+    QueryDef(
+      "x19_warc_ingest",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", DocTarget * 10)
+        val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
+          graft.tools.Amplify.documents(_, f)))
+        val tag = new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
+        val out = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_bench_warc_x$f$tag")
+        this.synchronized {
+          if (!new java.io.File(out, "_done").exists()) {
+            out.mkdirs()
+            graft.ops.Writers.copyWarcSharded(
+              docs.select(
+                concat(lit("https://example.org/doc/"), col("doc_id")).as("target_uri"),
+                lit("response").as("warc_type"),
+                lit("application/http;msgtype=response").as("content_type"),
+                encode(concat(
+                  lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><h1>Doc "),
+                  col("doc_id"), lit("</h1><p>"), col("text"),
+                  lit("</p></body></html>")), "UTF-8").as("payload")),
+              out.getAbsolutePath + "/part-{SHARD}.warc.gz")
+            new java.io.FileOutputStream(new java.io.File(out, "_done")).close()
+          }
+        }
+        s.read.format("warc").load(out.getAbsolutePath + "/part-*.warc.gz")
+          .select(graft.ops.Html.htmlToText(decode(col("payload"), "UTF-8")).as("t"))
+          .select(size(split(col("t"), " ")).as("nt"))
+          .agg(sum(col("nt")).as("n_tokens"), count(lit(1)).as("n_docs"))
+      }),
+
     // Link-graph PageRank at 500k nodes / 1.5M edges, 5 iterations —
     // tracks the one-shuffle-per-iteration claim (GraphRank scaladoc)
     // as a wall-time number. The hub edge (src % 1024) skews in-degree

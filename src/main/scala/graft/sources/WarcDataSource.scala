@@ -27,8 +27,11 @@ import scala.jdk.CollectionConverters._
   * Scale: one InputPartition per file (a .warc.gz is per-record gzip
   * members — splitting within a file needs a member index; crawls ship
   * thousands of ~1 GB files, so file-level parallelism is the real
-  * unit). Column pruning pushed into the row builder; payload bytes
-  * are skipped via Content-Length when `payload` is unprojected.
+  * unit). Column pruning is pushed into the row builder (the HTTP
+  * split and payload copy are elided when unprojected); the payload
+  * BYTES are still consumed from the stream either way — Content-Length
+  * skipping would save only the copy, since a gzip member must be
+  * decompressed through regardless.
   */
 class WarcDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "warc"
