@@ -9,8 +9,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   * tags as 'i', string tags as 'Z', 1-based text positions converted
   * to 0-based binary).
   */
-final class BamWriter(out: OutputStream, references: Seq[(String, Long)]) {
-  private val bgzf = new BgzfWriter(out)
+final class BamWriter(out: OutputStream, references: Seq[(String, Long)],
+    compressionLevel: Int = -1) {
+  private val bgzf = new BgzfWriter(out, compressionLevel)
   private val refIndex: Map[String, Int] =
     references.map(_._1).zipWithIndex.toMap
 

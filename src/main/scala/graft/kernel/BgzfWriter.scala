@@ -9,8 +9,15 @@ import java.util.zip.{CRC32, Deflater}
   * carrying an FEXTRA "BC" subfield with the total compressed block
   * size minus one, terminated by a fixed 28-byte EOF block. Block
   * payloads are capped below 64 KiB so BSIZE fits in a u16.
+  *
+  * `level`: deflate level 0–9 (reference COMPRESSION_LEVEL,
+  * src/copy_sam.cpp:251-254 and :347-349 — htslib "wb<level>" mode);
+  * -1 means the library default (htslib's BAM default is 6 =
+  * java.util.zip default).
   */
-final class BgzfWriter(out: OutputStream) {
+final class BgzfWriter(out: OutputStream, level: Int = -1) {
+  require(level >= -1 && level <= 9,
+    s"COMPRESSION_LEVEL must be between 0 and 9, got $level")
   private val buf = new java.io.ByteArrayOutputStream(65536)
   private val MaxPayload = 60000
 
@@ -39,7 +46,8 @@ final class BgzfWriter(out: OutputStream) {
     if (buf.size() == 0) return
     val payload = buf.toByteArray
     buf.reset()
-    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION, /*nowrap=*/ true)
+    val deflater = new Deflater(
+      if (level < 0) Deflater.DEFAULT_COMPRESSION else level, /*nowrap=*/ true)
     deflater.setInput(payload)
     deflater.finish()
     val compressed = new java.io.ByteArrayOutputStream()

@@ -17,9 +17,10 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
   * `java.util.zip.GZIPInputStream` reads concatenated members
   * transparently, so the same sequential parser serves both forms.
   * Lenient on read: unknown headers carried verbatim, blank-line runs
-  * between records skipped, a truncated trailing record yields what
-  * was parsed so far rather than an error (corrupt-input posture of
-  * the other kernel codecs).
+  * between records skipped, and a truncated trailing record is DROPPED
+  * (every complete record before it is returned; the partial one is
+  * not) rather than raised as an error — the corrupt-input posture of
+  * the other kernel codecs.
   */
 object WarcCodec {
 

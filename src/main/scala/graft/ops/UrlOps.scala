@@ -58,8 +58,13 @@ object UrlOps {
       }
     }
     val decideUdf = udf(decideFn)
+    // One rules row per host, enforced here: a robots frame carrying
+    // duplicate host rows would otherwise silently DUPLICATE every
+    // matching URL row through the left join (r12 advice). Crawlers do
+    // re-fetch robots.txt; keeping an arbitrary one of the duplicates
+    // matches the one-file-per-host semantics of RFC 9309.
     df.join(broadcast(robots.select(col(hostCol).as("__r_host"),
-        col(txtCol).as("__r_txt"))),
+        col(txtCol).as("__r_txt")).dropDuplicates("__r_host")),
         urlHost(col(urlCol)) === col("__r_host"), "left")
       .withColumn("robots_allowed",
         coalesce(decideUdf(col("__r_txt"), col(urlCol)), lit(true)))

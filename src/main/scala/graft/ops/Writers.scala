@@ -26,9 +26,32 @@ import java.util.zip.GZIPOutputStream
   */
 object Writers {
 
-  private def openWriter(path: String): BufferedWriter = {
+  /** COMPRESSION option (reference src/copy_format_common.cpp:77-107):
+    * explicit 'gzip'/'gz' forces gzip, 'none' forces plain output even
+    * with a `.gz` extension, names are case-insensitive, anything else
+    * errors; absent → auto-detect by `.gz` extension.
+    */
+  private[ops] def resolveGzip(path: String, compression: Option[String]): Boolean =
+    compression.map(_.toLowerCase) match {
+      case Some("gzip") | Some("gz") => true
+      case Some("none")              => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"Unknown compression type: $other (supported: gzip, none)")
+      case None => path.endsWith(".gz")
+    }
+
+  /** COMPRESSION_LEVEL option (reference src/copy_sam.cpp:251-254,
+    * 280-282): BAM-only, 0–9; -1 = library default.
+    */
+  private def validateLevel(level: Int): Int = {
+    if (level < -1 || level > 9) throw new IllegalArgumentException(
+      s"COMPRESSION_LEVEL must be between 0 and 9, got $level")
+    level
+  }
+
+  private def openWriter(path: String, compression: Option[String] = None): BufferedWriter = {
     val fos = new FileOutputStream(path)
-    val out = if (path.endsWith(".gz")) new GZIPOutputStream(fos) else fos
+    val out = if (resolveGzip(path, compression)) new GZIPOutputStream(fos) else fos
     new BufferedWriter(new OutputStreamWriter(out, StandardCharsets.UTF_8))
   }
 
@@ -53,12 +76,13 @@ object Writers {
       path: String,
       qualOffset: Int = 33,
       includeComment: Boolean = false,
-      interleave: Boolean = false): Unit = {
+      interleave: Boolean = false,
+      compression: Option[String] = None): Unit = {
     val paired = df.schema.fieldNames.contains("sequence2")
     validatePairedPath(path, paired, interleave)
     if (paired && !interleave) {
-      val w1 = openWriter(path.replace(OrientationToken, "R1"))
-      val w2 = openWriter(path.replace(OrientationToken, "R2"))
+      val w1 = openWriter(path.replace(OrientationToken, "R1"), compression)
+      val w2 = openWriter(path.replace(OrientationToken, "R2"), compression)
       try df.toLocalIterator().forEachRemaining { r =>
         w1.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w1.newLine()
         if (r.getAs[String]("sequence2") != null) {
@@ -66,7 +90,7 @@ object Writers {
         }
       } finally { w1.close(); w2.close() }
     } else {
-      val w = openWriter(path)
+      val w = openWriter(path, compression)
       try df.toLocalIterator().forEachRemaining { r =>
         w.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w.newLine()
         if (paired && r.getAs[String]("sequence2") != null) {
@@ -81,12 +105,13 @@ object Writers {
       df: DataFrame,
       path: String,
       includeComment: Boolean = false,
-      interleave: Boolean = false): Unit = {
+      interleave: Boolean = false,
+      compression: Option[String] = None): Unit = {
     val paired = df.schema.fieldNames.contains("sequence2")
     validatePairedPath(path, paired, interleave)
     if (paired && !interleave) {
-      val w1 = openWriter(path.replace(OrientationToken, "R1"))
-      val w2 = openWriter(path.replace(OrientationToken, "R2"))
+      val w1 = openWriter(path.replace(OrientationToken, "R1"), compression)
+      val w2 = openWriter(path.replace(OrientationToken, "R2"), compression)
       try df.toLocalIterator().forEachRemaining { r =>
         w1.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w1.newLine()
         if (r.getAs[String]("sequence2") != null) {
@@ -94,7 +119,7 @@ object Writers {
         }
       } finally { w1.close(); w2.close() }
     } else {
-      val w = openWriter(path)
+      val w = openWriter(path, compression)
       try df.toLocalIterator().forEachRemaining { r =>
         w.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w.newLine()
         if (paired && r.getAs[String]("sequence2") != null) {
@@ -150,7 +175,9 @@ object Writers {
   def copyBam(
       df: DataFrame,
       path: String,
-      referenceLengths: Option[DataFrame] = None): Unit = {
+      referenceLengths: Option[DataFrame] = None,
+      compressionLevel: Int = -1): Unit = {
+    validateLevel(compressionLevel)
     val known = referenceLengths
       .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toVector)
       .getOrElse(Vector.empty)
@@ -158,7 +185,8 @@ object Writers {
     val dataRefs = df.select("reference").distinct().collect()
       .map(_.getString(0)).filter(r => r != "*" && !knownNames.contains(r)).sorted
     val refs = known ++ dataRefs.map(_ -> UnknownReferenceLength)
-    val w = new graft.kernel.BamWriter(new FileOutputStream(path), refs)
+    val w = new graft.kernel.BamWriter(new FileOutputStream(path), refs,
+      compressionLevel)
     try {
       val names = df.schema.fieldNames.toSet
       df.toLocalIterator().forEachRemaining(r => w.writeRecord(rowToSamRecord(r, names)))
@@ -172,8 +200,9 @@ object Writers {
       df: DataFrame,
       path: String,
       includeHeader: Boolean = true,
-      referenceLengths: Option[DataFrame] = None): Unit = {
-    val w = openWriter(path)
+      referenceLengths: Option[DataFrame] = None,
+      compression: Option[String] = None): Unit = {
+    val w = openWriter(path, compression)
     try {
       if (includeHeader) samHeaderLines(df, referenceLengths).foreach { l =>
         w.write(l); w.newLine()
@@ -225,13 +254,14 @@ object Writers {
       df.sparkSession.sparkContext.hadoopConfiguration)
 
   private def openShardWriter(
-      path: String, conf: org.apache.hadoop.conf.Configuration): BufferedWriter = {
+      path: String, conf: org.apache.hadoop.conf.Configuration,
+      compression: Option[String] = None): BufferedWriter = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     // no .crc sidecars next to user-visible shard files
     fs.setWriteChecksum(false)
     val raw = fs.create(p, true)
-    val out = if (path.endsWith(".gz")) new GZIPOutputStream(raw) else raw
+    val out = if (resolveGzip(path, compression)) new GZIPOutputStream(raw) else raw
     new BufferedWriter(new OutputStreamWriter(out, StandardCharsets.UTF_8))
   }
 
@@ -251,7 +281,8 @@ object Writers {
       pathTemplate: String,
       qualOffset: Int = 33,
       includeComment: Boolean = false,
-      interleave: Boolean = false): Unit = {
+      interleave: Boolean = false,
+      compression: Option[String] = None): Unit = {
     requireShardToken(pathTemplate)
     val paired = df.schema.fieldNames.contains("sequence2")
     validatePairedPath(pathTemplate, paired, interleave)
@@ -260,8 +291,8 @@ object Writers {
       if (rows.hasNext) {
         val base = shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId())
         if (paired && !interleave) {
-          val w1 = openShardWriter(base.replace(OrientationToken, "R1"), conf.value)
-          val w2 = openShardWriter(base.replace(OrientationToken, "R2"), conf.value)
+          val w1 = openShardWriter(base.replace(OrientationToken, "R1"), conf.value, compression)
+          val w2 = openShardWriter(base.replace(OrientationToken, "R2"), conf.value, compression)
           try rows.foreach { r =>
             w1.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w1.newLine()
             if (r.getAs[String]("sequence2") != null) {
@@ -269,7 +300,7 @@ object Writers {
             }
           } finally { w1.close(); w2.close() }
         } else {
-          val w = openShardWriter(base, conf.value)
+          val w = openShardWriter(base, conf.value, compression)
           try rows.foreach { r =>
             w.write(FastxCodec.toFastq(fastxRecord(r, "sequence1", "qual1"), qualOffset, includeComment)); w.newLine()
             if (paired && r.getAs[String]("sequence2") != null) {
@@ -286,7 +317,8 @@ object Writers {
       df: DataFrame,
       pathTemplate: String,
       includeComment: Boolean = false,
-      interleave: Boolean = false): Unit = {
+      interleave: Boolean = false,
+      compression: Option[String] = None): Unit = {
     requireShardToken(pathTemplate)
     val paired = df.schema.fieldNames.contains("sequence2")
     validatePairedPath(pathTemplate, paired, interleave)
@@ -295,8 +327,8 @@ object Writers {
       if (rows.hasNext) {
         val base = shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId())
         if (paired && !interleave) {
-          val w1 = openShardWriter(base.replace(OrientationToken, "R1"), conf.value)
-          val w2 = openShardWriter(base.replace(OrientationToken, "R2"), conf.value)
+          val w1 = openShardWriter(base.replace(OrientationToken, "R1"), conf.value, compression)
+          val w2 = openShardWriter(base.replace(OrientationToken, "R2"), conf.value, compression)
           try rows.foreach { r =>
             w1.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w1.newLine()
             if (r.getAs[String]("sequence2") != null) {
@@ -304,7 +336,7 @@ object Writers {
             }
           } finally { w1.close(); w2.close() }
         } else {
-          val w = openShardWriter(base, conf.value)
+          val w = openShardWriter(base, conf.value, compression)
           try rows.foreach { r =>
             w.write(FastxCodec.toFasta(fastxRecord(r, "sequence1", "qual1"), includeComment)); w.newLine()
             if (paired && r.getAs[String]("sequence2") != null) {
@@ -328,8 +360,10 @@ object Writers {
   def copyBamSharded(
       df: DataFrame,
       pathTemplate: String,
-      referenceLengths: Option[DataFrame] = None): Unit = {
+      referenceLengths: Option[DataFrame] = None,
+      compressionLevel: Int = -1): Unit = {
     requireShardToken(pathTemplate)
+    validateLevel(compressionLevel)
     val known = referenceLengths
       .map(_.collect().map(r => r.getString(0) -> r.getLong(1)).toVector)
       .getOrElse(Vector.empty)
@@ -345,7 +379,8 @@ object Writers {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(conf.value)
         fs.setWriteChecksum(false)
-        val w = new graft.kernel.BamWriter(fs.create(p, true), refs)
+        val w = new graft.kernel.BamWriter(fs.create(p, true), refs,
+          compressionLevel)
         try rows.foreach(r => w.writeRecord(rowToSamRecord(r, names)))
         finally w.close()
       }
@@ -409,7 +444,8 @@ object Writers {
       df: DataFrame,
       pathTemplate: String,
       includeHeader: Boolean = true,
-      referenceLengths: Option[DataFrame] = None): Unit = {
+      referenceLengths: Option[DataFrame] = None,
+      compression: Option[String] = None): Unit = {
     requireShardToken(pathTemplate)
     val header = if (includeHeader) samHeaderLines(df, referenceLengths) else Seq.empty
     val names = df.schema.fieldNames.toSet
@@ -417,7 +453,8 @@ object Writers {
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val w = openShardWriter(
-          shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId()), conf.value)
+          shardPath(pathTemplate, org.apache.spark.TaskContext.getPartitionId()),
+          conf.value, compression)
         try {
           header.foreach { l => w.write(l); w.newLine() }
           rows.foreach { r => w.write(SamCodec.toLine(rowToSamRecord(r, names))); w.newLine() }

@@ -429,8 +429,14 @@ object BenchHeavy {
         val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
           graft.tools.Amplify.documents(_, f)))
         val tag = new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
+        // Version the cached export by its payload template (r12
+        // advice: a _done marker keyed by path alone silently reuses a
+        // stale fixture across template edits).
+        val tmpl = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+          "<html><body><h1>Doc |</h1><p>|</p></body></html>"
+        val tver = java.lang.Integer.toHexString(tmpl.hashCode)
         val out = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_bench_warc_x$f$tag")
+          sys.props("java.io.tmpdir"), s"graft_bench_warc_x$f${tag}_$tver")
         this.synchronized {
           if (!new java.io.File(out, "_done").exists()) {
             out.mkdirs()

@@ -1324,10 +1324,11 @@ object LayerA2 {
     // composition is a two-level aggregate — groupBy(key, x) count,
     // then map_from_entries over the key-sorted entry list. The map
     // itself is built (the operator under test); the dumped comparison
-    // column is its entries array, because the cross-engine hash
-    // compares canonicalized STRUCT lists deterministically while raw
-    // MAP column representations differ between readers. Counts cast
-    // to BIGINT both sides (DuckDB histogram counts are UBIGINT).
+    // column is a canonical "key:count,..." STRING — the r12 driver
+    // checker's pandas sort_values dies on array-of-struct cells
+    // (unhashable ndarray), so like a29/a45/b05 the nested value is
+    // serialized on BOTH sides before the dump. Entry order is pinned
+    // by an explicit sort of the entries list on each engine.
     QueryDef(
       "a77_histogram_agg",
       (s, d) => {
@@ -1337,12 +1338,15 @@ object LayerA2 {
           .groupBy(col("l_returnflag"))
           .agg(map_from_entries(sort_array(collect_list(
             struct(col("l_linenumber").as("key"), col("value"))))).as("h"))
-          .select(col("l_returnflag"), map_entries(col("h")).as("hist"))
+          .select(col("l_returnflag"),
+            array_join(transform(sort_array(map_entries(col("h"))),
+              e => concat(e.getField("key"), lit(":"), e.getField("value"))),
+              ",").as("hist"))
       },
       Some("""SELECT l_returnflag,
-             |       list_sort(list_transform(map_entries(histogram(l_linenumber)),
-             |                 e -> struct_pack(key := e.key,
-             |                                  value := CAST(e.value AS BIGINT)))) AS hist
+             |       array_to_string(list_transform(
+             |           list_sort(map_entries(histogram(l_linenumber))),
+             |           e -> e.key || ':' || e.value), ',') AS hist
              |  FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // A78: UNION (ALL) BY NAME — DuckDB matches union branches by

@@ -3427,8 +3427,15 @@ object LlmPipeline {
     QueryDef(
       "l84_warc_html_ingest",
       (s, d) => {
+        // Template-version hash in the name: the fixture is keyed by
+        // dataset path AND the template constants, so editing
+        // WarcHtmlParts/WarcHttpHeader regenerates the file instead of
+        // silently reusing a stale tmpdir .warc.gz written by an older
+        // build (r12 advice).
+        val tver = java.lang.Integer.toHexString(
+          (WarcHtmlParts.mkString(" ") + WarcHttpHeader).hashCode)
         val path = new java.io.File(sys.props("java.io.tmpdir"),
-          "graft_l84_" + new java.io.File(d).getAbsolutePath
+          "graft_l84_" + tver + "_" + new java.io.File(d).getAbsolutePath
             .replaceAll("[^A-Za-z0-9]", "_") + ".warc.gz")
         this.synchronized {
           if (!path.exists()) {
