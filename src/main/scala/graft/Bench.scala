@@ -172,21 +172,23 @@ object Bench {
       "l12_dedup_clusters" -> 0.80, "l18_repetition_signals" -> 0.17,
       "l20_semantic_dedup" -> 0.52,
       "x01_align_throughput" -> 0.21, "x02_rype_throughput" -> 0.27,
-      // x04/x16 carry the WIDEST run-to-run band of the heavy rows
-      // (1.1–2.3 s across quiet JVMs, plans pinned — the VM jitter of
-      // SCALE.md r12); their constants sit mid-band rather than at the
-      // all-time best so the 1.5× canary flags real regressions, not
-      // routine variance (the all-time-best cut flagged both on a run
-      // whose every other row was at or under rolling best)
-      "x03_minhash" -> 2.21, "x04_ivf_ann" -> 1.45,
+      // x03/x04/x16/x17 re-anchored with EVIDENCE in r13 (r12 verdict
+      // #3 — the r12 mid-band "calibration" was reverted): 5 fresh
+      // quiet-box JVMs × 2 warmed cycles each (tools/HeavyOneProbe,
+      // distribution committed in SCALE.md r13). Constants = observed
+      // quiet min; the band medians (x03 3.35, x04 1.76, x16 2.67,
+      // x17 2.11) mean a mid-band sample may carry an honest `suspect`
+      // flag — that is the escalate-don't-capitulate contract, not a
+      // regression claim.
+      "x03_minhash" -> 2.37, "x04_ivf_ann" -> 1.42,
       "x05_line_dedup" -> 0.95, "x06_dup_spans" -> 0.66,
       "x07_lm_score" -> 0.99, "x08_dedup_incremental" -> 2.60,
       "x09_bm25_topk" -> 1.18, "x10_image_dhash" -> 0.65,
       "x11_pagerank" -> 4.60, "x12_tokenize_pack" -> 3.95,
       "x13_exact_substr" -> 0.84, "x14_semdedup" -> 2.65,
       "x18_video_keyframes" -> 1.70, "x19_warc_ingest" -> 2.25,
-      "x15_ingest_pipeline" -> 6.48, "x16_ivf_serve_partitioned" -> 1.60,
-      "x17_winnow_pairs" -> 1.83,
+      "x15_ingest_pipeline" -> 6.48, "x16_ivf_serve_partitioned" -> 1.50,
+      "x17_winnow_pairs" -> 1.84,
       "y05_line_dedup_500k" -> 1.44, "y06_dup_spans_500k" -> 1.65,
       "y07_lm_score_500k" -> 4.01, "y09_bm25_topk_500k" -> 5.05,
       "k06_bucketed_join_agg" -> 0.184, "k08_bucketed_self_join" -> 0.091,

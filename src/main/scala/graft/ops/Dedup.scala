@@ -299,14 +299,16 @@ object Dedup {
     // members can emit pairs, and on a lightly-duplicated corpus that
     // is a small fraction of all (band, band_hash) keys. Pass 1
     // shuffles IDS ONLY (~16 B/row, corpus × bands) to find surviving
-    // buckets; pass 2 re-shingles (CPU is cheap, O(corpus); the
-    // alternative — persisting the arrays — IS the write we're
-    // avoiding) and moves the ~4 B/shingle hash arrays only into
-    // surviving buckets via an AQE-broadcastable semi join. At the
-    // derived sf100 (5M docs) the single-pass array shuffle is
-    // ~320 GB and disk-kills; the id pass is ~1.3 GB. Below the size
-    // gate the extra stages cost more than they save, so small inputs
-    // keep the one-shuffle shape (identical output either way).
+    // buckets AND surviving doc ids; pass 2 re-shingles the surviving
+    // docs only (CPU is cheap, O(survivors); the alternative —
+    // persisting the arrays — IS the write we're avoiding) and moves
+    // the ~4 B/shingle hash arrays only for docs that sit in ≥2-member
+    // buckets, so the array shuffle is proportional to the corpus's
+    // DUPLICATE density, never its size. At the derived sf100 (5M
+    // docs) the single-pass array shuffle is ~320 GB and disk-kills;
+    // the id pass is ~1.3 GB. Below the size gate the extra stages
+    // cost more than they save, so small inputs keep the one-shuffle
+    // shape (identical output either way).
     val pruneMin = BigInt(spark.conf.getOption("spark.graft.lsh.prune.minBytes")
       .map(_.toLong).getOrElse(256L << 20))
     // Degenerate-bucket skew split (triangle-join parallelization,
@@ -332,7 +334,22 @@ object Dedup {
           lit(0).as("ti"), lit(0).as("tj"), col("id"), lit(0).as("sub"),
           col("shs"))
       else {
-        val counts = banded
+        // Pass 1 moves (band, band_hash, id) ONLY — project the array
+        // column away BEFORE any wide operator. The first cut of this
+        // gate joined `banded` (WITH the shs arrays) to the surviving
+        // keys; whenever the surviving-key side outgrew the AQE
+        // broadcast threshold (~10 MB ≈ 600k buckets) that join
+        // planned as a shuffle and the arrays — ~16× the corpus text
+        // bytes — moved in full, which is exactly the write this gate
+        // exists to avoid (caught by the r13 5M-doc stress probe:
+        // >55 GB of shuffle on a 1.2 GB corpus). Now pass 1 is
+        // id-sized end-to-end, surviving DOC ids come back via a
+        // semi join (AQE broadcasts them when small; above that the
+        // fallback shuffle moves 1× corpus text, still 16× less than
+        // arrays — and zero when the corpus is stored bucketed by id),
+        // and pass 2 re-shingles only the surviving docs.
+        val idRows = banded.select(col("band"), col("band_hash"), col("id"))
+        val counts = idRows
           .groupBy(col("band"), col("band_hash"))
           .agg(count(lit(1)).as("n"))
         val surviving = counts.filter(col("n") > 1)
@@ -340,7 +357,24 @@ object Dedup {
         val bigBuckets = counts.filter(col("n") > cap)
           .select(col("band"), col("band_hash"),
             ceil(col("n").cast("double") / cap).cast("int").as("g"))
-        banded.join(surviving, Seq("band", "band_hash"))
+        val survivorIds = idRows.join(surviving, Seq("band", "band_hash"))
+          .select(col("id")).distinct()
+        val survivorDocs = docs
+          .filter(length(col(textCol)) >= shingleN)
+          .select(col(idCol).as("id"), col(textCol).as("text"))
+          .join(survivorIds, Seq("id"), "leftsemi")
+        val prepared2 = survivorDocs
+          .select(col("id"),
+            sigAndSetUdf(col("text"), lit(shingleN), lit(numHashes)).as("ss"))
+          .select(col("id"), col("ss._1").as("sig"), col("ss._2").as("shs"))
+        val banded2 = prepared2.select(
+          col("id"), col("shs"),
+          posexplode(
+            transform(sequence(lit(0), lit(bands - 1)),
+              b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+          .select(col("pos").as("band"), col("col").as("band_hash"),
+            col("id"), col("shs"))
+        banded2.join(surviving, Seq("band", "band_hash"))
           .join(broadcast(bigBuckets), Seq("band", "band_hash"), "left")
           .withColumn("g", coalesce(col("g"), lit(1)))
           .withColumn("sub", pmod(hash(col("id")), col("g")))

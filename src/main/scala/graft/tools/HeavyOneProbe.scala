@@ -12,6 +12,12 @@ object HeavyOneProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
+      // session config matches graft.Bench exactly; NOTE when
+      // calibrating rolling-bests, list each query TWICE — in the bench
+      // JVM a row is timed after the full-suite warmup has JIT-compiled
+      // the kernels and heated the page cache, so only the second
+      // occurrence here is comparable (r13: first-cycle x03 read 16 s
+      // vs 4.5 s same-JVM second cycle)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

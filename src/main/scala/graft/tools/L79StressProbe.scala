@@ -5,16 +5,36 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** sf100-class stress of the flagship LSH dedup chain (r12 verdict #6):
-  * the full l79 pipeline (CW-minhash banding → candidate pairs →
-  * connected components → keep-best) on an amplified ~5M-doc corpus
-  * (×1000 over sf0.1), with SHUFFLE BYTES recorded alongside wall time
-  * so the 100-TB posture ("band buckets move keys+ids, never
-  * documents") is a measured number, not only a plan-shape argument.
+  * the full l79 pipeline (CW-minhash banding → candidate pruning →
+  * bucket-local verify → connected components → keep-best) on a
+  * ~5M-doc corpus, with SHUFFLE BYTES recorded alongside wall time so
+  * the 100-TB posture ("band buckets move keys+ids, never documents")
+  * is a measured number, not only a plan-shape argument.
+  *
+  * Corpus construction — and why it is NOT Amplify.documents at this
+  * factor: Amplify's every-8th-char salting leaves replica twins of
+  * one source doc at Jaccard ≈ 0.2 — below the 0.4 verify threshold
+  * (so VERIFIED pairs scale linearly, the property the bench tiers
+  * need), but band collisions fire at J^rowsPerBand per band, so
+  * CANDIDATES grow quadratically in the replica count. At ×100 that
+  * is the documented 24M-candidate bench workload; at ×1000 it is
+  * ~100× that — a synthetic-data artifact (real corpora do not hold
+  * 1000 mutually-0.2-Jaccard copies of every document; measured: the
+  * ×1000 Amplify corpus shuffled >65 GB before filling the disk).
+  * Here every (group, replica) gets its own salt character stream
+  * injected every 4 chars — every 5-gram shingle carries salt, so
+  * cross-group Jaccard ≈ 0 and the candidate set is driven by the
+  * PLANTED structure: each replica's docs with source id ≡ 1 (mod 50)
+  * are near-copies (same salt stream, small tail edit, J ≈ 0.9) of
+  * their predecessor — 100 planted pairs × factor replicas = a 2%
+  * dup rate, the realistic shape of a pre-dedup web corpus. The
+  * expected output is exact: nDocs − plantedPairs canonical rows
+  * (pair recall at J≈0.9 under 16×4 banding is 1 − 4e-8), so the run
+  * doubles as a 5M-doc correctness check, not only a throughput one.
   *
   * Usage: runMain graft.tools.L79StressProbe [factor] (default 1000).
-  * The amplified dir is cached in tmpdir under a _done marker; the
-  * derivation cost is printed separately and excluded from the
-  * pipeline wall time.
+  * The derived dir is cached in tmpdir; derivation cost is printed
+  * separately and excluded from the pipeline wall time.
   */
 object L79StressProbe {
   def main(args: Array[String]): Unit = {
@@ -31,23 +51,55 @@ object L79StressProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // amplified corpus, cached across runs
+    val keyOffset = Amplify.KeyOffset
+    // per-(group, replica) salt stream, one char every 4 text chars —
+    // every 5-gram shingle carries at least one salt char
+    val saltUdf = udf((text: String, salt: Long) => {
+      val s = java.lang.Long.toUnsignedString(
+        salt * 0x9E3779B97F4A7C15L + 0x243F6A8885A308D3L, 36)
+      val sb = new java.lang.StringBuilder(text.length + text.length / 4 + 1)
+      var i = 0
+      while (i < text.length) {
+        sb.append(text.charAt(i))
+        if (i % 4 == 3) sb.append(s.charAt((i / 4) % s.length))
+        i += 1
+      }
+      sb.toString
+    })
+
     val tag = new java.io.File(src).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stress_documents_x$f$tag.parquet")
+      s"graft_stress_planted_x$f$tag.parquet")
     this.synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         val t0 = System.nanoTime()
-        Amplify.documents(
-            spark.read.parquet(s"$src/documents.parquet").repartition(32), f)
+        val base = spark.read.parquet(s"$src/documents.parquet")
+          .select("doc_id", "text")
+        val prev = base.select((col("doc_id") + 1).as("doc_id"),
+          col("text").as("prev_text"))
+        val grouped = base.join(prev, Seq("doc_id"), "left")
+          .withColumn("is_dup",
+            col("doc_id") % 50 === 1 && col("prev_text").isNotNull)
+          .withColumn("grp",
+            when(col("is_dup"), col("doc_id") - 1).otherwise(col("doc_id")))
+          .withColumn("base_text",
+            when(col("is_dup"), concat(col("prev_text"), lit(" copyedit pass")))
+              .otherwise(col("text")))
+        val reps = spark.range(f).toDF("rep")
+        grouped.repartition(32).crossJoin(broadcast(reps))
+          .select(
+            (col("doc_id") + col("rep") * keyOffset).as("doc_id"),
+            saltUdf(col("base_text"), col("grp") + col("rep") * keyOffset)
+              .as("text"))
+          .withColumn("n_chars", length(col("text")))
           .write.mode("overwrite").parquet(dir.getAbsolutePath)
-        println(f"[l79stress] derived x$f corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        println(f"[l79stress] derived planted x$f corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }
 
     // task-level shuffle accounting (read + write + spill), the number
     // the plan-shape audit predicts: bytes proportional to (band, key,
-    // id) triples plus verified-pair joins, NEVER corpus × corpus.
+    // id) triples plus ≥2-member-bucket payloads, NEVER corpus².
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val spill = new java.util.concurrent.atomic.AtomicLong
@@ -64,17 +116,24 @@ object L79StressProbe {
 
     val docs = spark.read.parquet(dir.getAbsolutePath)
     val nDocs = docs.count()
+    val planted = docs.filter(col("doc_id") % keyOffset % 50 === 1).count()
     val inputBytes = dir.listFiles().map(_.length()).sum
     val t0 = System.nanoTime()
-    val pairs = graft.ops.Dedup.minhashPairsExact(docs, "doc_id", "text",
+    // minhashPairs, NOT minhashPairsExact: the exact twin exists for
+    // cross-engine oracle parity and joins text payloads per candidate
+    // pair; the production path verifies bucket-locally and (above the
+    // 256 MB prune gate) moves only (band, key, id) triples before any
+    // shingle array — the shape a 100 TB corpus needs.
+    val pairs = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text",
         shingleN = 5, numHashes = 64, bands = 16, threshold = 0.4)
       .select(col("id_a"), col("id_b"))
     val kept = graft.ops.Dedup.keepBest(docs,
       graft.ops.Dedup.connectedComponents(pairs), "doc_id", "n_chars")
     val n = kept.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[l79stress] x$f ($nDocs docs, ${inputBytes / 1e6}%.0f MB parquet): " +
-      f"$secs%.1f s, $n canonical rows, " +
+    println(f"[l79stress] x$f ($nDocs docs, ${inputBytes / 1e6}%.0f MB parquet, " +
+      f"$planted planted dups): $secs%.1f s, $n canonical rows " +
+      f"(expected ${nDocs - planted}), " +
       f"shuffle_write=${shufWrite.get / 1e6}%.0f MB, " +
       f"shuffle_read=${shufRead.get / 1e6}%.0f MB, " +
       f"disk_spill=${spill.get / 1e6}%.0f MB, " +
