@@ -129,6 +129,10 @@ object Bench {
     // run-to-run variance is proportionally small) to bound bench
     // wall-time.
     val heavy = SparkEntry.benchHeavyQueries
+    // Needed inside timeSet: the canary-retry trigger matches the
+    // suspect bound per row (r13 advice: rows landing in (1.4, 1.5]×
+    // were flagged suspect without ever getting the retry pass).
+    val layerANameSet = layerA.map(_.name).toSet
     // Warm-up: run the full suite once untimed so the timed pass
     // measures steady-state execution (JIT-compiled codegen, warm
     // parquet footers / broadcast relations), not JVM startup.
@@ -245,15 +249,18 @@ object Bench {
         if (widened.max > widened.min * 1.25) widened :+= once()
         var best = widened.min
         // Canary retry (r9 verdict #1, enforcement half): a rolling-
-        // best-tracked entry >1.5× its committed quiet number re-runs
-        // up to 3 more times after a settle pause; BOTH samples land
-        // in the record (`retries`) so a contended first sample is
-        // visible, not silently overwritten.
+        // best-tracked entry above its SUSPECT bound (1.25× Layer-A,
+        // 1.4× heavy/bucketed — r13 advice aligned the trigger with
+        // the flag so every flaggable row first gets the escalation
+        // path) re-runs up to 3 more times after a settle pause; BOTH
+        // samples land in the record (`retries`) so a contended first
+        // sample is visible, not silently overwritten.
+        val suspectBound = if (layerANameSet(q.name)) 1.25 else 1.4
         rollingBest.get(q.name).foreach { rb =>
-          if (best > rb * 1.5) {
+          if (best > rb * suspectBound) {
             val first = best
             var extra = 0
-            while (best > rb * 1.5 && extra < 3) {
+            while (best > rb * suspectBound && extra < 3) {
               // settle in seconds, not milliseconds (r11 verdict #1:
               // 200 ms was too short for post-sweep page-cache/JIT/
               // thermal state — retries converged to 2.2× rolling-best
@@ -360,26 +367,45 @@ object Bench {
       }
       (ts, es)
     }
-    // Quiet-probe committed totals (TierProbe best): the escalation
-    // bound for the tier record. The sf10 tier on this VM is bimodal
-    // run-to-run (SCALE.md r12: identical JVMs spread 12.2–28.4 s with
-    // pinned plans — CPU/bandwidth jitter, every other cause excluded),
-    // so a tier landing >1.4× its quiet constant re-runs once
-    // (min-merged); still-elevated totals are flagged in the JSON.
-    val tierQuietTotal = Map("sf1" -> 2.75, "sf10" -> 12.3)
-    var tierSuspect = Vector.empty[String]
+    // PER-QUERY quiet constants (r13 verdict #2: the total-only 1.4×
+    // gate let sf1 drift 39% round-over-round with `suspect:false`).
+    // Same escalate-don't-capitulate contract as the sf0.1 Layer-A
+    // rows: a row >1.25× its quiet constant re-runs the tier sub-suite
+    // (min-merged) up to twice; still-elevated rows are flagged
+    // per-row in the detail line (`suspect_rows`) and roll up to the
+    // tier's `suspect` boolean. Constants = quiet-box warm best
+    // (tools/TierProbe, distribution in SCALE.md r14). The sf10 tier
+    // on this VM is bimodal run-to-run (SCALE.md r12: identical JVMs
+    // spread 12.2–28.4 s with pinned plans), so sf10 flags mark "not
+    // the quiet number", never "the code regressed".
+    val tierQuietRows: Map[String, Map[String, Double]] = Map(
+      "sf1" -> Map(
+        "a01_parquet_scan" -> 0.108, "a04_filter" -> 0.094,
+        "a06_join_agg" -> 0.845, "a08_self_join" -> 0.709,
+        "a11_groupby_agg" -> 0.245, "a16_window_count" -> 0.570,
+        "a19_rank_frame" -> 0.637),
+      "sf10" -> Map(
+        "a01_parquet_scan" -> 0.108, "a04_filter" -> 0.280,
+        "a06_join_agg" -> 2.853, "a08_self_join" -> 4.229,
+        "a11_groupby_agg" -> 0.455, "a16_window_count" -> 2.690,
+        "a19_rank_frame" -> 1.855))
+    var tierSuspectRows = Map.empty[String, Seq[String]]
     def runTier(tag: String, dir: String): (Vector[(String, Double)], Vector[(String, String)]) = {
+      def elevated(ts: Vector[(String, Double)]): Seq[String] =
+        ts.collect { case (k, v) if tierQuietRows.get(tag)
+          .flatMap(_.get(k)).exists(v > _ * 1.25) => k }
       var (ts, es2) = timeTier(dir)
-      tierQuietTotal.get(tag).foreach { q =>
-        if (ts.map(_._2).sum > q * 1.4) {
-          Thread.sleep(5000)
-          System.gc()
-          val (ts2, _) = timeTier(dir)
-          val merged = ts.toMap
-          ts = ts2.map { case (k, v) => k -> math.min(v, merged.getOrElse(k, v)) }
-          if (ts.map(_._2).sum > q * 1.4) tierSuspect :+= tag
-        }
+      var esc = 0
+      while (elevated(ts).nonEmpty && esc < 2) {
+        esc += 1
+        Thread.sleep(5000)
+        System.gc()
+        val (ts2, _) = timeTier(dir)
+        val merged = ts.toMap
+        ts = ts2.map { case (k, v) => k -> math.min(v, merged.getOrElse(k, v)) }
       }
+      val sus = elevated(ts)
+      if (sus.nonEmpty) tierSuspectRows += tag -> sus
       (ts, es2)
     }
     var sf1Times = Vector.empty[(String, Double)]
@@ -414,7 +440,12 @@ object Bench {
               (System.nanoTime() - t0) / 1e9
             }
             ts :+= (q.name -> runs.min)
-          } catch { case _: Throwable => () }
+          } catch { case e: Throwable =>
+            // r13 advice: a failing k-query must not silently shrink
+            // the tier's bucketed_total — record it like timeTier does.
+            errors :+= (s"${q.name}@$tag" ->
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+          }
         }
         tierBucketed += tag -> (build, ts)
       } catch { case e: Throwable =>
@@ -505,7 +536,8 @@ object Bench {
       val bkPart = bk.map { case (build, bts) =>
         s""","bucketed_build_sec":${r3(build)},"bucketed_total":${r3(bts.map(_._2).sum)},"bucketed":${jmap(bts)}"""
       }.getOrElse("")
-      s"""{"tier":${jq(tag)},"total":${r3(ts.map(_._2).sum)},"duckdb_total":${r3(duck.values.sum)},"suspect":${tierSuspect.contains(tag)},"queries":${jmap(ts)},"duckdb":${jmap(duck.toSeq.sortBy(_._1))},"errors":${jsmap(es2)}$bkPart}"""
+      val susRows = tierSuspectRows.getOrElse(tag, Nil)
+      s"""{"tier":${jq(tag)},"total":${r3(ts.map(_._2).sum)},"duckdb_total":${r3(duck.values.sum)},"suspect":${susRows.nonEmpty},"suspect_rows":${susRows.map(jq).mkString("[", ",", "]")},"queries":${jmap(ts)},"duckdb":${jmap(duck.toSeq.sortBy(_._1))},"errors":${jsmap(es2)}$bkPart}"""
     }
     val detailLines = Vector.newBuilder[String]
     if (tiersOn) detailLines += tierDetail("sf1", sf1Times, sf1Errors, duckdbSf1)
@@ -523,7 +555,7 @@ object Bench {
       val bk = tierBucketed.get(tag)
         .map { case (_, bts) => s""","bk":${r3(bts.map(_._2).sum)}""" }
         .getOrElse("")
-      s"""${jq(tag)}:{"t":${r3(ts.map(_._2).sum)},"duck":${r3(duck.values.sum)},"suspect":${tierSuspect.contains(tag)}$bk}"""
+      s"""${jq(tag)}:{"t":${r3(ts.map(_._2).sum)},"duck":${r3(duck.values.sum)},"suspect":${tierSuspectRows.contains(tag)}$bk}"""
     }
     val tiersBrief = (
       (if (tiersOn) Seq(tierBrief("sf1", sf1Times, duckdbSf1)) else Nil) ++

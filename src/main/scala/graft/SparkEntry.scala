@@ -19,7 +19,7 @@ object SparkEntry {
     LayerA1.queries ++ LayerA2.queries ++ LayerB.queries ++
       LlmPipeline.queries ++ LlmPipeline.semanticQueries ++
       LlmPipeline.bpeRoundTripQueries ++ LlmPipeline.copyQueries ++
-      BucketedTables.queries
+      ProductionChecks.queries ++ BucketedTables.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -3,6 +3,7 @@ package graft.ops
 import graft.kernel.TextKernel
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Lineage.TruncateOps
 
 /** Byte-pair-encoding tokenizer training — the published BPE recipe
   * (iteratively merge the most frequent adjacent symbol pair) run in
@@ -132,7 +133,7 @@ object BpeTrainer {
       numMerges: Int): Seq[(String, String)] = {
     val spark = initial.sparkSession
     import spark.implicits._
-    var vocab = initial.localCheckpoint(true)
+    var vocab = initial.truncateLineage()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (merges.length < numMerges && !done) {
@@ -145,7 +146,7 @@ object BpeTrainer {
           merges += ((a, b))
           val mergeUdf = udf((syms: Seq[String]) => applyMerge(syms, a, b))
           val next = vocab.select(mergeUdf(col("syms")).as("syms"),
-            col("freq")).localCheckpoint(true)
+            col("freq")).truncateLineage()
           vocab.unpersist()
           vocab = next
       }
@@ -238,7 +239,7 @@ object BpeTrainer {
     val pruned0 = wordCounts(docs, textCol)
     val pruned = if (minFreq > 1L) pruned0.filter(col("freq") >= minFreq)
       else pruned0
-    val vocab = pruned.localCheckpoint(true)
+    val vocab = pruned.truncateLineage()
     val n = vocab.count()
     val out =
       if (n <= localVocabGate) {
@@ -334,7 +335,7 @@ object BpeTrainer {
     })
     val vocab = wordCounts(docs, textCol)
       .select(col("word"), mergedUdf(col("word")).as("syms"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val symIds: Map[String, Long] = vocab
       .select(explode(col("syms")).as("s")).distinct()
       .collect().map(_.getString(0))
@@ -342,7 +343,7 @@ object BpeTrainer {
       .map { case (s, i) => (s, (i + 1).toLong) }.toMap
     val idsUdf = udf((syms: Seq[String]) => syms.map(symIds).toArray)
     val wordIds = vocab.select(col("word"), idsUdf(col("syms")).as("ids"))
-      .localCheckpoint(true)
+      .truncateLineage()
     vocab.unpersist()
     val toksUdf = udf((t: String) =>
       if (t == null) Array.empty[String] else graft.kernel.TextKernel.tokens(t))

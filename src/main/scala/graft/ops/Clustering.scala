@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import Lineage.TruncateOps
 
 /** Embedding clustering and dimensionality reduction for corpus
   * organization at training-data scale: k-means (the IVF coarse
@@ -318,7 +319,7 @@ object Clustering {
         col(vecCol).cast("array<float>").as("emb"))
       .join(assigned, "vec_id")
       .withColumn("nrm", Similarity.norm(col("emb")))
-      .localCheckpoint()
+      .truncateLineage()
     // Candidate-side contract: a zero-norm (or NaN-element) embedding
     // is UNSCORABLE — cosine = dot/0 is NaN, and Spark's NaN compares
     // greater than everything (NaN >= tau is TRUE) while DuckDB's

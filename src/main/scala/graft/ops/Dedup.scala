@@ -4,6 +4,7 @@ import graft.kernel.TextKernel
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import Lineage.TruncateOps
 
 /** Document deduplication operators for training-data pipelines.
   *
@@ -47,9 +48,11 @@ object Dedup {
     * unpersist() it when done. `edges` is persisted for the loop's
     * lifetime (every round references it; without the cache each round
     * would replay the entire upstream candidate-pair pipeline), and
-    * each round's labels are localCheckpoint'ed so the logical plan
-    * stays O(1) across iterations instead of nesting one join tree per
-    * round.
+    * each round's labels are truncated ([[Lineage.truncate]] — eager
+    * localCheckpoint locally; reliable `checkpoint` when
+    * `spark.graft.checkpoint.dir` is set, the executor-loss-safe
+    * cluster mode) so the logical plan stays O(1) across iterations
+    * instead of nesting one join tree per round.
     */
   /** Below this many (directed, deduplicated) edges the component
     * computation runs as a driver-local union-find instead of the
@@ -106,7 +109,7 @@ object Dedup {
             least(col("label"), coalesce(col("nmin"), col("label")),
               coalesce(col("pl"), col("label"))).as("label"),
             col("label").as("prev"))
-          .localCheckpoint(eager = true)
+          .truncateLineage()
         val next = ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
         val changed = next.filter(col("label") =!= col("prev")).limit(1).count()
         labels = next.select(col("id"), col("label"))
@@ -1039,7 +1042,7 @@ object Dedup {
     val fps = docs.select(col(idCol).cast("long").as("id"),
         explode(fpUdf(col(textCol))).as("fp"))
       .repartition(parts, col("fp"))
-      .localCheckpoint()
+      .truncateLineage()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)

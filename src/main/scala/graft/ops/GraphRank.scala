@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import Lineage.TruncateOps
 
 /** Link-graph ranking for crawl curation — PageRank over an edge
   * list, the standard signal for prioritizing/weighting web documents
@@ -28,7 +29,11 @@ import org.apache.spark.sql.functions._
   * unpersisted before returning — only the returned ranks frame, which
   * no longer depends on them once checkpointed, stays in executor
   * storage, so repeated invocations in a long-lived session do not
-  * accumulate blocks.
+  * accumulate blocks. Truncation goes through [[Lineage.truncate]]:
+  * set `spark.graft.checkpoint.dir` to a fault-tolerant path and every
+  * per-iteration checkpoint becomes a reliable one that survives
+  * executor loss (the 100-TB cluster contract; local default stays
+  * executor-local blocks).
   */
 object GraphRank {
 
@@ -77,10 +82,10 @@ object GraphRank {
     // Only edgesW is materialized — `e` exists solely to feed it (one
     // pass), and the node set derives from edgesW, so the edge list
     // hits executor storage exactly once.
-    val edgesW = e.join(outdeg, Seq("src")).localCheckpoint(true)
+    val edgesW = e.join(outdeg, Seq("src")).truncateLineage()
     val nodes = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage()
     val n = nodes.count()
     if (n == 0) {
       edgesW.unpersist()
@@ -88,7 +93,7 @@ object GraphRank {
     }
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint(true)
+      .truncateLineage()
     // The dangling-node set never changes across iterations: derive it
     // once (one anti-join against the edge srcs) and checkpoint the
     // RESULT, so each iteration's mass aggregate is a semi-join of the
@@ -96,7 +101,7 @@ object GraphRank {
     // an O(edges) probe.
     val danglingIds = nodes
       .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+      .truncateLineage()
     val hasDangling = !danglingIds.isEmpty
     var itersRun = 0
     var converged = false
@@ -123,7 +128,7 @@ object GraphRank {
         .select(col("id"),
           (lit(base) + lit(damping) * col("dm") / n +
             lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage()
       itersRun += 1
       if (relTol > 0.0 && itersRun < iters) {
         val delta = next.as("n").join(ranks.as("p"), "id")
@@ -167,7 +172,7 @@ object GraphRank {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val edgesW = e.join(outdeg, Seq("src")).localCheckpoint(true)
+    val edgesW = e.join(outdeg, Seq("src")).truncateLineage()
     val nodes0 = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id")))
       .distinct()
@@ -175,16 +180,16 @@ object GraphRank {
     val nodes = nodes0
       .join(seedSet.withColumn("is_seed", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val nSeeds = nodes.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed ids present in the graph")
     def tele: Column = when(col("is_seed"), lit(1.0 / nSeeds))
       .otherwise(lit(0.0d))
     var ranks = nodes.select(col("id"), col("is_seed"), tele.as("rank"))
-      .localCheckpoint(true)
+      .truncateLineage()
     val danglingIds = nodes.select(col("id"))
       .join(edgesW.select(col("src").as("id")), Seq("id"), "left_anti")
-      .localCheckpoint(true)
+      .truncateLineage()
     val hasDangling = !danglingIds.isEmpty
     var itersRun = 0
     var converged = false
@@ -207,7 +212,7 @@ object GraphRank {
         .select(col("id"), col("is_seed"),
           ((lit(1.0 - damping) + lit(damping) * col("dm")) * tele +
             lit(damping) * coalesce(col("inflow"), lit(0.0d))).as("rank"))
-        .localCheckpoint(true)
+        .truncateLineage()
       itersRun += 1
       if (relTol > 0.0 && itersRun < iters) {
         val delta = next.as("n").join(ranks.as("p"), "id")
@@ -273,10 +278,10 @@ object GraphRank {
       tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val e = edges.select(col("src"), col("dst")).distinct()
-      .localCheckpoint(true)
+      .truncateLineage()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().truncateLineage()
     val n = nodes.count()
     if (n == 0) {
       e.unpersist()
@@ -285,7 +290,7 @@ object GraphRank {
     }
     var scores = nodes.select(col("id"),
         lit(1.0 / n).as("hub"), lit(1.0 / n).as("auth"))
-      .localCheckpoint(true)
+      .truncateLineage()
     var it = 0
     var converged = false
     while (it < iters && !converged) {
@@ -308,7 +313,7 @@ object GraphRank {
       val hTot = hRaw.agg(sum(col("rh")).as("th"))
       val hub = hRaw.crossJoin(broadcast(hTot))
         .select(col("id"), (col("rh") / col("th")).as("hub"))
-      val next = hub.join(auth, "id").localCheckpoint(true)
+      val next = hub.join(auth, "id").truncateLineage()
       it += 1
       if (tol > 0.0 && it < iters && !converged) {
         val delta = next.as("n").join(scores.as("p"), "id")

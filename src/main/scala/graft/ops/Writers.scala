@@ -26,17 +26,20 @@ import java.util.zip.GZIPOutputStream
   */
 object Writers {
 
-  /** COMPRESSION option (reference src/copy_format_common.cpp:77-107):
-    * explicit 'gzip'/'gz' forces gzip, 'none' forces plain output even
-    * with a `.gz` extension, names are case-insensitive, anything else
-    * errors; absent → auto-detect by `.gz` extension.
+  /** COMPRESSION option (reference src/copy_format_common.cpp:77-107,
+    * src/copy_sam.cpp CIEquals(comp_value, "uncompressed")): explicit
+    * 'gzip'/'gz' forces gzip; 'none'/'uncompressed' force plain output
+    * even with a `.gz` extension; names are case-insensitive
+    * (Locale.ROOT — a Turkish-locale JVM lowercases 'GZIP' to 'gzıp'
+    * under the default locale), anything else errors; absent →
+    * auto-detect by `.gz` extension.
     */
   private[ops] def resolveGzip(path: String, compression: Option[String]): Boolean =
-    compression.map(_.toLowerCase) match {
-      case Some("gzip") | Some("gz") => true
-      case Some("none")              => false
+    compression.map(_.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("gzip") | Some("gz")          => true
+      case Some("none") | Some("uncompressed") => false
       case Some(other) => throw new IllegalArgumentException(
-        s"Unknown compression type: $other (supported: gzip, none)")
+        s"Unknown compression type: $other (supported: gzip, none, uncompressed)")
       case None => path.endsWith(".gz")
     }
 

@@ -33,6 +33,14 @@ object BenchHeavy {
     * the hardware instead of the operator. */
   private val DocTarget = 50000L
   private val EmbTarget = 50000L
+  /** x19's WARC payload template, shared between the payload
+    * expression AND the fixture-version hash (r13 advice: a
+    * hand-maintained placeholder copy of the template reproduces the
+    * stale-fixture bug the hash exists to prevent). */
+  private val X19PayloadPrefix =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><h1>Doc "
+  private val X19PayloadMid = "</h1><p>"
+  private val X19PayloadSuffix = "</p></body></html>"
   private def factorFor(s: org.apache.spark.sql.SparkSession, d: String,
       table: String, target: Long): Int = {
     // parquet row count is footer metadata — no data scan
@@ -431,10 +439,12 @@ object BenchHeavy {
         val tag = new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
         // Version the cached export by its payload template (r12
         // advice: a _done marker keyed by path alone silently reuses a
-        // stale fixture across template edits).
-        val tmpl = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
-          "<html><body><h1>Doc |</h1><p>|</p></body></html>"
-        val tver = java.lang.Integer.toHexString(tmpl.hashCode)
+        // stale fixture across template edits). r13 advice: the hash is
+        // computed from the SAME constants the payload expression uses
+        // (X19PayloadPrefix/Mid/Suffix below), so editing the template
+        // cannot leave a stale hand-maintained copy behind.
+        val tver = java.lang.Integer.toHexString(
+          (X19PayloadPrefix + "|" + X19PayloadMid + "|" + X19PayloadSuffix).hashCode)
         val out = new java.io.File(
           sys.props("java.io.tmpdir"), s"graft_bench_warc_x$f${tag}_$tver")
         this.synchronized {
@@ -446,9 +456,9 @@ object BenchHeavy {
                 lit("response").as("warc_type"),
                 lit("application/http;msgtype=response").as("content_type"),
                 encode(concat(
-                  lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><h1>Doc "),
-                  col("doc_id"), lit("</h1><p>"), col("text"),
-                  lit("</p></body></html>")), "UTF-8").as("payload")),
+                  lit(X19PayloadPrefix),
+                  col("doc_id"), lit(X19PayloadMid), col("text"),
+                  lit(X19PayloadSuffix)), "UTF-8").as("payload")),
               out.getAbsolutePath + "/part-{SHARD}.warc.gz")
             new java.io.FileOutputStream(new java.io.File(out, "_done")).close()
           }

@@ -32,15 +32,31 @@ import org.apache.spark.sql.functions._
   * (pair recall at J≈0.9 under 16×4 banding is 1 − 4e-8), so the run
   * doubles as a 5M-doc correctness check, not only a throughput one.
   *
-  * Usage: runMain graft.tools.L79StressProbe [factor] (default 1000).
-  * The derived dir is cached in tmpdir; derivation cost is printed
-  * separately and excluded from the pipeline wall time.
+  * Usage: runMain graft.tools.L79StressProbe [factor] [dupEvery] [storage]
+  * (defaults 1000, 50, flat). The derived dir is cached in tmpdir;
+  * derivation cost is printed separately and excluded from the
+  * pipeline wall time.
+  *
+  * r14 (verdict #6) extras: `dupEvery` controls the planted duplicate
+  * density (1-in-N source docs), and `storage=bucketed` stores the
+  * stress corpus as a hive-persisted table bucketed by doc_id — the
+  * at-rest layout under which minhashPairs' pass-2 survivor semi join
+  * (Dedup.scala pass-1 comment) reads the corpus side with ZERO
+  * exchange even when the surviving-id set outgrows the broadcast
+  * threshold. Run flat-vs-bucketed at dupEvery=4 (survivors ≈ half
+  * the corpus ≫ 10 MB, forcing the fallback) and compare shuffle
+  * bytes: the delta is the 1× corpus-text shuffle the bucketed
+  * layout removes.
   */
 object L79StressProbe {
   def main(args: Array[String]): Unit = {
     val f = args.headOption.map(_.toInt).getOrElse(1000)
+    val dupEvery = args.lift(1).map(_.toInt).getOrElse(50)
+    val storage = args.lift(2).getOrElse("flat")
+    require(storage == "flat" || storage == "bucketed",
+      s"storage must be flat|bucketed, got $storage")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       // 5M docs → 80M banded keys; 128 partitions keeps each candidate
       // shuffle partition well inside executor memory (the same 4×-cores
       // sizing a 1000-executor job would use for a 100 TB corpus).
@@ -48,7 +64,10 @@ object L79StressProbe {
         sys.env.getOrElse("L79_PARTS", "128"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.join.preferSortMergeJoin", "false")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val spark =
+      (if (storage == "bucketed") graft.BucketedTables.configure(builder)
+       else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val keyOffset = Amplify.KeyOffset
@@ -68,8 +87,9 @@ object L79StressProbe {
     })
 
     val tag = new java.io.File(src).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
+    val dupTag = if (dupEvery == 50) "" else s"_d$dupEvery"
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stress_planted_x$f$tag.parquet")
+      s"graft_stress_planted_v2_x$f$dupTag$tag.parquet") // v2: +is_dup column
     this.synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         val t0 = System.nanoTime()
@@ -79,7 +99,7 @@ object L79StressProbe {
           col("text").as("prev_text"))
         val grouped = base.join(prev, Seq("doc_id"), "left")
           .withColumn("is_dup",
-            col("doc_id") % 50 === 1 && col("prev_text").isNotNull)
+            col("doc_id") % dupEvery === 1 && col("prev_text").isNotNull)
           .withColumn("grp",
             when(col("is_dup"), col("doc_id") - 1).otherwise(col("doc_id")))
           .withColumn("base_text",
@@ -90,10 +110,30 @@ object L79StressProbe {
           .select(
             (col("doc_id") + col("rep") * keyOffset).as("doc_id"),
             saltUdf(col("base_text"), col("grp") + col("rep") * keyOffset)
-              .as("text"))
+              .as("text"),
+            // persisted so the expected-count check below uses the SAME
+            // predicate the derivation used (r13 advice: `doc_id % 50
+            // == 1` alone over-counts when the predecessor id is absent
+            // from the corpus — is_dup requires prev_text IS NOT NULL)
+            col("is_dup"))
           .withColumn("n_chars", length(col("text")))
           .write.mode("overwrite").parquet(dir.getAbsolutePath)
-        println(f"[l79stress] derived planted x$f corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        println(f"[l79stress] derived planted x$f$dupTag corpus in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+    }
+    // At-rest bucketed twin (r14 verdict #6): one hive-persisted table
+    // bucketed+sorted by doc_id, one file per bucket — the layout the
+    // pass-1 comment in Dedup.minhashPairs names. Built once per
+    // (factor, dupEvery); build cost is ingest-side, printed separately.
+    val bucketTable = s"stress_docs_x$f$dupTag"
+    if (storage == "bucketed") this.synchronized {
+      if (!spark.catalog.tableExists(bucketTable)) {
+        val t0 = System.nanoTime()
+        spark.read.parquet(dir.getAbsolutePath)
+          .repartition(128, col("doc_id"))
+          .write.bucketBy(128, "doc_id").sortBy("doc_id")
+          .mode("overwrite").saveAsTable(bucketTable)
+        println(f"[l79stress] bucketed layout built in ${(System.nanoTime() - t0) / 1e9}%.1f s")
       }
     }
 
@@ -114,9 +154,11 @@ object L79StressProbe {
       }
     })
 
-    val docs = spark.read.parquet(dir.getAbsolutePath)
+    val docs =
+      if (storage == "bucketed") spark.table(bucketTable)
+      else spark.read.parquet(dir.getAbsolutePath)
     val nDocs = docs.count()
-    val planted = docs.filter(col("doc_id") % keyOffset % 50 === 1).count()
+    val planted = docs.filter(col("is_dup")).count()
     val inputBytes = dir.listFiles().map(_.length()).sum
     val t0 = System.nanoTime()
     // minhashPairs, NOT minhashPairsExact: the exact twin exists for
@@ -131,7 +173,7 @@ object L79StressProbe {
       graft.ops.Dedup.connectedComponents(pairs), "doc_id", "n_chars")
     val n = kept.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[l79stress] x$f ($nDocs docs, ${inputBytes / 1e6}%.0f MB parquet, " +
+    println(f"[l79stress] x$f$dupTag/$storage ($nDocs docs, ${inputBytes / 1e6}%.0f MB parquet, " +
       f"$planted planted dups): $secs%.1f s, $n canonical rows " +
       f"(expected ${nDocs - planted}), " +
       f"shuffle_write=${shufWrite.get / 1e6}%.0f MB, " +

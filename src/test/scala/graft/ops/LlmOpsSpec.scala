@@ -159,6 +159,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("reliable-checkpoint mode (spark.graft.checkpoint.dir) matches the local path") {
+    import spark.implicits._
+    // r13 verdict #5: localCheckpoint blocks die with an executor and
+    // the truncated lineage cannot recompute them — the 100-TB contract
+    // is the opt-in reliable mode. Same labels, and real checkpoint
+    // files must land under the configured dir.
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 300).map(_ => (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val base = Dedup.connectedComponents(pairs, localMaxEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    spark.conf.set(graft.ops.Lineage.DirKey, dir.getAbsolutePath)
+    try {
+      val rel = Dedup.connectedComponents(pairs, localMaxEdges = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rel == base && rel.nonEmpty)
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles()).toSeq.flatten
+          .flatMap(c => (if (c.getName.startsWith("rdd-")) Seq(c) else Nil) ++ rddDirs(c))
+      assert(rddDirs(dir).nonEmpty,
+        s"reliable mode wrote no checkpoint files under $dir")
+    } finally spark.conf.unset(graft.ops.Lineage.DirKey)
+  }
+
   test("connectedComponents executes the upstream pairs pipeline once (edges persisted)") {
     import spark.implicits._
     // count upstream executions with an accumulator inside a UDF over
