@@ -373,22 +373,24 @@ object Bench {
     // rows: a row >1.25× its quiet constant re-runs the tier sub-suite
     // (min-merged) up to twice; still-elevated rows are flagged
     // per-row in the detail line (`suspect_rows`) and roll up to the
-    // tier's `suspect` boolean. Constants = quiet-box warm best
-    // (tools/TierProbe, distribution in SCALE.md r14). The sf10 tier
-    // on this VM is bimodal run-to-run (SCALE.md r12: identical JVMs
+    // tier's `suspect` boolean. Constants = per-row minima across the
+    // r13/r14 fast-band bench records (BENCH_DETAIL; the stale round-5
+    // table was dropped as an anchor — SCALE.md r5 note). Min-merge
+    // downward when a future record beats a row. The sf10 tier on
+    // this VM is bimodal run-to-run (SCALE.md r12: identical JVMs
     // spread 12.2–28.4 s with pinned plans), so sf10 flags mark "not
     // the quiet number", never "the code regressed".
     val tierQuietRows: Map[String, Map[String, Double]] = Map(
       "sf1" -> Map(
-        "a01_parquet_scan" -> 0.108, "a04_filter" -> 0.094,
-        "a06_join_agg" -> 0.845, "a08_self_join" -> 0.709,
-        "a11_groupby_agg" -> 0.245, "a16_window_count" -> 0.570,
-        "a19_rank_frame" -> 0.637),
+        "a01_parquet_scan" -> 0.103, "a04_filter" -> 0.070,
+        "a06_join_agg" -> 0.688, "a08_self_join" -> 0.893,
+        "a11_groupby_agg" -> 0.185, "a16_window_count" -> 0.596,
+        "a19_rank_frame" -> 0.505),
       "sf10" -> Map(
         "a01_parquet_scan" -> 0.108, "a04_filter" -> 0.280,
-        "a06_join_agg" -> 2.853, "a08_self_join" -> 4.229,
-        "a11_groupby_agg" -> 0.455, "a16_window_count" -> 2.690,
-        "a19_rank_frame" -> 1.855))
+        "a06_join_agg" -> 3.144, "a08_self_join" -> 5.090,
+        "a11_groupby_agg" -> 0.379, "a16_window_count" -> 2.913,
+        "a19_rank_frame" -> 2.116))
     var tierSuspectRows = Map.empty[String, Seq[String]]
     def runTier(tag: String, dir: String): (Vector[(String, Double)], Vector[(String, String)]) = {
       def elevated(ts: Vector[(String, Double)]): Seq[String] =

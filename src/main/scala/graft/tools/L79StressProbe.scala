@@ -64,10 +64,22 @@ object L79StressProbe {
         sys.env.getOrElse("L79_PARTS", "128"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // L79_NO_BCAST=1 disables size-based broadcasts (explicit
+      // broadcast() hints are unaffected) so the pass-2 survivor semi
+      // join takes its shuffle FALLBACK even when the surviving-id set
+      // would broadcast — the regime a 100-TB corpus's duplicate
+      // density puts it in. Used by the flat-vs-bucketed comparison:
+      // same setting on both legs, the shuffle-byte delta is the 1×
+      // corpus text the bucketed layout keeps at rest.
       .config("spark.ui.enabled", "false")
+    val builder2 =
+      if (sys.env.get("L79_NO_BCAST").contains("1"))
+        builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+          .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      else builder
     val spark =
-      (if (storage == "bucketed") graft.BucketedTables.configure(builder)
-       else builder).getOrCreate()
+      (if (storage == "bucketed") graft.BucketedTables.configure(builder2)
+       else builder2).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val keyOffset = Amplify.KeyOffset

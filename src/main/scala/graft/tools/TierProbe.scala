@@ -13,7 +13,7 @@ object TierProbe {
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = sys.env.getOrElse("TIER_PARTS", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
@@ -26,6 +26,11 @@ object TierProbe {
       .config("spark.shuffle.spill.compress",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
       .config("spark.ui.enabled", "false")
+    // A/B hook: TIER_CONF="key=value;key=value" overlays arbitrary
+    // session confs for floor experiments (r13 verdict #4).
+    val spark = sys.env.get("TIER_CONF").map(_.split(";").toSeq).getOrElse(Nil)
+      .map(_.split("=", 2)).collect { case Array(k, v) => (k.trim, v.trim) }
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.FramelessWindowStrategy.install(spark)
