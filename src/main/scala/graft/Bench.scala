@@ -403,8 +403,14 @@ object Bench {
         Thread.sleep(5000)
         System.gc()
         val (ts2, _) = timeTier(dir)
-        val merged = ts.toMap
-        ts = ts2.map { case (k, v) => k -> math.min(v, merged.getOrElse(k, v)) }
+        // UNION merge, keyed off the accumulated rows (r14 review
+        // finding: keying off ts2 dropped any row that errored during
+        // a RETRY pass, silently shrinking the tier total — the same
+        // bug runTierBucketed's catch fixes): a row keeps its pass-1
+        // time unless a retry beat it.
+        val retried = ts2.toMap
+        ts = ts.map { case (k, v) => k -> math.min(v, retried.getOrElse(k, v)) } ++
+          ts2.filterNot { case (k, _) => ts.exists(_._1 == k) }
       }
       val sus = elevated(ts)
       if (sus.nonEmpty) tierSuspectRows += tag -> sus
@@ -508,7 +514,7 @@ object Bench {
       val r = math.rint(v * 1000) / 1000
       if (r == math.rint(r)) r.toLong.toString else r.toString
     }
-    val layerANames = layerA.map(_.name).toSet
+    val layerANames = layerANameSet // one definition (r14 review)
     val bucketedNames = bucketed.map(_.name).toSet
     val layerATotal = times.collect { case (k, v) if layerANames(k) => v }.sum
     val bucketedTotal = times.collect { case (k, v) if bucketedNames(k) => v }.sum

@@ -40,9 +40,12 @@ object Lineage {
 
   val DirKey = "spark.graft.checkpoint.dir"
 
-  /** True when the session is in reliable-checkpoint mode. */
-  def reliable(ds: Dataset[_]): Boolean =
-    ds.sparkSession.conf.getOption(DirKey).exists(_.nonEmpty)
+  // Last DirKey value WE applied to a context (appId -> dir).
+  // setCheckpointDir appends a per-set UUID subdir, so the context's
+  // own getCheckpointDir never equals the configured value — without
+  // this memo a DirKey CHANGE mid-session would be silently ignored
+  // (checkpoints keep landing in the first dir; r14 review finding).
+  @volatile private var applied: Map[String, String] = Map.empty
 
   /** Truncate `ds`'s plan + lineage, eagerly materializing it.
     * Default: executor-local blocks; with [[DirKey]] set: reliable
@@ -52,10 +55,12 @@ object Lineage {
     ds.sparkSession.conf.getOption(DirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = ds.sparkSession.sparkContext
-        // setCheckpointDir appends a per-set UUID subdir; only set it
-        // when nothing is configured yet so an explicitly-prepared
-        // sc.setCheckpointDir (or a previous truncate) is respected.
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        this.synchronized {
+          if (!applied.get(sc.applicationId).contains(dir)) {
+            sc.setCheckpointDir(dir)
+            applied += sc.applicationId -> dir
+          }
+        }
         ds.checkpoint(eager = true)
       case None => ds.localCheckpoint(eager = true)
     }

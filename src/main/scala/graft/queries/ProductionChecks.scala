@@ -46,6 +46,24 @@ object ProductionChecks {
     LlmPipeline.queries.find(_.name == name).flatMap(_.oracle)
       .getOrElse(sys.error(s"ProductionChecks: no oracle registered for $name"))
 
+  /** Deterministic per-sfDir artifact dir with build-once reuse (the
+    * BenchHeavy cachedDir pattern — r14 review: a fresh
+    * createTempDirectory per invocation accumulated an index copy in
+    * tmpdir every Verify round). The parquet _SUCCESS marker gates
+    * reuse; contents are deterministic in (testdata, code).
+    */
+  private def cachedDir(d: String, name: String)(
+      build: String => Unit): String = {
+    val tag = new java.io.File(d).getAbsolutePath.replaceAll("[^A-Za-z0-9]", "_")
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_check_$name$tag.parquet")
+    this.synchronized {
+      if (!new java.io.File(out, "_SUCCESS").exists())
+        build(out.getAbsolutePath)
+    }
+    out.getAbsolutePath
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // Production CW/FNV minhash LSH pairs (the x03 kernel) — l03's oracle.
@@ -104,11 +122,10 @@ object ProductionChecks {
         // persist the index like the deployment the path serves: the
         // postings subtree is consumed by several joins below, and an
         // in-plan recompute re-tokenizes the corpus per consumer
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_check_bm25idx").toFile
-        Retrieval.bm25Index(Tables.documents(s, d), "doc_id", "text")
-          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
-        val postings = s.read.parquet(tmp.getAbsolutePath)
+        val postings = s.read.parquet(cachedDir(d, "bm25idx") { out =>
+          Retrieval.bm25Index(Tables.documents(s, d), "doc_id", "text")
+            .write.mode("overwrite").parquet(out)
+        })
         Retrieval.bm25TopKFromIndex(postings, q, 10,
           precomputedStats = Some(Retrieval.bm25IndexStats(postings)))
       },
@@ -129,12 +146,11 @@ object ProductionChecks {
       (s, d) => {
         val emb = Tables.embeddings(s, d)
         val cents = Similarity.ivfCentroids(emb, dim = 64, nLists = 8, iters = 2)
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_check_ivfidx").toFile
-        Similarity.ivfAssignWithModel(emb, cents)
-          .write.mode("overwrite").partitionBy("list_id")
-          .parquet(tmp.getAbsolutePath)
-        Similarity.ivfTopKFromPartitionedIndex(s, tmp.getAbsolutePath,
+        val idx = cachedDir(d, "ivfidx") { out =>
+          Similarity.ivfAssignWithModel(emb, cents)
+            .write.mode("overwrite").partitionBy("list_id").parquet(out)
+        }
+        Similarity.ivfTopKFromPartitionedIndex(s, idx,
             cents, emb.filter(col("vec_id") < 10), k = 5, nProbe = 8)
           .select(col("query_id"), col("vec_id"),
             round(col("cos"), 6).as("cos"), col("rank"))

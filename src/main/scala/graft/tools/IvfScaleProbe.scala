@@ -64,8 +64,13 @@ object IvfScaleProbe {
           nLists = nLists, nProbe = nProbe, iters = 1)
         .write.format("noop").mode("overwrite").save()
       ivf() // warm-up (includes centroid training both times; ivfTopK is one-shot)
+      // listener events are delivered async — drain before resetting
+      // and again before reading, or warm-up stragglers land in the
+      // measured totals / the measured tail is missed (r14 review)
+      Thread.sleep(3000)
       shufWrite.set(0); shufRead.set(0); spill.set(0)
       val t = time(ivf())
+      Thread.sleep(3000)
       println(f"PROBE ivf x$f%d n=$n%d nLists=$nLists%d nProbe=$nProbe%d " +
         f"t=$t%.1f s shuffle_write=${shufWrite.get / 1e6}%.0f MB " +
         f"shuffle_read=${shufRead.get / 1e6}%.0f MB " +

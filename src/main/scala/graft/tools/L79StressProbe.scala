@@ -137,7 +137,12 @@ object L79StressProbe {
     // bucketed+sorted by doc_id, one file per bucket — the layout the
     // pass-1 comment in Dedup.minhashPairs names. Built once per
     // (factor, dupEvery); build cost is ingest-side, printed separately.
-    val bucketTable = s"stress_docs_x$f$dupTag"
+    // table name carries the source-dir tag like the flat cache dir
+    // does (r14 review: without it a run against a different
+    // SPARK_GRAFT_SF_DIR would silently reuse the previous source's
+    // bucketed corpus and the flat-vs-bucketed legs would compare
+    // different data)
+    val bucketTable = s"stress_docs_x$f$dupTag$tag"
     if (storage == "bucketed") this.synchronized {
       if (!spark.catalog.tableExists(bucketTable)) {
         val t0 = System.nanoTime()
@@ -185,6 +190,8 @@ object L79StressProbe {
       graft.ops.Dedup.connectedComponents(pairs), "doc_id", "n_chars")
     val n = kept.count()
     val secs = (System.nanoTime() - t0) / 1e9
+    // drain async listener deliveries before reading the counters
+    Thread.sleep(3000)
     println(f"[l79stress] x$f$dupTag/$storage ($nDocs docs, ${inputBytes / 1e6}%.0f MB parquet, " +
       f"$planted planted dups): $secs%.1f s, $n canonical rows " +
       f"(expected ${nDocs - planted}), " +

@@ -271,6 +271,9 @@ class GraphRankSpec extends AnyFunSuite {
   }
 
   test("pageRank under reliable-checkpoint mode matches the local path bit-for-bit") {
+    // Serialized with LlmOpsSpec's reliable test (shared-session DirKey
+    // conf; suites run in parallel) — see the note there.
+    graft.ops.Lineage.synchronized {
     import spark.implicits._
     // r13 verdict #5: the per-iteration truncation goes through
     // Lineage.truncate — with spark.graft.checkpoint.dir set, every
@@ -289,5 +292,6 @@ class GraphRankSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(rel == base && rel.nonEmpty)
     } finally spark.conf.unset(graft.ops.Lineage.DirKey)
+    }
   }
 }

@@ -160,6 +160,11 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("reliable-checkpoint mode (spark.graft.checkpoint.dir) matches the local path") {
+    // Serialized with GraphRankSpec's reliable test on the Lineage
+    // monitor: both mutate the shared session's DirKey conf, and sbt
+    // runs suites in parallel — unsynchronized, one suite's unset can
+    // flip the other's mode mid-loop (r14 review finding).
+    graft.ops.Lineage.synchronized {
     import spark.implicits._
     // r13 verdict #5: localCheckpoint blocks die with an executor and
     // the truncated lineage cannot recompute them — the 100-TB contract
@@ -182,6 +187,7 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(rddDirs(dir).nonEmpty,
         s"reliable mode wrote no checkpoint files under $dir")
     } finally spark.conf.unset(graft.ops.Lineage.DirKey)
+    }
   }
 
   test("connectedComponents executes the upstream pairs pipeline once (edges persisted)") {
