@@ -133,6 +133,84 @@ object Retrieval {
         col("col.score").as("score"), (col("pos") + 1).cast("long").as("rank"))
   }
 
+  /** Persist a [[bm25Index]] postings table TERM-BUCKET-PARTITIONED —
+    * the at-rest layout a standing 100 TB retrieval deployment wants
+    * (the BM25 twin of [[Similarity.ivfTopKFromPartitionedIndex]]'s
+    * `partitionBy(list_id)` contract): postings land under
+    * `term_bucket=<pmod(hash(term), nBuckets)>/` directories, so a
+    * serving batch whose query vocabulary touches v buckets reads
+    * ONLY those v directories — Catalyst prunes the other
+    * `nBuckets − v` at file-listing time and they never produce a
+    * task. A flat postings index makes every batch scan the whole
+    * index no matter how few terms it asks about (the join with the
+    * broadcast vocabulary filters rows AFTER the read); partition
+    * pruning is the input-bound saving no runtime exchange
+    * optimization can reach.
+    *
+    * The mandatory serving sidecars ride inside the same root:
+    * `_stats/` holds the 1-row [[bm25IndexStats]] table extended with
+    * `n_buckets` (underscore-prefixed, so Spark's file listing hides
+    * it from the postings read), making the artifact self-describing —
+    * the reader recovers the writer's bucket modulus from the data it
+    * must load anyway instead of trusting a caller-supplied constant
+    * to match the layout.
+    */
+  def bm25WritePartitionedIndex(
+      postings: DataFrame, path: String, nBuckets: Int = 256): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    postings
+      .withColumn("term_bucket", pmod(hash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
+    bm25IndexStats(postings)
+      .withColumn("n_buckets", lit(nBuckets))
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** BM25 top-k served from a [[bm25WritePartitionedIndex]] root: the
+    * query vocabulary's bucket set is resolved with the SAME
+    * `pmod(hash(term), n_buckets)` expression the writer used (one
+    * tiny Spark job — no driver-side reimplementation of the hash to
+    * drift) and folded into a `term_bucket IN (…)` literal, so the
+    * postings scan partition-prunes to the probed buckets at listing
+    * time. Scoring then reuses [[bm25TopKFromIndex]] verbatim over the
+    * pruned postings with the persisted `_stats` sidecar as the corpus
+    * stats (required here: deriving N/avgdl from a PRUNED read would
+    * be wrong, which is why the writer persists them alongside) —
+    * output is row-identical to flat-index serving, since the bucket
+    * filter is a superset of the exact vocabulary join inside.
+    *
+    * Unlike the IVF probe resolution (which collects per-QUERY probe
+    * lists and so must gate the batch size), the collected set here is
+    * bucket IDS — bounded by `n_buckets` whatever the query set's
+    * size, so no batch guard is needed: a corpus-sized query set
+    * simply resolves to all buckets and degrades gracefully to the
+    * full-index read that [[bm25TopKFromIndex]] would do anyway (at
+    * that vocabulary breadth pruning buys nothing by construction).
+    * The bucket distinct() itself is a distributed aggregate over the
+    * query terms, never a driver materialization of the vocabulary.
+    */
+  def bm25TopKFromPartitionedIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val stats = spark.read.parquet(s"$indexPath/_stats")
+    val nBuckets = stats.select(col("n_buckets").cast("int")).head().getInt(0)
+    val vocabBuckets = queries
+      .select(explode(toks(col("query_text"))).as("term"))
+      .select(pmod(hash(col("term")), lit(nBuckets)).as("term_bucket"))
+      .distinct()
+      .collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(indexPath)
+      .filter(col("term_bucket").isin(vocabBuckets.toIndexedSeq: _*))
+      .drop("term_bucket")
+    bm25TopKFromIndex(pruned, queries, k, k1, b,
+      precomputedStats = Some(stats.select(col("n_docs"), col("avgdl"))))
+  }
+
   /** One-shot BM25 top-k: tokenize, index, score in a single plan. */
   def bm25TopK(
       docs: DataFrame,

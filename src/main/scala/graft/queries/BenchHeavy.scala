@@ -599,6 +599,46 @@ object BenchHeavy {
           precomputedStats = Some(stats))
       }),
 
+    // y09's partition-pruned twin (the at-rest layout
+    // Retrieval.bm25WritePartitionedIndex prescribes): the same 16
+    // queries served from the SAME 500k postings rewritten
+    // term-bucket-partitioned — the serving batch's vocabulary (~11
+    // terms) resolves to ≤11 of 256 buckets, so the scan reads those
+    // directories only, where y09's flat read scans the whole index
+    // and discards non-vocab postings row-by-row. The y09/y10 delta
+    // IS the input-bound saving the layout buys; at 100 TB it is the
+    // difference between a per-batch corpus scan and a per-batch
+    // touch of vocabulary-sized data. y10_bm25_partitioned_check runs
+    // this chain under the driver oracle at gate scale.
+    QueryDef(
+      "y10_bm25_partitioned_500k",
+      (s, d) => {
+        val f = factorFor(s, d, "documents", 500000L)
+        val tag = new java.io.File(d).getAbsolutePath
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_bench_bm25pidx_x$f$tag.parquet")
+        this.synchronized {
+          // gate on the writer's LAST artifact (_stats): a crash
+          // between the postings and stats writes must rebuild
+          if (!new java.io.File(root, "_stats/_SUCCESS").exists()) {
+            val postings = s.read.parquet(cachedDir(d, s"bm25idx_x$f") {
+              val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
+                graft.tools.Amplify.documents(_, f)))
+              graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")
+            })
+            graft.ops.Retrieval.bm25WritePartitionedIndex(
+              postings, root.getAbsolutePath, nBuckets = 256)
+          }
+        }
+        val queries = s.range(16).select(col("id").as("query_id"),
+          concat(lit("spark window agg stream "),
+            (col("id") % 4).cast("string"),
+            lit(" customer vector filter table join")).as("query_text"))
+        graft.ops.Retrieval.bm25TopKFromPartitionedIndex(
+          s, root.getAbsolutePath, queries, k = 20)
+      }),
+
     // x07's 500k twin (r11 verdict #4): HEAVY_BASELINE's x07 DuckDB
     // denominator is measured at the ×100/500k corpus while x07
     // benches at DocTarget 50k — the committed ratio paired numbers

@@ -131,6 +131,37 @@ object ProductionChecks {
       },
       Some(oracleOf("l54_bm25_topk"))),
 
+    // Term-bucket-partitioned BM25 serving (the y10 path) — l54's
+    // oracle again: the bucket filter is a superset of the exact
+    // vocabulary join inside, so the layout cannot change the result;
+    // what this row proves every round is the write-partitioned →
+    // sidecar-stats → resolve-buckets → pruned-read → serve CHAIN.
+    QueryDef(
+      "y10_bm25_partitioned_check",
+      (s, d) => {
+        import s.implicits._
+        val q = Seq(
+          (0L, "spark window agg"),
+          (1L, "vector stream join"),
+          (2L, "customer query filter table"))
+          .toDF("query_id", "query_text")
+        val tag = new java.io.File(d).getAbsolutePath
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val root = new java.io.File(
+          sys.props("java.io.tmpdir"), s"graft_check_bm25pidx$tag.parquet")
+        this.synchronized {
+          // gate on the LAST artifact the writer emits (_stats), not
+          // the postings _SUCCESS — a crash between the two writes
+          // must rebuild, and the postings overwrite clears the root
+          if (!new java.io.File(root, "_stats/_SUCCESS").exists())
+            Retrieval.bm25WritePartitionedIndex(
+              Retrieval.bm25Index(Tables.documents(s, d), "doc_id", "text"),
+              root.getAbsolutePath, nBuckets = 64)
+        }
+        Retrieval.bm25TopKFromPartitionedIndex(s, root.getAbsolutePath, q, 10)
+      },
+      Some(oracleOf("l54_bm25_topk"))),
+
     // Production FNV window fingerprints (the x13 kernel) — l68's oracle.
     QueryDef(
       "x13_substr_check",

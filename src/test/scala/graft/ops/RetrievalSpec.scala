@@ -215,6 +215,51 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == Seq(1L, 4L))
   }
 
+  test("bm25 partitioned-at-rest serving: prunes to the vocab buckets, output identical") {
+    import spark.implicits._
+    val postings = Retrieval.bm25Index(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_part").toString
+    Retrieval.bm25WritePartitionedIndex(postings, dir, nBuckets = 8)
+    val qs = Seq((0L, "alpha beta"), (1L, "delta")).toDF("query_id", "query_text")
+    val served = Retrieval.bm25TopKFromPartitionedIndex(spark, dir, qs, k = 5)
+    val flat = Retrieval.bm25TopKFromIndex(postings, qs, k = 5,
+      precomputedStats = Some(Retrieval.bm25IndexStats(postings)))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(canon(served) == canon(flat) && canon(served).nonEmpty)
+    // the scan must carry the resolved term_bucket IN literal as a
+    // PARTITION filter — pruning at file listing, before any task runs
+    val planStr = served.queryExecution.executedPlan.toString
+    val pf = planStr.linesIterator
+      .find(_.contains("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters in plan:\n$planStr"))
+    assert(pf.contains("term_bucket"),
+      s"expected a term_bucket partition filter, got: $pf")
+  }
+
+  test("bm25 partitioned index: _stats sidecar is hidden from the postings read") {
+    val postings = Retrieval.bm25Index(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_side").toString
+    Retrieval.bm25WritePartitionedIndex(postings, dir, nBuckets = 4)
+    val back = spark.read.parquet(dir)
+    // the 1-row stats table must not leak into the postings relation
+    assert(back.count() == postings.count())
+    assert(!back.columns.contains("n_buckets"))
+    assert(back.columns.contains("term_bucket"))
+    // and the sidecar itself round-trips the writer's modulus
+    val st = spark.read.parquet(s"$dir/_stats").head()
+    assert(st.getAs[Int]("n_buckets") == 4)
+  }
+
+  test("bm25 partitioned serving: query with no indexed terms returns empty, no error") {
+    import spark.implicits._
+    val postings = Retrieval.bm25Index(docs, "doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_empty").toString
+    Retrieval.bm25WritePartitionedIndex(postings, dir, nBuckets = 4)
+    val qs = Seq((0L, "")).toDF("query_id", "query_text")
+    assert(Retrieval.bm25TopKFromPartitionedIndex(spark, dir, qs, k = 3).count() == 0)
+  }
+
   test("mmrDiversify rejects a corpus-sized candidate pool loudly") {
     import org.apache.spark.sql.functions.{array, col, lit}
     val pool = spark.range(0, 50).select(
