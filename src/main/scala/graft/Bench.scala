@@ -195,6 +195,10 @@ object Bench {
       "x17_winnow_pairs" -> 1.84,
       "y05_line_dedup_500k" -> 1.44, "y06_dup_spans_500k" -> 1.65,
       "y07_lm_score_500k" -> 4.01, "y09_bm25_topk_500k" -> 5.05,
+      // y10 seed = r14 fast-band HeavyOneProbe min over the clustered
+      // (1-file-per-bucket) layout; interleaved Y10Probe cycles beat
+      // y09 9/9 (SCALE.md r14, partitioned-BM25 section)
+      "y10_bm25_partitioned_500k" -> 4.46,
       "k06_bucketed_join_agg" -> 0.184, "k08_bucketed_self_join" -> 0.091,
       "k16_bucketed_window_count" -> 0.074, "k19_bucketed_rank_frame" -> 0.099,
       "k71_bucketed_semdedup" -> 1.21)

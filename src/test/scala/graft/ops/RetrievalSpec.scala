@@ -249,6 +249,15 @@ class RetrievalSpec extends AnyFunSuite {
     // and the sidecar itself round-trips the writer's modulus
     val st = spark.read.parquet(s"$dir/_stats").head()
     assert(st.getAs[Int]("n_buckets") == 4)
+    // one data file per bucket (the repartition-before-write contract:
+    // without it every upstream task writes into every bucket dir and
+    // the layout is a small-files disaster at scale)
+    for (b <- new java.io.File(dir).listFiles()
+         if b.getName.startsWith("term_bucket=")) {
+      val files = b.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${b.getName}: expected 1 file, got ${files.length}")
+    }
   }
 
   test("bm25 partitioned serving: query with no indexed terms returns empty, no error") {
