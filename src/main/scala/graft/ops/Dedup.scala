@@ -66,9 +66,23 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, maxIters: Int = 25,
       localMaxEdges: Long = LocalCcMaxEdges): DataFrame = {
+    // Pre-partition the static edge table on the per-round join key
+    // (dst) at a pinned count before caching: the distinct()'s
+    // hash(src,dst) at-rest partitioning does not satisfy the
+    // neighbor join's hash(dst), so every round re-exchanged the
+    // EDGE list — the largest relation — where only the id-sized
+    // label moves need to (the GraphRank r14 finding; persist, not
+    // checkpoint, because under AQE a checkpoint's LogicalRDD reports
+    // Unknown partitioning and the pin would be erased, and a cached
+    // static frame keeps its lineage for executor-loss recompute).
+    val nParts =
+      try pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      catch { case _: Throwable =>
+        pairs.sparkSession.sparkContext.defaultParallelism }
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct()
+      .repartition(nParts, col("dst"))
       .persist()
     try {
       val edgeCount = edges.count() // materializes the persist either way

@@ -48,13 +48,28 @@ object GraphShuffleProbe {
         .union(ids.select(col("src"), ((col("src") * 53 + 7) % n).as("dst")))
         .union(ids.select(col("src"), (col("src") % 1024).as("dst")))
     }
+    // mode "cc": chain-graph connected components with the driver
+    // union-find gate forced OFF, so the distributed label-propagation
+    // loop (the 100-TB path) is what gets measured. Chains of length
+    // 32 converge in a few path-halving rounds; iters is unused.
+    val ccMode = args.drop(1).headOption.contains("cc")
     def run(): Double = {
       Thread.sleep(2000)
       shufWrite.set(0L); jobs.set(0L); stages.set(0L)
       val t0 = System.nanoTime()
-      graft.ops.GraphRank.pageRank(graph(), iters = iters)
-        .orderBy(col("rank").desc).limit(20)
-        .write.format("noop").mode("overwrite").save()
+      if (ccMode) {
+        val n = 500000L
+        val pairs = spark.range(0, n).filter(col("id") % 32 =!= 0)
+          .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+        graft.ops.Dedup.connectedComponents(pairs, localMaxEdges = 0L)
+          .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+          .orderBy(col("sz").desc).limit(20)
+          .write.format("noop").mode("overwrite").save()
+      } else {
+        graft.ops.GraphRank.pageRank(graph(), iters = iters)
+          .orderBy(col("rank").desc).limit(20)
+          .write.format("noop").mode("overwrite").save()
+      }
       val w = (System.nanoTime() - t0) / 1e9
       Thread.sleep(2000)
       w
