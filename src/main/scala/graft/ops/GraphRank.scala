@@ -333,9 +333,22 @@ object GraphRank {
     // standard network-for-storage trade, and the right one at 100 TB
     // where the edge re-shuffle would otherwise be paid twice per
     // iteration while storage is amortized across the whole run.
+    // SIZE-GATED (r14: the l73 sweep row regressed 16.6 → ~21 s cold
+    // when the copy was unconditional): on a toy graph the second
+    // materialization is several fixed-latency jobs of pure overhead
+    // while the avoided per-iteration exchange is milliseconds, so
+    // below the threshold the dst joins reuse the src-partitioned
+    // copy and pay the (tiny) re-exchange — the same adaptive
+    // philosophy as Dedup.LocalCcMaxEdges.
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val eBySrc = e0.repartition(nParts, col("src")).persist()
-    val eByDst = eBySrc.repartition(nParts, col("dst")).persist()
+    val dualMinEdges =
+      try edges.sparkSession.conf.get("spark.graft.graph.dualEdgeMinRows").toLong
+      catch { case _: Throwable => 2000000L }
+    val eByDst =
+      if (eBySrc.count() >= dualMinEdges)
+        eBySrc.repartition(nParts, col("dst")).persist()
+      else eBySrc
     val nodes = eBySrc.select(col("src").as("id"))
       .union(eBySrc.select(col("dst").as("id")))
       .distinct().repartition(nParts, col("id")).persist()
