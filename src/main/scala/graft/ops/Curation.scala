@@ -27,6 +27,62 @@ object Curation {
   private def toks(textCol: Column): Column =
     filter(split(lower(textCol), TextKernel.WsPlus), t => t =!= "")
 
+  /** The four gate signals in ONE compiled kernel pass per document:
+    * (n_tokens, sum_chars, n_alpha, has_stop), NULL struct for NULL
+    * text (matching the expression form's null flow field-for-field).
+    *
+    * r14 (guide §1.2 step 2 / §4): the original derivation built four
+    * higher-order expressions over the token array —
+    * `aggregate(transform(...))` for char sums, `filter(x.rlike(...))`
+    * for the alpha count, `arrays_overlap` for stopwords. HOF lambdas
+    * are NOT whole-stage-codegen'd (interpreted per element), and the
+    * per-token regex rode the x15 pipeline's hottest map stage (the
+    * 500k-doc rules gate). One tight char-loop over
+    * [[TextKernel.tokens]] computes all four signals; measured
+    * same-JVM interleaved at 500k docs: 3.2–3.8 s → 2.4–3.0 s on the
+    * gate count (~1.3× — tokenization itself dominates both forms and
+    * is attacked separately in TextKernel.splitWsNonEmpty), identical
+    * keep counts every cycle, outputs spec-pinned against the
+    * expression form incl. the null/empty/unicode edges; the
+    * l41/l43/l44/x15-chain oracle rows re-verified green.
+    * Semantics preserved exactly: token class is the repo-wide
+    * lowercase WsPlus split; char counts are CODE POINTS
+    * (`length()`/UTF8String.numChars counts code points, so the twin
+    * is codePointCount, not String.length); the alpha predicate
+    * `rlike "^[a-z]+$"` means non-empty and all-ASCII-lowercase
+    * (tokens cannot contain the line terminators that would make the
+    * anchors diverge from a full match).
+    */
+  private def gopherStats(textCol: Column,
+      stopwords: Seq[String]): Column = {
+    val stopSet = stopwords.toSet
+    val statsUdf = udf((text: String) =>
+      if (text == null) null
+      else {
+        val t = TextKernel.tokens(text)
+        var sumChars = 0L
+        var nAlpha = 0L
+        var hasStop = false
+        var i = 0
+        while (i < t.length) {
+          val w = t(i)
+          sumChars += w.codePointCount(0, w.length).toLong
+          var alpha = w.length > 0
+          var j = 0
+          while (alpha && j < w.length) {
+            val c = w.charAt(j)
+            alpha = c >= 'a' && c <= 'z'
+            j += 1
+          }
+          if (alpha) nAlpha += 1
+          if (!hasStop && stopSet.contains(w)) hasStop = true
+          i += 1
+        }
+        (t.length.toLong, sumChars, nAlpha, hasStop)
+      })
+    statsUdf(textCol)
+  }
+
   /** The drop-reason column alone (NULL = keep) — the gate verdict as
     * a pure column expression, reusable where the per-doc signal
     * columns aren't needed (e.g. the streaming pass-rate monitor,
@@ -38,21 +94,47 @@ object Curation {
       minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
       minAlphaFrac: Double = 0.8,
       stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
-      allowedLangs: Seq[String] = Seq("en", "es", "de", "fr")): Column = {
-    val t = toks(textCol)
-    val n = size(t).cast("long")
-    val sumChars = aggregate(transform(t, x => length(x).cast("long")),
-      lit(0L), (a, x) => a + x)
-    val nAlpha = size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long")
+      allowedLangs: Seq[String] = Seq("en", "es", "de", "fr")): Column =
+    reasonFromStats(gopherStats(textCol, stopwords), langCol, minTokens,
+      maxTokens, minMeanLen, maxMeanLen, minAlphaFrac, allowedLangs)
+
+  /** The rule cascade over a [[gopherStats]] struct — shared by
+    * [[gopherReason]] and [[gopherRules]] so the kernel runs once per
+    * row (two independent udf() instances would defeat Catalyst's
+    * common-subexpression elimination).
+    */
+  private def reasonFromStats(gs: Column, langCol: Column,
+      minTokens: Int, maxTokens: Int, minMeanLen: Double,
+      maxMeanLen: Double, minAlphaFrac: Double,
+      allowedLangs: Seq[String]): Column = {
+    val n = gs.getField("_1")
+    val sumChars = gs.getField("_2")
+    val nAlpha = gs.getField("_3")
+    val hasStop = gs.getField("_4")
     val meanLen = when(n > 0, sumChars.cast("double") / n)
     val alphaFrac = when(n > 0, nAlpha.cast("double") / n)
-    val hasStop = arrays_overlap(t, array(stopwords.map(lit): _*))
     when(n < minTokens, "too_short")
       .when(n > maxTokens, "too_long")
       .when(meanLen < minMeanLen || meanLen > maxMeanLen, "token_len")
       .when(alphaFrac < minAlphaFrac, "alpha")
       .when(!hasStop, "stopwords")
       .when(!langCol.isin(allowedLangs.map(lit(_)): _*), "lang")
+  }
+
+  /** The pre-r14 expression form of [[gopherStats]]'s signals — kept
+    * ONLY for the equality spec that pins the kernel to it (and as the
+    * readable definition of the semantics). Not on any query path.
+    */
+  private[graft] def gopherStatsExprLegacy(textCol: Column,
+      stopwords: Seq[String]): Column = {
+    val t = toks(textCol)
+    val n = size(t).cast("long")
+    val sumChars = aggregate(transform(t, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long")
+    val hasStop = arrays_overlap(t, array(stopwords.map(lit): _*))
+    when(textCol.isNotNull, struct(n.as("_1"), sumChars.as("_2"),
+      nAlpha.as("_3"), hasStop.as("_4")))
   }
 
   /** Per-document rule evaluation. Output: (doc_id, n_tokens,
@@ -71,16 +153,14 @@ object Curation {
       minAlphaFrac: Double = 0.8,
       stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in"),
       allowedLangs: Seq[String] = Seq("en", "es", "de", "fr")): DataFrame = {
-    val t = toks(col(textCol))
-    val n = size(t).cast("long")
-    val sumChars = aggregate(transform(t, x => length(x).cast("long")),
-      lit(0L), (a, x) => a + x)
-    val nAlpha = size(filter(t, x => x.rlike("^[a-z]+$"))).cast("long")
+    val gs = gopherStats(col(textCol), stopwords)
+    val n = gs.getField("_1")
+    val sumChars = gs.getField("_2")
+    val nAlpha = gs.getField("_3")
     val meanLen = when(n > 0, sumChars.cast("double") / n)
     val alphaFrac = when(n > 0, nAlpha.cast("double") / n)
-    val reason = gopherReason(col(textCol), col(langCol), minTokens,
-      maxTokens, minMeanLen, maxMeanLen, minAlphaFrac, stopwords,
-      allowedLangs)
+    val reason = reasonFromStats(gs, col(langCol), minTokens,
+      maxTokens, minMeanLen, maxMeanLen, minAlphaFrac, allowedLangs)
     docs.select(col(idCol).as("doc_id"), n.as("n_tokens"),
       meanLen.as("mean_token_len"), alphaFrac.as("alpha_frac"),
       reason.isNull.as("keep"), reason.as("drop_reason"))

@@ -137,11 +137,28 @@ object Decontaminate {
     */
   def decontaminateExcise(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int,
-      exactHash: Boolean = true): DataFrame = {
+      exactHash: Boolean = true,
+      maxBroadcastFps: Long = 8L << 20): DataFrame = {
     val winUdf = udf((t: String) =>
       TextKernel.slidingWindowHashes(t, n, exactHash))
-    val benchFps = benchmark
+    val benchFps0 = benchmark
       .select(explode(winUdf(col(textCol))).as("fp")).distinct()
+    // r14 (guide §3.1/§3.2): the corpus side of the membership join is
+    // O(corpus windows) and must never shuffle — but AQE's runtime
+    // estimate of the distinct fingerprint set lands just above the
+    // 10 MB auto-broadcast threshold already at ~1M fps (8 B of data
+    // per row, ~20 B through the exchange), so the join fell back to a
+    // shuffled hash join and exchanged the CORPUS windows: 602 MB of
+    // the x15 pipeline's 809 MB total shuffle, measured per-stage.
+    // Size-gate an explicit broadcast instead (the LmScore.scoreAuto
+    // precedent — gated, never a blind hint): one benchmark-side count
+    // decides; under the gate the corpus windows die map-side and only
+    // true hits reach the span machinery. Above the gate (a benchmark
+    // union too big to broadcast) the prior shuffled join stands —
+    // compose decontaminateBloom's prefilter in front for that regime.
+    val benchFps =
+      if (benchFps0.count() <= maxBroadcastFps) broadcast(benchFps0)
+      else benchFps0
     val hits = corpus
       .select(col(idCol).as("doc_id"), posexplode(winUdf(col(textCol))))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),

@@ -51,11 +51,26 @@ object Packing {
     * [[BpeTrainer.bpeTokenCounts]]) instead of the whitespace kernel.
     */
   def packCounted(counted: DataFrame, idCol: String, nTokensCol: String,
-      budget: Int, buckets: Int): DataFrame = {
+      budget: Int, buckets: Int): DataFrame =
+    packCountedCarry(counted, idCol, nTokensCol, budget, buckets, Nil)
+
+  /** [[packCounted]] with pass-through payload columns (r14): `carry`
+    * columns ride the SAME bucket-keyed window exchange the layout
+    * already pays and come out in the window's (bucket, rk, doc_id)
+    * partition-local order — so a consumer that needs the payload
+    * co-located and stream-ordered with the layout (BpeTrainer's pack
+    * assembly) gets it for ZERO additional exchanges, instead of
+    * re-joining the payload onto the layout afterwards (a second
+    * corpus-sized shuffle). With `carry = Nil` the plan and output are
+    * exactly the pre-r14 packCounted.
+    */
+  def packCountedCarry(counted: DataFrame, idCol: String,
+      nTokensCol: String, budget: Int, buckets: Int,
+      carry: Seq[String]): DataFrame = {
     require(budget > 0 && buckets > 0, "budget and buckets must be positive")
-    val keyed = counted.select(col(idCol).as("doc_id"),
+    val keyed = counted.select((Seq(col(idCol).as("doc_id"),
         col(nTokensCol).cast("long").as("n_tokens"),
-        md5(col(idCol).cast("string")).as("rk"))
+        md5(col(idCol).cast("string")).as("rk")) ++ carry.map(col)): _*)
       .withColumn("bucket",
         Sampling.hashBucket(col("doc_id").cast("string")) % buckets)
     val w = Window.partitionBy(col("bucket"))
@@ -65,7 +80,7 @@ object Packing {
       .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .withColumn("pack_id", floor(col("start_offset") / budget))
       .withColumn("offset_in_pack", col("start_offset") % budget)
-      .select("doc_id", "bucket", "n_tokens", "start_offset",
-        "pack_id", "offset_in_pack")
+      .select(("doc_id" +: "bucket" +: "n_tokens" +: "start_offset" +:
+        "pack_id" +: "offset_in_pack" +: carry).map(col): _*)
   }
 }

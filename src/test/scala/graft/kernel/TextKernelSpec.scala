@@ -5,6 +5,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextKernelSpec extends AnyFunSuite {
   import TextKernel._
 
+  test("r14 splitWsNonEmpty is bit-identical to split(WsPlus).filter(_.nonEmpty)") {
+    val cases = Seq(
+      "", " ", "  \t\n\f\r ", "a", " a", "a ", " a ",
+      "a b", "a  b", "a\tb\nc\rd\fef", "\t\ta  b\t",
+      "word", "  leading and trailing  ",
+      "unicode éü 😀 mix", "a b", // NBSP is NOT ws
+      "ab\u000Bc", // vertical tab IS ws
+      "x" * 300 + " " + "y" * 300,
+      (1 to 50).map(i => s"tok$i").mkString("  "))
+    cases.foreach { s =>
+      val legacy = s.split(WsPlus).filter(_.nonEmpty).toSeq
+      assert(splitWsNonEmpty(s).toSeq == legacy, s"input=${s.take(40)}")
+    }
+    // randomized sweep over the full ws class + letters
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab \t\n\f\r".toCharArray
+    (1 to 500).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(splitWsNonEmpty(s).toSeq ==
+        s.split(WsPlus).filter(_.nonEmpty).toSeq, s"input=[$s]")
+    }
+  }
+
   test("hash64 is deterministic and spreads") {
     assert(hash64("abc") == hash64("abc"))
     assert(hash64("abc") != hash64("abd"))
