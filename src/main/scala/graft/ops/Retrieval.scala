@@ -53,6 +53,28 @@ object Retrieval {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
 
+  /** [[bm25Index]] clustered by doc_id — the at-rest layout for a
+    * FLAT postings artifact (r14, guide §6 "partitioning and sort
+    * order on write determine how well readers can skip/combine").
+    * Serving's heaviest exchange is the per-(query, doc) score
+    * aggregation: with the raw groupBy output layout a document's
+    * postings scatter across input splits, so the map-side partial
+    * aggregate cannot collapse a doc's per-term contributions and the
+    * exchange carries ~one row per MATCHED POSTING × queries sharing
+    * the term (744 MB on y09's 500k-doc common-vocab batch, measured
+    * per-stage). Clustered by doc_id, a doc's postings are contiguous
+    * in one file, the partial aggregate emits one row per (query, doc)
+    * and the same batch shuffles ~10× less. One build-time shuffle,
+    * paid once where a standing index wants it; scores are identical
+    * regardless of layout (the per-doc sum is an exact long sum of
+    * 1e-12-quantized contributions — order-independent by design).
+    */
+  def bm25IndexDocClustered(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    bm25Index(docs, idCol, textCol)
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("term"))
+
   /** The 1-row (n_docs, avgdl) corpus-stats table a standing BM25
     * deployment persists ALONGSIDE the postings: deriving it inline
     * is a postings-wide `distinct(doc_id, dl)` pass — O(index) per
@@ -226,8 +248,16 @@ object Retrieval {
       // single-task. The exchange moves only the PRUNED postings
       // (vocabulary-sized by construction — the whole point of the
       // layout), so it is bounded by the data the query actually
-      // touches, never by the index.
-      .repartition(spark.sparkContext.defaultParallelism)
+      // touches, never by the index. KEYED by doc_id (r14): a
+      // round-robin spread scatters each document's postings across
+      // tasks, so the scoring stage's per-(query, doc) partial
+      // aggregate cannot collapse them and the score exchange carries
+      // one row per matched posting × queries sharing the term; the
+      // doc-keyed spread costs the same bytes here and collapses the
+      // downstream exchange to one row per (query, doc) — the
+      // bm25IndexDocClustered rationale applied to the pruned-serving
+      // path (y10 common-vocab batch: 941 → 216 MB total, measured).
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     bm25TopKFromIndex(pruned, queries, k, k1, b,
       precomputedStats = Some(stats.select(col("n_docs"), col("avgdl"))))
   }

@@ -363,8 +363,9 @@ object BenchHeavy {
             .repartition(s.sparkContext.defaultParallelism)
           else s.read.parquet(amplifiedDir(s, d, "documents", f)(
             graft.tools.Amplify.documents(_, f)))
-        val postings = s.read.parquet(cachedDir(d, s"bm25idx_x$f")(
-          graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")))
+        // doc-clustered at-rest layout (r14): see bm25IndexDocClustered
+        val postings = s.read.parquet(cachedDir(d, s"bm25idxc_x$f")(
+          graft.ops.Retrieval.bm25IndexDocClustered(docs, "doc_id", "text")))
         // the 1-row stats table is part of the persisted artifact —
         // serving a batch must not pay a postings-wide distinct
         val stats = s.read.parquet(cachedDir(d, s"bm25stats_x$f")(
@@ -587,8 +588,9 @@ object BenchHeavy {
         val f = factorFor(s, d, "documents", 500000L)
         val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
           graft.tools.Amplify.documents(_, f)))
-        val postings = s.read.parquet(cachedDir(d, s"bm25idx_x$f")(
-          graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")))
+        // doc-clustered at-rest layout (r14): see bm25IndexDocClustered
+        val postings = s.read.parquet(cachedDir(d, s"bm25idxc_x$f")(
+          graft.ops.Retrieval.bm25IndexDocClustered(docs, "doc_id", "text")))
         val stats = s.read.parquet(cachedDir(d, s"bm25stats_x$f")(
           graft.ops.Retrieval.bm25IndexStats(postings)))
         val queries = s.range(16).select(col("id").as("query_id"),
@@ -622,10 +624,10 @@ object BenchHeavy {
           // gate on the writer's LAST artifact (_stats): a crash
           // between the postings and stats writes must rebuild
           if (!new java.io.File(root, "_stats/_SUCCESS").exists()) {
-            val postings = s.read.parquet(cachedDir(d, s"bm25idx_x$f") {
+            val postings = s.read.parquet(cachedDir(d, s"bm25idxc_x$f") {
               val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
                 graft.tools.Amplify.documents(_, f)))
-              graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")
+              graft.ops.Retrieval.bm25IndexDocClustered(docs, "doc_id", "text")
             })
             graft.ops.Retrieval.bm25WritePartitionedIndex(
               postings, root.getAbsolutePath, nBuckets = 256)

@@ -57,6 +57,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("r14 bm25: doc-clustered index layout serves row-identically to the raw index") {
+    val idx = Retrieval.bm25Index(docs, "doc_id", "text")
+    val cl = Retrieval.bm25IndexDocClustered(docs, "doc_id", "text")
+    // same rows, different at-rest order
+    assert(cl.collect().map(_.toSeq).toSet == idx.collect().map(_.toSeq).toSet)
+    val a = Retrieval.bm25TopKFromIndex(idx, q("alpha beta"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = Retrieval.bm25TopKFromIndex(cl, q("alpha beta"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("bm25: persisted corpus stats give identical output and skip the postings-wide distinct") {
     import spark.implicits._
     val idx = Retrieval.bm25Index(docs, "doc_id", "text")
