@@ -111,7 +111,18 @@ object GraphRank {
       damping: Double = 0.85, relTol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val nParts = shufflePartitions(edges)
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // ONE edge exchange builds the whole iteration-invariant relation
+    // (r14, guide §2.4): repartition by the join key FIRST — the
+    // dedup aggregate, the degree aggregate and the degree join all
+    // require only clustering by (a subset of) src, which
+    // hash(src, nParts) already satisfies, so Catalyst plans them
+    // exchange-free on top of the single repartition (the previous
+    // distinct → join → repartition sequence moved the edge list
+    // three times before the first iteration ran; QueryStatsProbe
+    // put the x11 build at ~143 MB of its 353 MB total shuffle).
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(nParts, col("src"))
+      .dropDuplicates("src", "dst")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     // Pre-join the degree once: every iteration reuses this relation.
     // Only edgesW is materialized — `e` exists solely to feed it (one
@@ -123,8 +134,7 @@ object GraphRank {
     // inherits nodes' hash(id) through every update), so the only
     // per-iteration exchange left is the groupBy(dst) aggregate —
     // contribution-sized, the scaladoc's one-shuffle claim made true.
-    val edgesW = e.join(outdeg, Seq("src"))
-      .repartition(nParts, col("src")).persist()
+    val edgesW = e.join(outdeg, Seq("src")).persist()
     val nodes = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id")))
       .distinct().repartition(nParts, col("id")).persist()
@@ -213,12 +223,14 @@ object GraphRank {
       : (DataFrame, Int) = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val nParts = shufflePartitions(edges)
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // same single-exchange preamble + pinned pre-partitioning as
+    // [[pageRankWithStats]]: edgesW by src + nodes by id → the
+    // contributions join is exchange-free
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(nParts, col("src"))
+      .dropDuplicates("src", "dst")
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    // same pinned pre-partitioning as [[pageRankWithStats]]: edgesW by
-    // src + nodes by id → the contributions join is exchange-free
-    val edgesW = e.join(outdeg, Seq("src"))
-      .repartition(nParts, col("src")).persist()
+    val edgesW = e.join(outdeg, Seq("src")).persist()
     val nodes0 = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id")))
       .distinct()
@@ -340,8 +352,12 @@ object GraphRank {
     // below the threshold the dst joins reuse the src-partitioned
     // copy and pay the (tiny) re-exchange — the same adaptive
     // philosophy as Dedup.LocalCcMaxEdges.
-    val e0 = edges.select(col("src"), col("dst")).distinct()
-    val eBySrc = e0.repartition(nParts, col("src")).persist()
+    // single-exchange dedup+partition (the pageRank preamble shape):
+    // hash(src) already clusters equal (src, dst) rows, so the dedup
+    // aggregate runs exchange-free on top of the one repartition
+    val eBySrc = edges.select(col("src"), col("dst"))
+      .repartition(nParts, col("src"))
+      .dropDuplicates("src", "dst").persist()
     val dualMinEdges =
       try edges.sparkSession.conf.get("spark.graft.graph.dualEdgeMinRows").toLong
       catch { case _: Throwable => 2000000L }
