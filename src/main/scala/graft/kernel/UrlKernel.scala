@@ -12,6 +12,8 @@ package graft.kernel
   */
 object UrlKernel {
 
+  private val CrLf = java.util.regex.Pattern.compile("\\r?\\n")
+
   private val UrlRe =
     "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\\?([^#]*))?(?:#.*)?$".r
 
@@ -102,7 +104,7 @@ object UrlKernel {
     val out = scala.collection.mutable.ArrayBuffer.empty[(Boolean, String)]
     var applies = false
     var inAgentRun = false
-    for (raw <- txt.split("\r?\n")) {
+    for (raw <- CrLf.split(txt)) { // compiled once (r14)
       val line = raw.takeWhile(_ != '#').trim
       if (line.nonEmpty) {
         val i = line.indexOf(':')

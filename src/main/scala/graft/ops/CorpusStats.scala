@@ -83,8 +83,10 @@ object CorpusStats {
     * array (map-side — the r7 form shuffled every exploded line twice,
     * once for the distinct and once for reassembly, and the heavy
     * bench had x05 at 5× DuckDB on exactly that traffic). The df
-    * aggregate then moves KEYS only (wordcount shape, map-combined);
-    * only the REMOVED keys ride a shuffle back to their documents
+    * aggregate then moves 8-byte KEY HASHES only (wordcount shape,
+    * map-combined; md5-60 of the trimmed line — r14, see the inline
+    * comment for the collision contract); only the REMOVED key hashes
+    * ride a shuffle back to their documents
     * (inner join vs the small common set, collect_set per doc); and
     * removal + reassembly is a map-side `filter` of the original
     * split array against the per-doc removal set — order and
@@ -116,25 +118,39 @@ object CorpusStats {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val base = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), sepRe, -1).as("segs"))
-    // per-doc DISTINCT non-blank trimmed keys, derived map-side
+    // per-doc DISTINCT non-blank trimmed keys, derived map-side, and
+    // HASHED before any exchange (r14, guide §2.3 "shuffle keys and
+    // metadata instead of payloads"): the df aggregate and the removal
+    // join move an 8-byte md5-60 per key instead of the line text —
+    // y05's 500k-doc bench point shuffled 670 MB of line strings
+    // before (three near-full-corpus text exchanges, per-stage
+    // measured), ~170 MB after. The hash family is the repo-standard
+    // cross-engine md5Hash60 (same collision contract as the
+    // decontamination fingerprints: a wrong removal needs a 60-bit
+    // collision against a common key — birthday-safe to ~2^30 distinct
+    // lines per corpus, far above any single corpus's line vocabulary;
+    // the line TEXT never needs to be compared because removal is
+    // membership, not grouping).
     val docKeys = base.select(col("doc_id"),
       explode(array_distinct(filter(
         transform(col("segs"), x => trim(x)), x => x =!= ""))).as("key"))
-    val common = docKeys.groupBy(col("key"))
+      .select(col("doc_id"), Dedup.md5Hash60(col("key")).as("kh"))
+    val common = docKeys.groupBy(col("kh"))
       // keys are per-doc distinct, so a plain count IS the doc freq
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocs)
-      .select(col("key"))
-    // only the removed keys travel back to their documents
-    val rmPerDoc = docKeys.join(common, Seq("key"))
+      .select(col("kh"))
+    // only the removed key hashes travel back to their documents
+    val rmPerDoc = docKeys.join(common, Seq("kh"))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("key")).as("rm"))
+      .agg(collect_set(col("kh")).as("rm"))
     base.join(rmPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("segs")).cast("long").as("n_lines"),
         when(col("rm").isNull, col("segs"))
           .otherwise(filter(col("segs"),
-            x => !array_contains(col("rm"), trim(x)))).as("kept"))
+            x => !array_contains(col("rm"), Dedup.md5Hash60(trim(x)))))
+          .as("kept"))
       .select(col("doc_id"), col("n_lines"),
         // NULL text: segs is null, size() = -1 on both terms → keep the
         // r7 convention n_removed = n_lines (= -1), clean_text = ""
