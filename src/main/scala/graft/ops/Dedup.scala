@@ -1056,7 +1056,19 @@ object Dedup {
     val fps = docs.select(col(idCol).cast("long").as("id"),
         explode(fpUdf(col(textCol))).as("fp"))
       .repartition(parts, col("fp"))
-      .truncateLineage()
+      // persist(), NOT eager localCheckpoint (r14): the three
+      // consumers (df aggregate + both pair-join sides) each re-read
+      // this frame, and checkpoint blocks are RAW row batches — x17
+      // measured 2.4 GB of block reads per run, vs 334 MB from the
+      // columnar-compressed InMemoryRelation (shuffle shape identical
+      // either way: one 214 MB fp exchange, then the joins and the
+      // pair aggregate ride the cached hash(fp) partitioning and emit
+      // 4.7 MB, per-stage measured). persist also keeps lineage, so
+      // lost blocks recompute on a real cluster instead of failing
+      // the job — the GraphRank static-frame rule. Single-evaluation
+      // contract unchanged (LlmOpsSpec's UDF call counter pins
+      // calls == docs either way).
+      .persist()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf && col("df") >= 2)

@@ -678,6 +678,11 @@ object BenchHeavy {
         val kept = docs.filter(
           graft.ops.Curation.gopherReason(col("text"), col("lang"),
             minTokens = 40).isNull)
+          // project to the chain's columns BEFORE materializing: the
+          // checkpoint otherwise stores source/n_chars blocks no
+          // consumer reads (r14; guide §2.3 "project before the
+          // exchange" applies to checkpoint materialization too)
+          .select(col("doc_id"), col("text"), col("lang"))
           .localCheckpoint()
         val excised = graft.ops.Decontaminate.decontaminateExcise(kept,
             docs.filter(col("doc_id") % 23 === 0), "doc_id", "text",
