@@ -79,10 +79,15 @@ object Dedup {
       try pairs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
       catch { case _: Throwable =>
         pairs.sparkSession.sparkContext.defaultParallelism }
+    // repartition BEFORE the dedup (r14, the GraphRank one-exchange
+    // preamble): hash(dst) clusters equal (src, dst) rows, so the
+    // dedup aggregate runs exchange-free on top of the single pinned
+    // exchange instead of paying distinct's hash(src,dst) exchange
+    // first and the dst repartition second.
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .unionAll(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct()
       .repartition(nParts, col("dst"))
+      .dropDuplicates("src", "dst")
       .persist()
     try {
       val edgeCount = edges.count() // materializes the persist either way

@@ -137,6 +137,11 @@ object GraphRank {
     val edgesW = e.join(outdeg, Seq("src")).persist()
     val nodes = edgesW.select(col("src").as("id"))
       .union(edgesW.select(col("dst").as("id")))
+      // distinct FIRST (its map-side partial aggregate collapses the
+      // 2x-edge union to ~node count before the exchange — measured
+      // cheaper than one uncompressed union-sized repartition), then
+      // the id-sized re-pin the per-iteration joins rely on (r14:
+      // the reorder was tried and cost +30 MB on the x11 graph)
       .distinct().repartition(nParts, col("id")).persist()
     val n = nodes.count()
     if (n == 0) {
@@ -367,6 +372,8 @@ object GraphRank {
       else eBySrc
     val nodes = eBySrc.select(col("src").as("id"))
       .union(eBySrc.select(col("dst").as("id")))
+      // distinct first: map-side combine beats saving the id-sized
+      // re-pin exchange (see pageRank's nodes note)
       .distinct().repartition(nParts, col("id")).persist()
     val n = nodes.count()
     if (n == 0) {
