@@ -681,7 +681,12 @@ object BenchHeavy {
           // project to the chain's columns BEFORE materializing: the
           // checkpoint otherwise stores source/n_chars blocks no
           // consumer reads (r14; guide §2.3 "project before the
-          // exchange" applies to checkpoint materialization too)
+          // exchange" applies to checkpoint materialization too).
+          // localCheckpoint, NOT persist — the x17 columnar-cache swap
+          // was TRIED here and reverted: these frames are read 1–2×
+          // each (vs x17's 3×), lazy persist added two materialization
+          // jobs, and measured input bytes went UP (864 → 996 MB)
+          // with no task-time win.
           .select(col("doc_id"), col("text"), col("lang"))
           .localCheckpoint()
         val excised = graft.ops.Decontaminate.decontaminateExcise(kept,
