@@ -234,9 +234,13 @@ object BpeTrainer {
     * never win a merge against real text anyway.
     */
   def trainMergesAuto(docs: DataFrame, textCol: String, numMerges: Int,
-      minFreq: Long = 1L, localVocabGate: Long = 4000000L)
+      minFreq: Long = 1L, localVocabGate: Long = 4000000L,
+      precomputedWordCounts: Option[DataFrame] = None)
       : Seq[(String, String)] = {
-    val pruned0 = wordCounts(docs, textCol)
+    // r14: a caller composing train + pack (x12's shape) tokenizes the
+    // corpus once and hands the same (word, freq) frame to both —
+    // identical output by construction, one corpus pass saved.
+    val pruned0 = precomputedWordCounts.getOrElse(wordCounts(docs, textCol))
     val pruned = if (minFreq > 1L) pruned0.filter(col("freq") >= minFreq)
       else pruned0
     val vocab = pruned.truncateLineage()
@@ -332,7 +336,8 @@ object BpeTrainer {
     * Per-token rows never exist; per-task state is one pack buffer.
     */
   def packTokenIds(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], budget: Int, buckets: Int): DataFrame = {
+      merges: Seq[(String, String)], budget: Int, buckets: Int,
+      precomputedWordCounts: Option[DataFrame] = None): DataFrame = {
     val spark = docs.sparkSession
     val mergedUdf = udf((w: String) => {
       var s: Seq[String] = symbols(w).toSeq
@@ -345,7 +350,8 @@ object BpeTrainer {
     // to the driver to build the hash relation (plus symIds was always
     // a driver collect); the collect is now explicit instead of hidden
     // inside BroadcastExchange.
-    val vocabRows = wordCounts(docs, textCol)
+    val vocabRows = precomputedWordCounts
+      .getOrElse(wordCounts(docs, textCol))
       .select(col("word"), mergedUdf(col("word")).as("syms"))
       .collect().map(r => (r.getString(0), r.getSeq[String](1)))
     val symIds: Map[String, Long] = vocabRows.iterator.flatMap(_._2)

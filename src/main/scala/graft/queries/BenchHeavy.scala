@@ -504,9 +504,17 @@ object BenchHeavy {
             .repartition(s.sparkContext.defaultParallelism)
           else s.read.parquet(amplifiedDir(s, d, "documents", f)(
             graft.tools.Amplify.documents(_, f)))
-        val merges = graft.ops.BpeTrainer.trainMergesAuto(docs, "text", 30)
-        graft.ops.BpeTrainer.packTokenIds(docs, "doc_id", "text", merges,
-          budget = 2048, buckets = 64)
+        // tokenize the corpus for word counts ONCE; train and pack
+        // consume the same persisted frame (both consume it eagerly at
+        // construction, so it is unpersisted before the plan returns)
+        val wc = graft.ops.BpeTrainer.wordCounts(docs, "text").persist()
+        val merges = graft.ops.BpeTrainer.trainMergesAuto(docs, "text", 30,
+          precomputedWordCounts = Some(wc))
+        val out = graft.ops.BpeTrainer.packTokenIds(docs, "doc_id", "text",
+          merges, budget = 2048, buckets = 64,
+          precomputedWordCounts = Some(wc))
+        wc.unpersist()
+        out
       }),
 
     // Exact-substring dedup at the published span length (50 tokens,
