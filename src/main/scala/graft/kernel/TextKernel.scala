@@ -254,9 +254,16 @@ object TextKernel {
     out.result()
   }
 
-  /** Whitespace tokens, lowercased. */
+  /** Whitespace tokens, lowercased. Locale.ROOT pins the lowering
+    * locale-invariant (r15, ADVICE r14): under a Turkish/Azeri/
+    * Lithuanian default JVM locale, default-locale toLowerCase maps
+    * 'I' to dotless 'ı' and the kernel would diverge from the
+    * locale-independent expression form (Spark's lower()) it is
+    * spec-pinned against. ROOT and the expression form agree on every
+    * input this engine's oracles exercise.
+    */
   def tokens(text: String): Array[String] =
-    splitWsNonEmpty(text.toLowerCase)
+    splitWsNonEmpty(text.toLowerCase(java.util.Locale.ROOT))
 
   /** Excise 1-based token-index ranges from text, preserving original
     * token case and joining survivors with single spaces (excision
@@ -460,6 +467,57 @@ object TextKernel {
       i += 1
     }
     out
+  }
+
+  /** Fused span-excision against a SORTED fingerprint set — the
+    * one-pass kernel form of Decontaminate.decontaminateExcise's
+    * window → membership → island-merge → excise chain (r15, guide
+    * §2.4 "remove shuffles outright" / §8 "decide with small rows"):
+    * when the benchmark fingerprint set fits on the driver, the whole
+    * decision is per-document-local, so a single map pass replaces the
+    * posexplode + membership join + window island-merge + text-side
+    * join. Windows are [[slidingWindowHashes]] (1-based token start
+    * `s = i + 1`, end `s + l − 1`); merged exactly like
+    * CorpusStats.mergeTokenSpans (islands break when
+    * `s > prev_end + 1`, so touching/adjacent spans coalesce — window
+    * starts ascend, so the running max of ends is the last end);
+    * excision is [[exciseTokenRanges]] verbatim. Membership is binary
+    * search over the sorted `fps` array (exact, no false positives).
+    *
+    * Returns (n_spans, n_removed_tokens, cleaned_text); docs with no
+    * hits return the ORIGINAL text object untouched, null text stays
+    * null — the exact contract of the join formulation (spec-pinned
+    * against it on randomized corpora in DecontaminateSpec).
+    */
+  def exciseByFpSet(text: String, l: Int, exact: Boolean,
+      fps: Array[Long]): (Long, Long, String) = {
+    if (text == null) return (0L, 0L, null)
+    val hs = slidingWindowHashes(text, l, exact)
+    var curS = 0
+    var curE = -1 // -1 = no open island
+    val ss = new mutable.ArrayBuilder.ofInt
+    val ee = new mutable.ArrayBuilder.ofInt
+    var nSpans = 0L
+    var removed = 0L
+    def close(): Unit = {
+      ss += curS; ee += curE
+      nSpans += 1
+      removed += curE - curS + 1
+    }
+    var i = 0
+    while (i < hs.length) {
+      if (java.util.Arrays.binarySearch(fps, hs(i)) >= 0) {
+        val s = i + 1
+        val e = i + l
+        if (curE < 0) { curS = s; curE = e }
+        else if (s <= curE + 1) { curE = e } // window ends ascend
+        else { close(); curS = s; curE = e }
+      }
+      i += 1
+    }
+    if (curE >= 0) close()
+    if (nSpans == 0L) (0L, 0L, text)
+    else (nSpans, removed, exciseTokenRanges(text, ss.result(), ee.result()))
   }
 
   /** 60-bit md5-family SimHash as one Long — the kernel twin of the

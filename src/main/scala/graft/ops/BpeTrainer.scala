@@ -373,7 +373,17 @@ object BpeTrainer {
         val m = bcIds.value
         var n = 0L
         var i = 0
-        while (i < ts.length) { n += m.get(ts(i)).length; i += 1 }
+        while (i < ts.length) {
+          val a = m.get(ts(i))
+          // loud contract failure instead of an opaque executor NPE
+          // (ADVICE r14): a minFreq-pruned or foreign-corpus
+          // precomputedWordCounts frame would otherwise surface as a
+          // bare NullPointerException deep in a task
+          require(a != null, s"token '${ts(i)}' absent from the vocab " +
+            "map — precomputedWordCounts must cover every corpus token " +
+            "(unpruned counts from THIS corpus)")
+          n += a.length; i += 1
+        }
         n
       })
     val counted = docs.select(col(idCol).as("doc_id"),
@@ -421,7 +431,11 @@ object BpeTrainer {
           var i = 0
           val parts = new Array[Array[Long]](ts.length)
           while (i < ts.length) {
-            parts(i) = m.get(ts(i)); total += parts(i).length; i += 1
+            parts(i) = m.get(ts(i))
+            require(parts(i) != null, s"token '${ts(i)}' absent from " +
+              "the vocab map — precomputedWordCounts must cover every " +
+              "corpus token (unpruned counts from THIS corpus)")
+            total += parts(i).length; i += 1
           }
           val flat = new Array[Long](total)
           var o = 0; i = 0

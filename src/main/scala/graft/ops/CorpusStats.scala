@@ -83,9 +83,9 @@ object CorpusStats {
     * array (map-side — the r7 form shuffled every exploded line twice,
     * once for the distinct and once for reassembly, and the heavy
     * bench had x05 at 5× DuckDB on exactly that traffic). The df
-    * aggregate then moves 8-byte KEY HASHES only (wordcount shape,
-    * map-combined; md5-60 of the trimmed line — r14, see the inline
-    * comment for the collision contract); only the REMOVED key hashes
+    * aggregate then moves 16-byte KEY HASHES only (wordcount shape,
+    * map-combined; full 128-bit md5 of the trimmed line — r15, see
+    * the inline comment for the collision contract); only the REMOVED key hashes
     * ride a shuffle back to their documents
     * (inner join vs the small common set, collect_set per doc); and
     * removal + reassembly is a map-side `filter` of the original
@@ -121,20 +121,21 @@ object CorpusStats {
     // per-doc DISTINCT non-blank trimmed keys, derived map-side, and
     // HASHED before any exchange (r14, guide §2.3 "shuffle keys and
     // metadata instead of payloads"): the df aggregate and the removal
-    // join move an 8-byte md5-60 per key instead of the line text —
-    // y05's 500k-doc bench point shuffled 670 MB of line strings
-    // before (three near-full-corpus text exchanges, per-stage
-    // measured), ~170 MB after. The hash family is the repo-standard
-    // cross-engine md5Hash60 (same collision contract as the
-    // decontamination fingerprints: a wrong removal needs a 60-bit
-    // collision against a common key — birthday-safe to ~2^30 distinct
-    // lines per corpus, far above any single corpus's line vocabulary;
-    // the line TEXT never needs to be compared because removal is
-    // membership, not grouping).
+    // join move a 16-byte key hash instead of the line text — y05's
+    // 500k-doc bench point shuffled 670 MB of line strings before
+    // (three near-full-corpus text exchanges, per-stage measured),
+    // ~170 MB after. r15 (verdict r14 #3): the key is the FULL 128-bit
+    // md5 (Dedup.md5Key128), not the 60-bit prefix — these keys have
+    // corpus cardinality, and at 100 TB the distinct-line count can
+    // pass the 60-bit birthday bound (~2^30), where a collision
+    // silently deletes a non-duplicate line. Full width is
+    // birthday-safe to ~2^64 distinct lines and still ~20× narrower
+    // than the text; removal stays pure membership, so the hash
+    // carries the whole decision.
     val docKeys = base.select(col("doc_id"),
       explode(array_distinct(filter(
         transform(col("segs"), x => trim(x)), x => x =!= ""))).as("key"))
-      .select(col("doc_id"), Dedup.md5Hash60(col("key")).as("kh"))
+      .select(col("doc_id"), Dedup.md5Key128(col("key")).as("kh"))
     val common = docKeys.groupBy(col("kh"))
       // keys are per-doc distinct, so a plain count IS the doc freq
       .agg(count(lit(1)).as("df"))
@@ -149,7 +150,7 @@ object CorpusStats {
         size(col("segs")).cast("long").as("n_lines"),
         when(col("rm").isNull, col("segs"))
           .otherwise(filter(col("segs"),
-            x => !array_contains(col("rm"), Dedup.md5Hash60(trim(x)))))
+            x => !array_contains(col("rm"), Dedup.md5Key128(trim(x)))))
           .as("kept"))
       .select(col("doc_id"), col("n_lines"),
         // NULL text: segs is null, size() = -1 on both terms → keep the

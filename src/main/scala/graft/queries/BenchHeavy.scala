@@ -679,32 +679,31 @@ object BenchHeavy {
         val f = factorFor(s, d, "documents", 500000L)
         val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
           graft.tools.Amplify.documents(_, f)))
-        // materialize the gated corpus once: decontaminateExcise
-        // consumes its corpus twice (window pass + text-side join),
-        // and the regex-heavy rules gate is the most expensive map in
-        // the chain — re-evaluating it per consumer cost 2× wall
+        // r15: the fused decontaminateExcise consumes its corpus ONCE
+        // (the benchmark fp set is collected/broadcast and every doc
+        // windows + excises locally), so the gated corpus needs NO
+        // upstream materialization — the r14 chain paid a 170 MB
+        // localCheckpoint for excise's two reads plus a 500k×500k
+        // doc_id join to re-attach `lang`; both are gone (carryCols).
         val kept = docs.filter(
           graft.ops.Curation.gopherReason(col("text"), col("lang"),
             minTokens = 40).isNull)
-          // project to the chain's columns BEFORE materializing: the
-          // checkpoint otherwise stores source/n_chars blocks no
-          // consumer reads (r14; guide §2.3 "project before the
-          // exchange" applies to checkpoint materialization too).
-          // localCheckpoint, NOT persist — the x17 columnar-cache swap
-          // was TRIED here and reverted: these frames are read 1–2×
-          // each (vs x17's 3×), lazy persist added two materialization
-          // jobs, and measured input bytes went UP (864 → 996 MB)
-          // with no task-time win.
           .select(col("doc_id"), col("text"), col("lang"))
-          .localCheckpoint()
         val excised = graft.ops.Decontaminate.decontaminateExcise(kept,
             docs.filter(col("doc_id") % 23 === 0), "doc_id", "text",
-            n = 8, exactHash = false)
-          .join(kept.select(col("doc_id"), col("lang")), "doc_id")
-          .localCheckpoint()
-        graft.ops.Sampling.temperatureMix(
-            excised.select(col("doc_id"),
-              col("cleaned_text").as("text"), col("lang")),
+            n = 8, exactHash = false, carryCols = Seq("lang"))
+          .select(col("doc_id"), col("cleaned_text").as("text"),
+            col("lang"))
+          // columnar persist, not localCheckpoint (the x17 §5 lesson,
+          // now that the frame is the chain's ONLY materialization):
+          // temperatureMix reads it twice — the stratum-count pass
+          // materializes the cache as a side effect of its own job
+          // (one job fewer than an eager checkpoint) and reads only
+          // the lang/doc_id batches the second pass doesn't re-pay.
+          // Lifecycle: bench reps re-persist ~25 MB each; the storage
+          // pool evicts LRU, the x17 precedent.
+          .persist()
+        graft.ops.Sampling.temperatureMix(excised,
             "doc_id", "text", "lang", budgetDocs = 100000L)
           .groupBy(col("stratum")).agg(count(lit(1)).as("n_kept"))
       })

@@ -2814,20 +2814,18 @@ object LlmPipeline {
       "l76_ingest_pipeline",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        // kept materialized once: the excision consumes its corpus
-        // twice and the regex-heavy gate is the chain's costliest map
-        // (2× wall measured on x15, the 500k-doc bench twin)
+        // r15: the fused excision consumes its corpus once and carries
+        // `lang` through (no re-attach join), so `kept` needs no
+        // materialization; the excision OUTPUT is still shared by
+        // temperatureMix's two passes and the final span-count join —
+        // one columnar persist (the x17 §5 rule for ≥3-read frames)
         val kept = docs.filter(
           Curation.gopherReason(col("text"), col("lang"),
             minTokens = 40).isNull)
-          .localCheckpoint()
-        // checkpoint the excision output: temperatureMix's count pass
-        // and the final join both consume it — without this the whole
-        // fingerprint/island chain runs twice (the semDedup lesson)
         val excised = Decontaminate.decontaminateExcise(kept,
-          docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 8)
-          .join(kept.select(col("doc_id"), col("lang")), "doc_id")
-          .localCheckpoint()
+          docs.filter(col("doc_id") % 23 === 0), "doc_id", "text", n = 8,
+          carryCols = Seq("lang"))
+          .persist()
         val mixed = Sampling.temperatureMix(
           excised.select(col("doc_id"),
             col("cleaned_text").as("text"), col("lang")),

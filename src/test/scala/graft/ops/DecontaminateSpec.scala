@@ -114,4 +114,42 @@ class DecontaminateSpec extends AnyFunSuite {
     // positions 1 and 5) → merged island 1..8 → fully excised
     assert(got(3L) == ((1L, 8L, "")))
   }
+
+  test("fused excise path is row-identical to the membership-join path") {
+    import spark.implicits._
+    // randomized corpus over a small vocabulary so windows collide
+    // across docs: overlapping islands, adjacent islands (gap 0 and
+    // gap 1), full-doc excisions, short docs, null/empty text, both
+    // hash families, and a carried column
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "Eta", "THETA", "iota", "kappa")
+    def doc(len: Int) =
+      (0 until len).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rows = (0L until 300L).map { i =>
+      val t =
+        if (i % 37 == 0) null
+        else if (i % 23 == 0) ""
+        else if (i % 11 == 0) doc(2) // shorter than the window
+        else doc(4 + rnd.nextInt(40))
+      (i, t, s"lang${i % 3}")
+    }
+    val corpus = rows.toDF("doc_id", "text", "lang").repartition(7)
+    val benchmark = rows.filter(r => r._1 % 5 == 0 && r._2 != null)
+      .toDF("doc_id", "text", "lang")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), r.getString(4))).sortBy(_._1).toSeq
+    for (exact <- Seq(true, false)) {
+      val fused = canon(Decontaminate.decontaminateExcise(
+        corpus, benchmark, "doc_id", "text", n = 3, exactHash = exact,
+        carryCols = Seq("lang")))
+      // maxBroadcastFps = 0 forces the above-gate membership-join plan
+      val legacy = canon(Decontaminate.decontaminateExcise(
+        corpus, benchmark, "doc_id", "text", n = 3, exactHash = exact,
+        maxBroadcastFps = 0L, carryCols = Seq("lang")))
+      assert(fused.exists(_._2 > 0), "fixture must actually excise")
+      assert(fused == legacy, s"exactHash=$exact diverged")
+    }
+  }
 }
