@@ -54,20 +54,34 @@ object WarcCodec {
   def looksLikeGzip(path: String): Boolean = path.endsWith(".gz")
 
   def maybeGunzip(in: InputStream, gz: Boolean): InputStream =
-    if (gz) new GZIPInputStream(new BufferedInputStream(in), 64 * 1024)
+    // r15: buffer the DECOMPRESSED side too — the header parser reads
+    // byte-at-a-time, and GZIPInputStream.read() is one native inflate
+    // call per byte (InflaterInputStream has no output-side buffer):
+    // ~150 header bytes × 500k records = ~75M native calls at the x19
+    // bench point, the measured majority of the scan stage's residual
+    // after the html kernel. The inner BufferedInputStream still
+    // batches the COMPRESSED reads.
+    if (gz) new BufferedInputStream(
+      new GZIPInputStream(new BufferedInputStream(in), 64 * 1024), 64 * 1024)
     else new BufferedInputStream(in)
 
   /** Read one `\n`-terminated line (CR stripped), ISO-8859-1. Null at
-    * EOF with nothing read.
+    * EOF with nothing read. Plain growable array, not
+    * ByteArrayOutputStream — BAOS.write is synchronized per byte and
+    * JDK 17 has no biased locking to elide the lock (r15).
     */
   private def readLine(in: InputStream): String = {
-    val buf = new ByteArrayOutputStream(96)
+    var buf = new Array[Byte](96)
+    var n = 0
     var b = in.read()
     if (b < 0) return null
-    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
-    val a = buf.toByteArray
-    val n = if (a.nonEmpty && a(a.length - 1) == '\r') a.length - 1 else a.length
-    new String(a, 0, n, StandardCharsets.ISO_8859_1)
+    while (b >= 0 && b != '\n') {
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n * 2)
+      buf(n) = b.toByte; n += 1
+      b = in.read()
+    }
+    if (n > 0 && buf(n - 1) == '\r') n -= 1
+    new String(buf, 0, n, StandardCharsets.ISO_8859_1)
   }
 
   private def readFully(in: InputStream, len: Int): Array[Byte] = {
@@ -124,9 +138,20 @@ object WarcCodec {
   }
 
   /** Split an `application/http` payload into status/headers/body.
-    * None when the payload does not start with `HTTP/`.
+    * None when the payload does not start with `HTTP/` (or its status
+    * line has no parseable code).
+    *
+    * `needHeaders = false` (r15): skip the header-map construction —
+    * the status-line parse and the body slice are unchanged (the
+    * Some/None decision gates which bytes the `payload` column
+    * carries, so they are semantics; the map only feeds
+    * `http_content_type`, which readers prune). The headers field is
+    * then empty.
     */
-  def httpSplit(payload: Array[Byte]): Option[HttpPayload] = {
+  def httpSplit(payload: Array[Byte]): Option[HttpPayload] =
+    httpSplit(payload, needHeaders = true)
+
+  def httpSplit(payload: Array[Byte], needHeaders: Boolean): Option[HttpPayload] = {
     if (payload == null || payload.length < 12) return None
     val head = new String(payload, 0, math.min(payload.length, 8), StandardCharsets.ISO_8859_1)
     if (!head.startsWith("HTTP/")) return None
@@ -146,6 +171,21 @@ object WarcCodec {
       i += 1
     }
     if (boundary < 0) { boundary = payload.length; bodyStart = payload.length }
+    if (!needHeaders) {
+      // first line only — identical status semantics, no header text /
+      // regex split / map (one String + split per record instead of
+      // the whole header block's)
+      var eol = 0
+      while (eol < boundary && payload(eol) != '\n') eol += 1
+      var end = eol
+      if (end > 0 && payload(end - 1) == '\r') end -= 1
+      val sl = new String(payload, 0, end, StandardCharsets.ISO_8859_1)
+      val status = sl.split(" ").lift(1)
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption)
+        .getOrElse(return None)
+      return Some(HttpPayload(status, Map.empty,
+        java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)))
+    }
     val headerText = new String(payload, 0, boundary, StandardCharsets.ISO_8859_1)
     val lines = CrLf.split(headerText) // compiled once: String.split(regex) re-compiles per call (r14)
     val status = lines.headOption.flatMap { sl =>

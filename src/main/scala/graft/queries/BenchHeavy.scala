@@ -37,10 +37,10 @@ object BenchHeavy {
     * expression AND the fixture-version hash (r13 advice: a
     * hand-maintained placeholder copy of the template reproduces the
     * stale-fixture bug the hash exists to prevent). */
-  private val X19PayloadPrefix =
+  private[graft] val X19PayloadPrefix =
     "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><h1>Doc "
-  private val X19PayloadMid = "</h1><p>"
-  private val X19PayloadSuffix = "</p></body></html>"
+  private[graft] val X19PayloadMid = "</h1><p>"
+  private[graft] val X19PayloadSuffix = "</p></body></html>"
   private def factorFor(s: org.apache.spark.sql.SparkSession, d: String,
       table: String, target: Long): Int = {
     // parquet row count is footer metadata — no data scan

@@ -141,12 +141,16 @@ class WarcPartitionReader(part: WarcFilePartition, required: StructType)
   private val it = WarcCodec.records(in)
   private val needHttp = required.fieldNames.exists(
     n => n == "http_status" || n == "http_content_type" || n == "payload")
+  // the headers map only feeds http_content_type — prune its
+  // construction with the column (r15; status + body slice are the
+  // Some/None payload gate and always parsed)
+  private val needHttpHeaders = required.fieldNames.contains("http_content_type")
   private var current: InternalRow = _
 
   private def toRow(r: WarcCodec.WarcRecord): InternalRow = {
     val http =
       if (needHttp && r.contentType.exists(_.startsWith("application/http")))
-        WarcCodec.httpSplit(r.payload)
+        WarcCodec.httpSplit(r.payload, needHttpHeaders)
       else None
     val values = required.fieldNames.map {
       case "record_index" => r.index

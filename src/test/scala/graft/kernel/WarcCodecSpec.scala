@@ -47,6 +47,33 @@ class WarcCodecSpec extends AnyFunSuite {
     assert(WarcCodec.httpSplit(null).isEmpty)
   }
 
+  test("httpSplit needHeaders=false: same status/body/None gate, empty headers") {
+    val payload = "HTTP/1.1 404 Not Found\r\nContent-Type: text/plain\r\nX-A: b\r\n\r\nhello\r\nworld"
+      .getBytes("UTF-8")
+    val light = WarcCodec.httpSplit(payload, needHeaders = false).get
+    val full = WarcCodec.httpSplit(payload).get
+    assert(light.status == full.status)
+    assert(java.util.Arrays.equals(light.body, full.body))
+    assert(light.headers.isEmpty)
+    // the Some/None gate (which decides WHICH bytes the payload column
+    // carries) must agree with the full parse on every edge
+    val edges = Seq(
+      "just some text", "HTTP/1.1\r\n\r\nbody", // no status code
+      "HTTP/1.1 xyz\r\n\r\nbody", // unparseable code
+      "HTTP/1.1 200 OK\nno blank line ever",
+      "HTTP/1.1 200\n\nlenient lf-lf", "HTTP/1.1 301 Moved\r\n\r\n")
+    edges.foreach { e =>
+      val b = e.getBytes("UTF-8")
+      val l = WarcCodec.httpSplit(b, needHeaders = false)
+      val f = WarcCodec.httpSplit(b)
+      assert(l.isDefined == f.isDefined, s"gate diverged on: $e")
+      l.zip(f).foreach { case (x, y) =>
+        assert(x.status == y.status &&
+          java.util.Arrays.equals(x.body, y.body), s"value diverged on: $e")
+      }
+    }
+  }
+
   test("corrupt input: truncated payload and absurd Content-Length are typed") {
     val out = new java.io.ByteArrayOutputStream()
     WarcCodec.write(out, Iterator(mkRecord(1, "x" * 100)), gzipPerRecord = false)
