@@ -41,6 +41,14 @@ object BenchHeavy {
     "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body><h1>Doc "
   private[graft] val X19PayloadMid = "</h1><p>"
   private[graft] val X19PayloadSuffix = "</p></body></html>"
+  /** Catalog-safe per-data-dir tag for the bucketed BM25 index tables
+    * (hive lowercases table names — bake that in so File checks and
+    * catalog lookups agree).
+    */
+  private def bm25TableTag(d: String): String =
+    new java.io.File(d).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
   private def factorFor(s: org.apache.spark.sql.SparkSession, d: String,
       table: String, target: Long): Int = {
     // parquet row count is footer metadata — no data scan
@@ -358,24 +366,28 @@ object BenchHeavy {
       "x09_bm25_topk",
       (s, d) => {
         val f = factorFor(s, d, "documents", DocTarget)
-        val docs =
-          if (f <= 1) Tables.documents(s, d)
-            .repartition(s.sparkContext.defaultParallelism)
-          else s.read.parquet(amplifiedDir(s, d, "documents", f)(
-            graft.tools.Amplify.documents(_, f)))
-        // doc-clustered at-rest layout (r14): see bm25IndexDocClustered
-        val postings = s.read.parquet(cachedDir(d, s"bm25idxc_x$f")(
-          graft.ops.Retrieval.bm25IndexDocClustered(docs, "doc_id", "text")))
-        // the 1-row stats table is part of the persisted artifact —
-        // serving a batch must not pay a postings-wide distinct
-        val stats = s.read.parquet(cachedDir(d, s"bm25stats_x$f")(
-          graft.ops.Retrieval.bm25IndexStats(postings)))
+        // doc_id-BUCKETED at-rest layout (r15, replaces the r14
+        // doc-clustered parquet): the bucketed scan's partitioning
+        // carries the per-(query, doc) score aggregate, so serving
+        // runs with no corpus-sized exchange at all — see
+        // Retrieval.ensureBm25BucketedIndex. Standing-index contract
+        // unchanged: built once (ingest side), serving timed.
+        val t = s"bm25bk32_x${f}_${bm25TableTag(d)}"
+        this.synchronized {
+          graft.ops.Retrieval.ensureBm25BucketedIndex(s, t, {
+            val docs =
+              if (f <= 1) Tables.documents(s, d)
+                .repartition(s.sparkContext.defaultParallelism)
+              else s.read.parquet(amplifiedDir(s, d, "documents", f)(
+                graft.tools.Amplify.documents(_, f)))
+            graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")
+          })
+        }
         val queries = s.range(16).select(col("id").as("query_id"),
           concat(lit("spark window agg stream "),
             (col("id") % 4).cast("string"),
             lit(" customer vector filter table join")).as("query_text"))
-        graft.ops.Retrieval.bm25TopKFromIndex(postings, queries, k = 20,
-          precomputedStats = Some(stats))
+        graft.ops.Retrieval.bm25TopKFromBucketedIndex(s, t, queries, k = 20)
       }),
 
     // Multimodal decode throughput: dHash every image payload of a
@@ -594,19 +606,22 @@ object BenchHeavy {
       "y09_bm25_topk_500k",
       (s, d) => {
         val f = factorFor(s, d, "documents", 500000L)
-        val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
-          graft.tools.Amplify.documents(_, f)))
-        // doc-clustered at-rest layout (r14): see bm25IndexDocClustered
-        val postings = s.read.parquet(cachedDir(d, s"bm25idxc_x$f")(
-          graft.ops.Retrieval.bm25IndexDocClustered(docs, "doc_id", "text")))
-        val stats = s.read.parquet(cachedDir(d, s"bm25stats_x$f")(
-          graft.ops.Retrieval.bm25IndexStats(postings)))
+        // doc_id-bucketed at-rest layout (r15) — the x09 rationale at
+        // the 500k tier, where the removed (query, doc) score exchange
+        // measured 271 MB per batch (r14 record)
+        val t = s"bm25bk32_x${f}_${bm25TableTag(d)}"
+        this.synchronized {
+          graft.ops.Retrieval.ensureBm25BucketedIndex(s, t, {
+            val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
+              graft.tools.Amplify.documents(_, f)))
+            graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")
+          })
+        }
         val queries = s.range(16).select(col("id").as("query_id"),
           concat(lit("spark window agg stream "),
             (col("id") % 4).cast("string"),
             lit(" customer vector filter table join")).as("query_text"))
-        graft.ops.Retrieval.bm25TopKFromIndex(postings, queries, k = 20,
-          precomputedStats = Some(stats))
+        graft.ops.Retrieval.bm25TopKFromBucketedIndex(s, t, queries, k = 20)
       }),
 
     // y09's partition-pruned twin (the at-rest layout
@@ -624,29 +639,23 @@ object BenchHeavy {
       "y10_bm25_partitioned_500k",
       (s, d) => {
         val f = factorFor(s, d, "documents", 500000L)
-        val tag = new java.io.File(d).getAbsolutePath
-          .replaceAll("[^A-Za-z0-9]", "_")
-        val root = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_bench_bm25pidx_x$f$tag.parquet")
+        // r15: term_bucket partition pruning COMPOSED with doc_id
+        // bucketing — the pruned listing keeps y10's input-bound win,
+        // and the bucketed scan's partitioning replaces the doc-keyed
+        // re-spread exchange (216 MB at this bench point, r14 record)
+        val t = s"bm25pbk32_x${f}_${bm25TableTag(d)}"
         this.synchronized {
-          // gate on the writer's LAST artifact (_stats): a crash
-          // between the postings and stats writes must rebuild
-          if (!new java.io.File(root, "_stats/_SUCCESS").exists()) {
-            val postings = s.read.parquet(cachedDir(d, s"bm25idxc_x$f") {
-              val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
-                graft.tools.Amplify.documents(_, f)))
-              graft.ops.Retrieval.bm25IndexDocClustered(docs, "doc_id", "text")
-            })
-            graft.ops.Retrieval.bm25WritePartitionedIndex(
-              postings, root.getAbsolutePath, nBuckets = 256)
-          }
+          graft.ops.Retrieval.ensureBm25BucketedIndex(s, t, {
+            val docs = s.read.parquet(amplifiedDir(s, d, "documents", f)(
+              graft.tools.Amplify.documents(_, f)))
+            graft.ops.Retrieval.bm25Index(docs, "doc_id", "text")
+          }, termBuckets = 256)
         }
         val queries = s.range(16).select(col("id").as("query_id"),
           concat(lit("spark window agg stream "),
             (col("id") % 4).cast("string"),
             lit(" customer vector filter table join")).as("query_text"))
-        graft.ops.Retrieval.bm25TopKFromPartitionedIndex(
-          s, root.getAbsolutePath, queries, k = 20)
+        graft.ops.Retrieval.bm25TopKFromBucketedIndex(s, t, queries, k = 20)
       }),
 
     // x07's 500k twin (r11 verdict #4): HEAVY_BASELINE's x07 DuckDB

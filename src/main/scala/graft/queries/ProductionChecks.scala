@@ -64,6 +64,13 @@ object ProductionChecks {
     out.getAbsolutePath
   }
 
+  /** Catalog-safe per-data-dir tag for the bucketed-index check tables
+    * (hive lowercases table names).
+    */
+  private def checkTag(d: String): String =
+    new java.io.File(d).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+
   val queries: Seq[QueryDef] = Seq(
 
     // Production CW/FNV minhash LSH pairs (the x03 kernel) — l03's oracle.
@@ -119,15 +126,17 @@ object ProductionChecks {
           (1L, "vector stream join"),
           (2L, "customer query filter table"))
           .toDF("query_id", "query_text")
-        // persist the index like the deployment the path serves: the
-        // postings subtree is consumed by several joins below, and an
-        // in-plan recompute re-tokenizes the corpus per consumer
-        val postings = s.read.parquet(cachedDir(d, "bm25idx") { out =>
-          Retrieval.bm25Index(Tables.documents(s, d), "doc_id", "text")
-            .write.mode("overwrite").parquet(out)
-        })
-        Retrieval.bm25TopKFromIndex(postings, q, 10,
-          precomputedStats = Some(Retrieval.bm25IndexStats(postings)))
+        // persist the index like the deployment the path serves — the
+        // r15 doc_id-bucketed catalog layout the x09/y09 bench rows
+        // use, so the zero-exchange serving chain (bucketed scan →
+        // score agg riding the bucket partitioning → top-k) runs under
+        // the driver's DuckDB gate every round
+        val t = s"bm25bk_check_${checkTag(d)}"
+        this.synchronized {
+          Retrieval.ensureBm25BucketedIndex(s, t,
+            Retrieval.bm25Index(Tables.documents(s, d), "doc_id", "text"))
+        }
+        Retrieval.bm25TopKFromBucketedIndex(s, t, q, 10)
       },
       Some(oracleOf("l54_bm25_topk"))),
 
@@ -145,20 +154,17 @@ object ProductionChecks {
           (1L, "vector stream join"),
           (2L, "customer query filter table"))
           .toDF("query_id", "query_text")
-        val tag = new java.io.File(d).getAbsolutePath
-          .replaceAll("[^A-Za-z0-9]", "_")
-        val root = new java.io.File(
-          sys.props("java.io.tmpdir"), s"graft_check_bm25pidx$tag.parquet")
+        // the y10 bench layout at gate scale: term_bucket partition
+        // pruning composed with doc_id bucketing (r15) — proves the
+        // resolve-buckets → pruned-bucketed-read → zero-exchange-serve
+        // chain under the oracle
+        val t = s"bm25pbk_check_${checkTag(d)}"
         this.synchronized {
-          // gate on the LAST artifact the writer emits (_stats), not
-          // the postings _SUCCESS — a crash between the two writes
-          // must rebuild, and the postings overwrite clears the root
-          if (!new java.io.File(root, "_stats/_SUCCESS").exists())
-            Retrieval.bm25WritePartitionedIndex(
-              Retrieval.bm25Index(Tables.documents(s, d), "doc_id", "text"),
-              root.getAbsolutePath, nBuckets = 64)
+          Retrieval.ensureBm25BucketedIndex(s, t,
+            Retrieval.bm25Index(Tables.documents(s, d), "doc_id", "text"),
+            termBuckets = 64)
         }
-        Retrieval.bm25TopKFromPartitionedIndex(s, root.getAbsolutePath, q, 10)
+        Retrieval.bm25TopKFromBucketedIndex(s, t, q, 10)
       },
       Some(oracleOf("l54_bm25_topk"))),
 

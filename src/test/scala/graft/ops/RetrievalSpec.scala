@@ -249,6 +249,54 @@ class RetrievalSpec extends AnyFunSuite {
       s"expected a term_bucket partition filter, got: $pf")
   }
 
+  test("r15 bm25 doc-bucketed table: row-identical serving, score agg rides the scan") {
+    import spark.implicits._
+    val postings = Retrieval.bm25Index(docs, "doc_id", "text")
+    val qs = Seq((0L, "alpha beta"), (1L, "delta")).toDF("query_id", "query_text")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val flatServed = Retrieval.bm25TopKFromIndex(postings, qs, k = 5,
+      precomputedStats = Some(Retrieval.bm25IndexStats(postings)))
+    val flatCanon = canon(flatServed)
+    // the plain-index plan pays the per-(query, doc) score exchange …
+    assert(flatServed.queryExecution.executedPlan.toString
+      .contains("hashpartitioning(query_id"), "fixture lost its contrast")
+
+    Retrieval.ensureBm25BucketedIndex(spark, "bm25bk_spec_flat", postings,
+      docBuckets = 4)
+    val bucketed = Retrieval.bm25TopKFromBucketedIndex(
+      spark, "bm25bk_spec_flat", qs, k = 5)
+    assert(canon(bucketed) == flatCanon && flatCanon.nonEmpty)
+    // … the bucketed-table plan must NOT: the only exchange keyed on
+    // query_id is the O(k)-row top-k (single-key hashpartitioning);
+    // the (query_id, doc_id) aggregate rides HashPartitioning(doc_id)
+    val planStr = bucketed.queryExecution.executedPlan.toString
+    assert(!planStr.split("hashpartitioning\\(query_id")
+      .drop(1).exists(_.takeWhile(_ != ')').contains("doc_id")),
+      s"score agg still exchanges (query_id, doc_id):\n$planStr")
+
+    // partitioned+bucketed twin: same rows, term_bucket partition
+    // filter present (listing-time pruning kept), still no score
+    // exchange
+    Retrieval.ensureBm25BucketedIndex(spark, "bm25bk_spec_part", postings,
+      docBuckets = 4, termBuckets = 8)
+    val pruned = Retrieval.bm25TopKFromBucketedIndex(
+      spark, "bm25bk_spec_part", qs, k = 5)
+    assert(canon(pruned) == flatCanon)
+    val prunedStr = pruned.queryExecution.executedPlan.toString
+    assert(prunedStr.contains("term_bucket"),
+      s"expected term_bucket pruning in:\n$prunedStr")
+    assert(!prunedStr.split("hashpartitioning\\(query_id")
+      .drop(1).exists(_.takeWhile(_ != ')').contains("doc_id")),
+      s"pruned score agg still exchanges (query_id, doc_id):\n$prunedStr")
+    // ensure() is idempotent: second call must not rebuild (the
+    // standing-index contract)
+    Retrieval.ensureBm25BucketedIndex(spark, "bm25bk_spec_part", postings,
+      docBuckets = 4, termBuckets = 8)
+    assert(canon(Retrieval.bm25TopKFromBucketedIndex(
+      spark, "bm25bk_spec_part", qs, k = 5)) == flatCanon)
+  }
+
   test("bm25 partitioned index: _stats sidecar is hidden from the postings read") {
     val postings = Retrieval.bm25Index(docs, "doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_side").toString
