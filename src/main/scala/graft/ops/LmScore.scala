@@ -62,13 +62,21 @@ object LmScore {
     */
   final case class BigramModel(uni: DataFrame, bigModel: DataFrame,
       stats: DataFrame) {
+    /** Table sizes recorded by [[cache]]'s materializing counts, so
+      * [[scoreAuto]]'s broadcast gate reuses them instead of running
+      * two more count jobs per serving call (r15 — each job is a
+      * driver round-trip on the serving wall).
+      */
+    @transient private[ops] var knownSizes: Option[(Long, Long)] = None
+
     /** Persist the model tables (they are model-sized, not
       * corpus-sized) and materialize them so every scoring join sees
       * accurate sizes — AQE then broadcasts what fits. Returns this.
       */
     def cache(): BigramModel = {
       uni.persist(); bigModel.persist(); stats.persist()
-      uni.count(); bigModel.count(); stats.count()
+      val u = uni.count(); val b = bigModel.count(); stats.count()
+      knownSizes = Some((u, b))
       this
     }
     def unpersist(): Unit = {
@@ -130,47 +138,92 @@ object LmScore {
     */
   def scoreWithBroadcastModel(docs: DataFrame, model: BigramModel,
       idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
-    val uniMap = new java.util.HashMap[String, java.lang.Long]()
-    model.uni.collect().foreach(r => uniMap.put(r.getString(0), r.getLong(1)))
-    // two-level map (tokens may contain any non-whitespace byte, so no
-    // joined-string key): prev -> (w -> (c2, c1_prev))
-    val big2 = new java.util.HashMap[String, java.util.HashMap[String, Array[Long]]]()
-    model.bigModel.collect().foreach { r =>
-      big2.computeIfAbsent(r.getString(0),
-        _ => new java.util.HashMap[String, Array[Long]]())
-        .put(r.getString(1), Array(r.getLong(2), r.getLong(3)))
+    // r15 broadcast layout: the r14 form shipped a two-level
+    // HashMap[String, HashMap[String, Array[Long]]] — Java-serializing
+    // its ~800k boxed inner entries took 0.87 s per serving call at
+    // the y07 bench point (LmPhaseProbe), more than the scoring stage
+    // itself. The model now ships as ONE string→(c1, id) map (vocab
+    // sized) plus three PRIMITIVE arrays for the bigrams: sorted
+    // composite keys (prevId << 32 | wId — ids are unique per distinct
+    // token, so the composite is collision-free by construction; no
+    // joined-string ambiguity) and the (c2, c1_prev) columns.
+    // Primitive arrays serialize as memcpy. Arithmetic is unchanged
+    // op-for-op (same per-transition log10 terms, same left-to-right
+    // summation), so scores are bit-identical — LmScoreSpec pins the
+    // kernel against the join path.
+    val uniRows = model.uni.collect()
+    require(uniRows.length < Int.MaxValue / 2, "vocab exceeds id space")
+    val uniMap = new java.util.HashMap[String, Array[Long]](uniRows.length * 2)
+    var nextId = 0L
+    uniRows.foreach { r =>
+      uniMap.put(r.getString(0), Array(r.getLong(1), nextId)); nextId += 1L
+    }
+    val bigRows = model.bigModel.collect()
+    // (key, c2, c1_prev) sorted by key; a bigram whose prev/w is not
+    // in the unigram table (impossible for trainStupidBackoff output,
+    // where both are reference tokens) could never be LOOKED UP via
+    // ids either, so skipping such a row is behavior-identical
+    val trips = new java.util.ArrayList[Array[Long]](bigRows.length)
+    bigRows.foreach { r =>
+      val p = uniMap.get(r.getString(0))
+      val w = uniMap.get(r.getString(1))
+      if (p != null && w != null)
+        trips.add(Array((p(1) << 32) | w(1), r.getLong(2), r.getLong(3)))
+    }
+    trips.sort((x: Array[Long], y: Array[Long]) =>
+      java.lang.Long.compare(x(0), y(0)))
+    val n = trips.size()
+    val keys = new Array[Long](n)
+    val c2s = new Array[Long](n)
+    val c1ps = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val t = trips.get(j); keys(j) = t(0); c2s(j) = t(1); c1ps(j) = t(2)
+      j += 1
     }
     val Array(nTokens, vocab) = {
       val s = model.stats.collect()(0); Array(s.getLong(0), s.getLong(1))
     }
     val sess = docs.sparkSession
     val bcUni = sess.sparkContext.broadcast(uniMap)
-    val bcBig = sess.sparkContext.broadcast(big2)
+    val bcKeys = sess.sparkContext.broadcast(keys)
+    val bcC2 = sess.sparkContext.broadcast(c2s)
+    val bcC1p = sess.sparkContext.broadcast(c1ps)
     val denom = (nTokens + vocab).toDouble
     val a = alpha
     val score = udf((text: String) => {
       val t = TextKernel.tokens(text)
       if (t.length < 2) null
       else {
-        var sum = 0.0
-        var i = 1
         val uni = bcUni.value
-        val big = bcBig.value
+        val ks = bcKeys.value
+        val v2 = bcC2.value
+        val v1p = bcC1p.value
+        var sum = 0.0
+        var prevE = uni.get(t(0))
+        var i = 1
         while (i < t.length) {
-          val inner = big.get(t(i - 1))
-          val hit = if (inner == null) null else inner.get(t(i))
-          if (hit != null)
-            sum += math.log10(hit(0).toDouble / hit(1))
+          val curE = uni.get(t(i))
+          var hit = -1
+          if (prevE != null && curE != null)
+            hit = java.util.Arrays.binarySearch(ks, (prevE(1) << 32) | curE(1))
+          if (hit >= 0)
+            sum += math.log10(v2(hit).toDouble / v1p(hit))
           else {
-            val c1w = uni.get(t(i))
-            val c1 = if (c1w == null) 0L else c1w.longValue()
+            val c1 = if (curE == null) 0L else curE(0)
             sum += math.log10(a * (c1 + 1L).toDouble / denom)
           }
+          prevE = curE
           i += 1
         }
         (t.length - 1L, sum / (t.length - 1))
       }
     })
+      // nondeterministic: the struct feeds a null filter plus two field
+      // extractions — the optimizer otherwise pushes the filter below
+      // the projection and re-evaluates the kernel per consumer
+      // (guide §4.4)
+      .asNondeterministic()
     docs.select(col(idCol).as("doc_id"), score(col(textCol)).as("r"))
       .filter(col("r").isNotNull)
       .select(col("doc_id"), col("r._1").as("n_trans"),
@@ -179,12 +232,16 @@ object LmScore {
 
   /** Size-gated scoring (the rype-classify precedent): kernel path
     * when the model is broadcast-safe, join path otherwise. The gate
-    * costs two model-sized counts — negligible next to scoring.
+    * reuses [[BigramModel.cache]]'s recorded sizes when present
+    * (r15 — two fewer driver round-trips per serving call); uncached
+    * models pay two model-sized counts, negligible next to scoring.
     */
   def scoreAuto(docs: DataFrame, model: BigramModel, idCol: String,
       textCol: String, alpha: Double = 0.4,
       maxBroadcastEntries: Long = 4L << 20): DataFrame = {
-    if (model.uni.count() + model.bigModel.count() <= maxBroadcastEntries)
+    val (u, b) = model.knownSizes
+      .getOrElse((model.uni.count(), model.bigModel.count()))
+    if (u + b <= maxBroadcastEntries)
       scoreWithBroadcastModel(docs, model, idCol, textCol, alpha)
     else scoreWithModel(docs, model, idCol, textCol, alpha)
   }
