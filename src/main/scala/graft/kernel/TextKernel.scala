@@ -453,18 +453,56 @@ object TextKernel {
     val n = ts.length - (l - 1)
     if (n <= 0) return Array.empty
     val out = new Array[Long](n)
-    val sb = new java.lang.StringBuilder()
-    var i = 0
-    while (i < n) {
-      sb.setLength(0)
-      var j = i
-      while (j < i + l) {
-        if (j > i) sb.append(' ')
-        sb.append(ts(j)); j += 1
+    // r15: hash the window INCREMENTALLY over the token array instead
+    // of materializing the space-joined window string — one String
+    // alloc+copy per window removed from every window of every doc
+    // (this kernel runs inside x06/x13/x15/decontamination's hottest
+    // map stages). Bit-identical by construction: FNV-1a folds the
+    // same UTF-16 char sequence (space = one char), md5 digests the
+    // same UTF-8 byte sequence (UTF-8 of a concatenation is the
+    // concatenation of UTF-8s; space = 0x20) — and spec-pinned against
+    // the joined-string forms on randomized token sets.
+    if (!exact) {
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + l) {
+          if (j > i) { h ^= 0x20L; h *= 0x100000001b3L }
+          val t = ts(j)
+          var c = 0
+          while (c < t.length) {
+            h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1
+          }
+          j += 1
+        }
+        out(i) = h
+        i += 1
       }
-      val s = sb.toString
-      out(i) = if (exact) md5Hash60(s) else hash64(s)
-      i += 1
+    } else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val bs = new Array[Array[Byte]](ts.length)
+      var k = 0
+      while (k < ts.length) {
+        bs(k) = ts(k).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        k += 1
+      }
+      val sp = Array(' '.toByte)
+      var i = 0
+      while (i < n) {
+        md.reset()
+        var j = i
+        while (j < i + l) {
+          if (j > i) md.update(sp)
+          md.update(bs(j)); j += 1
+        }
+        val d = md.digest()
+        var v = 0L
+        var q = 0
+        while (q < 8) { v = (v << 8) | (d(q) & 0xffL); q += 1 }
+        out(i) = v >>> 4
+        i += 1
+      }
     }
     out
   }

@@ -208,4 +208,31 @@ class TextKernelSpec extends AnyFunSuite {
     assert(langId("xyzzy plugh qwerty") == "und")
     assert(langId("") == "und")
   }
+
+  test("r15 slidingWindowHashes: incremental form equals the joined-string form") {
+    // reference: the pre-r15 formulation — hash the space-joined
+    // lowercased window string with md5Hash60 / hash64
+    def ref(text: String, l: Int, exact: Boolean): Array[Long] = {
+      if (text == null) return Array.empty
+      val ts = TextKernel.tokens(text)
+      val n = ts.length - (l - 1)
+      if (n <= 0) return Array.empty
+      Array.tabulate(n) { i =>
+        val s = ts.slice(i, i + l).mkString(" ")
+        if (exact) TextKernel.md5Hash60(s) else TextKernel.hash64(s)
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    // multi-byte UTF-8, supplementary chars (surrogate pairs), mixed
+    // case, empty-ish docs
+    val vocab = Vector("alpha", "Beta", "GAMMA", "déjà", "naïve",
+      "日本語", "x", "𝒜𝓁𝓅𝒽𝒶", "a-b", "1,2")
+    val docs = Seq("", "one", null, "  \t ") ++ (0 until 200).map { _ =>
+      (0 until rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    for (d <- docs; l <- Seq(1, 2, 3, 8); exact <- Seq(true, false))
+      assert(TextKernel.slidingWindowHashes(d, l, exact).toSeq ==
+        ref(d, l, exact).toSeq, s"l=$l exact=$exact doc=$d")
+  }
 }
