@@ -173,35 +173,34 @@ object Bench {
       // r11 judge's independent 1.20 s) — every entry below is this
       // round's closing quiet run +~5% headroom, with the amplified
       // bench dirs warm (the state a driver round also sees).
-      "l12_dedup_clusters" -> 0.80, "l18_repetition_signals" -> 0.17,
-      "l20_semantic_dedup" -> 0.52,
-      "x01_align_throughput" -> 0.21, "x02_rype_throughput" -> 0.27,
-      // x03/x04/x16/x17 re-anchored with EVIDENCE in r13 (r12 verdict
-      // #3 — the r12 mid-band "calibration" was reverted): 5 fresh
-      // quiet-box JVMs × 2 warmed cycles each (tools/HeavyOneProbe,
-      // distribution committed in SCALE.md r13). Constants = observed
-      // quiet min; the band medians (x03 3.35, x04 1.76, x16 2.67,
-      // x17 2.11) mean a mid-band sample may carry an honest `suspect`
-      // flag — that is the escalate-don't-capitulate contract, not a
-      // regression claim.
-      "x03_minhash" -> 2.37, "x04_ivf_ann" -> 1.42,
-      "x05_line_dedup" -> 0.95, "x06_dup_spans" -> 0.66,
-      "x07_lm_score" -> 0.99, "x08_dedup_incremental" -> 2.60,
-      "x09_bm25_topk" -> 1.18, "x10_image_dhash" -> 0.65,
-      "x11_pagerank" -> 4.60, "x12_tokenize_pack" -> 3.95,
-      "x13_exact_substr" -> 0.84, "x14_semdedup" -> 2.65,
-      "x18_video_keyframes" -> 1.70, "x19_warc_ingest" -> 2.25,
-      "x15_ingest_pipeline" -> 6.48, "x16_ivf_serve_partitioned" -> 1.50,
-      "x17_winnow_pairs" -> 1.84,
-      "y05_line_dedup_500k" -> 1.44, "y06_dup_spans_500k" -> 1.65,
-      "y07_lm_score_500k" -> 4.01, "y09_bm25_topk_500k" -> 5.05,
-      // y10 seed = r14 fast-band HeavyOneProbe min over the clustered
-      // (1-file-per-bucket) layout; interleaved Y10Probe cycles beat
-      // y09 9/9 (SCALE.md r14, partitioned-BM25 section)
-      "y10_bm25_partitioned_500k" -> 4.46,
-      "k06_bucketed_join_agg" -> 0.184, "k08_bucketed_self_join" -> 0.091,
-      "k16_bucketed_window_count" -> 0.074, "k19_bucketed_rank_frame" -> 0.099,
-      "k71_bucketed_semdedup" -> 1.21)
+      // r15 re-anchor: every heavy constant below = the observed quiet
+      // min across this round's three zero-error quiet records
+      // (opening 54.05 / mid 42.65 / closing 42.69 — BENCH JSON lines
+      // in git history; per-row probe evidence in SCALE.md r15).
+      // Rows structurally changed this round (x15, x19, x09/y09/y10,
+      // x07/y07, x13, x06) moved on committed code; the rest are
+      // tightened to this round's quiet band per the r12
+      // "observed quiet min" convention — a mid-band sample may carry
+      // an honest `suspect` flag (escalate-don't-capitulate), x15
+      // especially (quiet 2.88, slow band to ~5.3 with a pinned plan).
+      "l12_dedup_clusters" -> 0.49, "l18_repetition_signals" -> 0.13,
+      "l20_semantic_dedup" -> 0.42,
+      "x01_align_throughput" -> 0.15, "x02_rype_throughput" -> 0.25,
+      "x03_minhash" -> 1.76, "x04_ivf_ann" -> 1.23,
+      "x05_line_dedup" -> 0.95, "x06_dup_spans" -> 0.63,
+      "x07_lm_score" -> 0.66, "x08_dedup_incremental" -> 2.47,
+      "x09_bm25_topk" -> 0.71, "x10_image_dhash" -> 0.65,
+      "x11_pagerank" -> 4.04, "x12_tokenize_pack" -> 0.92,
+      "x13_exact_substr" -> 0.77, "x14_semdedup" -> 2.48,
+      "x18_video_keyframes" -> 0.81, "x19_warc_ingest" -> 0.81,
+      "x15_ingest_pipeline" -> 2.88, "x16_ivf_serve_partitioned" -> 1.21,
+      "x17_winnow_pairs" -> 1.07,
+      "y05_line_dedup_500k" -> 1.17, "y06_dup_spans_500k" -> 1.39,
+      "y07_lm_score_500k" -> 2.27, "y09_bm25_topk_500k" -> 2.47,
+      "y10_bm25_partitioned_500k" -> 1.97,
+      "k06_bucketed_join_agg" -> 0.169, "k08_bucketed_self_join" -> 0.091,
+      "k16_bucketed_window_count" -> 0.062, "k19_bucketed_rank_frame" -> 0.099,
+      "k71_bucketed_semdedup" -> 1.05)
     val rollingBest: Map[String, Double] =
       rollingBestCommitted ++ sys.env.get("SPARK_GRAFT_ROLLING_BEST")
         .map { path =>
